@@ -1,0 +1,89 @@
+"""pmarlo_tpu — TPU-native molecular sampling + Markov-state-model framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+``Komputerowe-Projektowanie-Lekow/pmarlo``: protein prep, Langevin MD with
+temperature replica exchange (vmapped replicas, on-device swap collectives),
+learned collective variables (DeepTICA / VAMP-2) whose bias forces are
+``jax.grad`` of an in-graph energy, shard-based trajectory datasets, and a
+full estimation stack (featurization, TICA/VAMP, k-means, MSM estimation,
+ITS, CK validation, FES, PCCA+, TPT conformations).
+
+Public symbols are lazily resolved (reference pattern:
+src/pmarlo/__init__.py:18-38,100) so importing the package stays cheap.
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Any
+
+__version__ = "0.1.0"
+
+# symbol -> (module, attr)
+_EXPORTS = {
+    # settings / utils
+    "load_defaults": ("pmarlo_tpu.settings", "load_defaults"),
+    "set_global_seed": ("pmarlo_tpu.utils.seed", "set_global_seed"),
+    "constants": ("pmarlo_tpu.constants", None),
+    # structure prep
+    "Protein": ("pmarlo_tpu.protein.protein", "Protein"),
+    # MD core
+    "System": ("pmarlo_tpu.md.system", "System"),
+    "MDState": ("pmarlo_tpu.md.integrate", "MDState"),
+    "build_system": ("pmarlo_tpu.md.forcefield", "build_system"),
+    "run_segment": ("pmarlo_tpu.md.simulation", "run_segment"),
+    # REMD
+    "RemdConfig": ("pmarlo_tpu.remd.remd", "RemdConfig"),
+    "ReplicaExchange": ("pmarlo_tpu.remd.remd", "ReplicaExchange"),
+    "run_replica_exchange": ("pmarlo_tpu.remd.remd", "run_replica_exchange"),
+    # features
+    "FEATURE_REGISTRY": ("pmarlo_tpu.features.base", "FEATURE_REGISTRY"),
+    "get_feature": ("pmarlo_tpu.features.base", "get_feature"),
+    "register_feature": ("pmarlo_tpu.features.base", "register_feature"),
+    "parse_feature_spec": ("pmarlo_tpu.features.base", "parse_feature_spec"),
+    "featurize_trajectory": ("pmarlo_tpu.features.featurize", "featurize_trajectory"),
+    "compute_ramachandran": ("pmarlo_tpu.features.ramachandran", "compute_ramachandran"),
+    # ML CVs
+    "DeepTICAConfig": ("pmarlo_tpu.ml.deeptica", "DeepTICAConfig"),
+    "DeepTICAModel": ("pmarlo_tpu.ml.deeptica", "DeepTICAModel"),
+    "train_deeptica": ("pmarlo_tpu.ml.deeptica", "train_deeptica"),
+    # MSM
+    "MarkovStateModel": ("pmarlo_tpu.msm.enhanced", "EnhancedMSM"),
+    "EnhancedMSM": ("pmarlo_tpu.msm.enhanced", "EnhancedMSM"),
+    "run_complete_msm_analysis": ("pmarlo_tpu.msm.enhanced", "run_complete_msm_analysis"),
+    "generate_2d_fes": ("pmarlo_tpu.msm.free_energy", "generate_2d_fes"),
+    "generate_1d_pmf": ("pmarlo_tpu.msm.free_energy", "generate_1d_pmf"),
+    # shards
+    "write_shard": ("pmarlo_tpu.io.shards", "write_shard"),
+    "read_shard": ("pmarlo_tpu.io.shards", "read_shard"),
+    "select_shard_paths": ("pmarlo_tpu.io.shards", "select_shard_paths"),
+    # conformations
+    "find_conformations": ("pmarlo_tpu.conformations.finder", "find_conformations"),
+}
+
+
+def __getattr__(name: str) -> Any:
+    try:
+        module_name, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(f"module 'pmarlo_tpu' has no attribute {name!r}")
+    module = importlib.import_module(module_name)
+    return module if attr is None else getattr(module, attr)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))
+
+
+def get_version() -> str:
+    return __version__
+
+
+def get_info() -> dict:
+    import jax
+
+    return {
+        "version": __version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+    }

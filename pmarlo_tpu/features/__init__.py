@@ -1,0 +1,48 @@
+"""On-device featurization: dihedrals, distances, Rg, contacts, registry.
+
+Replaces the reference's mdtraj-backed feature layer
+(src/pmarlo/features/base.py, builtins.py, featurize.py) with JAX kernels
+over device-resident coordinate buffers — features compose into the MD
+graph, so CV bias needs no extraction bridge.
+"""
+
+from .base import (
+    FEATURE_REGISTRY,
+    FeatureSpec,
+    get_feature,
+    parse_feature_spec,
+    register_feature,
+)
+from .builtins import (
+    compute_dihedrals,
+    compute_distances,
+    compute_angles,
+    phi_psi_indices,
+    chi1_indices,
+    radius_of_gyration,
+    contacts,
+)
+from .featurize import featurize_trajectory
+from .pairs import lagged_time_pairs, make_training_pairs_from_trajectory
+from .ramachandran import compute_ramachandran, compute_ramachandran_fes, periodic_hist2d
+
+__all__ = [
+    "FEATURE_REGISTRY",
+    "FeatureSpec",
+    "get_feature",
+    "parse_feature_spec",
+    "register_feature",
+    "compute_dihedrals",
+    "compute_distances",
+    "compute_angles",
+    "phi_psi_indices",
+    "chi1_indices",
+    "radius_of_gyration",
+    "contacts",
+    "featurize_trajectory",
+    "lagged_time_pairs",
+    "make_training_pairs_from_trajectory",
+    "compute_ramachandran",
+    "compute_ramachandran_fes",
+    "periodic_hist2d",
+]

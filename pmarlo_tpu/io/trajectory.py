@@ -1,0 +1,147 @@
+"""Native trajectory store: time-major npz tensors + JSON metadata.
+
+The reference streams DCD via mdtraj's C plugins with fd-level log
+suppression and chunked atomic rewrites (src/pmarlo/io/trajectory.py:136,
+trajectory_writer.py:192,295). The TPU-native framework's canonical format
+is npz: device arrays dump straight to it, it is seekable via memory
+mapping, and it needs no C parser. The reader/writer protocols mirror the
+reference's (io/trajectory_reader.py:31, trajectory_writer.py:146).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class TrajectoryWriter:
+    """Buffered npz trajectory writer with atomic finalize.
+
+    Frames are (N, 3) float32 nm. ``flush_interval`` bounds the host-memory
+    buffer by spilling to intermediate part-files that ``close`` merges —
+    the append-safety role of the reference's chunked rewrite
+    (io/trajectory_writer.py:295) without the quadratic rewrite cost.
+    """
+
+    path: Path
+    metadata: Dict = dataclasses.field(default_factory=dict)
+    flush_interval: int = 10_000
+    _frames: list = dataclasses.field(default_factory=list)
+    _parts: list = dataclasses.field(default_factory=list)
+    _closed: bool = False
+
+    def __post_init__(self):
+        self.path = Path(self.path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def write_frames(self, frames: np.ndarray) -> None:
+        if self._closed:
+            raise RuntimeError("writer already closed")
+        frames = np.asarray(frames, dtype=np.float32)
+        if frames.ndim == 2:
+            frames = frames[None]
+        if frames.ndim != 3 or frames.shape[-1] != 3:
+            raise ValueError(f"frames must be (T, N, 3), got {frames.shape}")
+        self._frames.append(frames)
+        if sum(f.shape[0] for f in self._frames) >= self.flush_interval:
+            self._spill()
+
+    def _spill(self) -> None:
+        if not self._frames:
+            return
+        part = self.path.with_suffix(f".part{len(self._parts)}.npy")
+        np.save(part, np.concatenate(self._frames, axis=0))
+        self._parts.append(part)
+        self._frames = []
+
+    def close(self) -> Path:
+        if self._closed:
+            return self.path
+        chunks = [np.load(p) for p in self._parts] + (
+            [np.concatenate(self._frames, axis=0)] if self._frames else []
+        )
+        coords = (
+            np.concatenate(chunks, axis=0)
+            if chunks
+            else np.zeros((0, 0, 3), dtype=np.float32)
+        )
+        tmp = self.path.with_suffix(".tmp.npz")
+        np.savez_compressed(
+            tmp, coordinates=coords, metadata=json.dumps(self.metadata)
+        )
+        tmp.replace(self.path)
+        for p in self._parts:
+            p.unlink(missing_ok=True)
+        self._frames, self._parts = [], []
+        self._closed = True
+        return self.path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+@dataclasses.dataclass
+class TrajectoryReader:
+    """Reader over the npz trajectory format (streaming via mmap)."""
+
+    path: Path
+
+    def __post_init__(self):
+        self.path = Path(self.path)
+        if not self.path.exists():
+            raise FileNotFoundError(self.path)
+
+    def load(self) -> np.ndarray:
+        with np.load(self.path) as data:
+            return np.asarray(data["coordinates"])
+
+    def metadata(self) -> Dict:
+        with np.load(self.path) as data:
+            if "metadata" in data:
+                return json.loads(str(data["metadata"]))
+        return {}
+
+    def probe_length(self) -> int:
+        """Frame count without materializing coordinates
+        (reference io/trajectory_reader.py:269)."""
+        with np.load(self.path) as data:
+            return int(data["coordinates"].shape[0])
+
+    def iter_frames(
+        self, chunk: int = 1000, stride: int = 1, start: int = 0, stop: Optional[int] = None
+    ) -> Iterator[np.ndarray]:
+        coords = self.load()[start:stop:stride]
+        for off in range(0, coords.shape[0], chunk):
+            yield coords[off : off + chunk]
+
+
+def iterload(
+    path: "str | Path", chunk: int = 1000, stride: int = 1
+) -> Iterator[np.ndarray]:
+    """Chunked coordinate iteration (reference io/trajectory.py:136)."""
+    yield from TrajectoryReader(Path(path)).iter_frames(chunk=chunk, stride=stride)
+
+
+def get_reader(path: "str | Path") -> TrajectoryReader:
+    return TrajectoryReader(Path(path))
+
+
+def get_writer(path: "str | Path", metadata: Optional[Dict] = None) -> TrajectoryWriter:
+    return TrajectoryWriter(Path(path), metadata=metadata or {})
+
+
+__all__ = [
+    "TrajectoryWriter",
+    "TrajectoryReader",
+    "iterload",
+    "get_reader",
+    "get_writer",
+]

@@ -1,0 +1,26 @@
+"""TPU-native MD core: system building, forces, integration, minimization.
+
+Replaces the reference's OpenMM backend (src/pmarlo/simulation/__init__.py:18-112)
+with a pure-JAX implementation: the ``System`` is a pytree of parameter
+arrays, ``potential_energy`` is a jittable function, forces are
+``jax.grad``, and the integrator is a ``lax.scan``-able step — so replicas
+batch with ``vmap`` and bias potentials fuse by function composition.
+"""
+
+from .system import System
+from .forcefield import build_system
+from .forces import potential_energy, compute_forces
+from .integrate import MDState, langevin_step, run_md, thermalize
+from .minimize import minimize_energy
+
+__all__ = [
+    "System",
+    "build_system",
+    "potential_energy",
+    "compute_forces",
+    "MDState",
+    "langevin_step",
+    "run_md",
+    "thermalize",
+    "minimize_energy",
+]

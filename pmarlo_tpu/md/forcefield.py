@@ -1,0 +1,225 @@
+"""System assembly: topology + parameter tables -> ``System`` pytree.
+
+First-party replacement for OpenMM's ``ForceField.createSystem`` call in the
+reference (src/pmarlo/simulation/__init__.py:64-71: amber14 + gbn2,
+NoCutoff, HBonds constraints, HMR 1.5 amu). Constraint handling differs by
+design: instead of SHAKE'd 2 fs steps we default to HMR 3 amu which keeps
+unconstrained X-H modes stable at the configured timestep (see
+md/integrate.py docstring for the tradeoff).
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.pdb import PDBStructure, read_pdb
+from ..utils.errors import ForceFieldError
+from . import ff_params as ff
+from .system import System, hydrogen_mass_repartition
+from .topology import Topology, build_topology
+
+_ANG_TO_NM = 0.1
+_KCAL = ff.KCAL_TO_KJ
+
+
+def _bond_arrays(topology: Topology):
+    idx, ks, r0s = [], [], []
+    errors = []
+    for a, b in topology.bonds:
+        ta, tb = topology.atom_types[int(a)], topology.atom_types[int(b)]
+        try:
+            k_amber, r0_ang = ff.lookup_bond(ta, tb)
+        except KeyError as exc:
+            errors.append(str(exc))
+            continue
+        idx.append((int(a), int(b)))
+        # amber E = k (r-r0)^2  ->  ours E = 0.5 k' (r-r0)^2, k' = 2 k
+        ks.append(2.0 * k_amber * _KCAL / (_ANG_TO_NM**2))
+        r0s.append(r0_ang * _ANG_TO_NM)
+    if errors:
+        raise ForceFieldError("missing bond parameters:\n  " + "\n  ".join(sorted(set(errors))))
+    return np.asarray(idx, dtype=np.int32).reshape(-1, 2), np.asarray(ks), np.asarray(r0s)
+
+
+def _angle_arrays(topology: Topology):
+    idx, ks, t0s = [], [], []
+    errors = []
+    for i, j, k in topology.angles():
+        ti, tj, tk = (topology.atom_types[int(x)] for x in (i, j, k))
+        try:
+            k_amber, t0_deg = ff.lookup_angle(ti, tj, tk)
+        except KeyError as exc:
+            errors.append(str(exc))
+            continue
+        idx.append((int(i), int(j), int(k)))
+        ks.append(2.0 * k_amber * _KCAL)
+        t0s.append(math.radians(t0_deg))
+    if errors:
+        raise ForceFieldError("missing angle parameters:\n  " + "\n  ".join(sorted(set(errors))))
+    return np.asarray(idx, dtype=np.int32).reshape(-1, 3), np.asarray(ks), np.asarray(t0s)
+
+
+def _torsion_arrays(topology: Topology):
+    idx, ks, ns, phases = [], [], [], []
+    errors = []
+    for i, j, k, l in topology.proper_dihedrals():
+        ti, tj, tk, tl = (topology.atom_types[int(x)] for x in (i, j, k, l))
+        try:
+            terms = ff.lookup_dihedral(ti, tj, tk, tl)
+        except KeyError as exc:
+            errors.append(str(exc))
+            continue
+        for divider, pk, phase_deg, periodicity in terms:
+            if pk == 0.0:
+                continue
+            idx.append((int(i), int(j), int(k), int(l)))
+            ks.append(pk / divider * _KCAL)
+            ns.append(float(periodicity))
+            phases.append(math.radians(phase_deg))
+    if errors:
+        raise ForceFieldError(
+            "missing dihedral parameters:\n  " + "\n  ".join(sorted(set(errors)))
+        )
+    # impropers: trivalent centers, central atom third
+    for a, b, c, d in topology.improper_candidates():
+        nbrs = [a, b, d]
+        matched = None
+        for li in range(3):
+            l = nbrs[li]
+            i, j = (nbrs[x] for x in range(3) if x != li)
+            params = ff.lookup_improper(
+                topology.atom_types[i], topology.atom_types[j],
+                topology.atom_types[c], topology.atom_types[l],
+            )
+            if params is not None:
+                matched = ((i, j, c, l), params)
+                break
+        if matched is None:
+            continue  # many trivalent centers legitimately carry no improper
+        (i, j, cc, l), (pk, phase_deg, periodicity) = matched
+        idx.append((int(i), int(j), int(cc), int(l)))
+        ks.append(pk * _KCAL)
+        ns.append(float(periodicity))
+        phases.append(math.radians(phase_deg))
+    return (
+        np.asarray(idx, dtype=np.int32).reshape(-1, 4),
+        np.asarray(ks),
+        np.asarray(ns),
+        np.asarray(phases),
+    )
+
+
+def _nonbonded_arrays(topology: Topology):
+    n = topology.n_atoms
+    sigma = np.zeros(n)
+    eps = np.zeros(n)
+    for i, t in enumerate(topology.atom_types):
+        try:
+            rmin_half, eps_kcal = ff.TYPE_LJ[t]
+        except KeyError:
+            raise ForceFieldError(f"no LJ parameters for atom type {t!r}")
+        sigma[i] = 2.0 * rmin_half * (2.0 ** (-1.0 / 6.0)) * _ANG_TO_NM
+        eps[i] = eps_kcal * _KCAL
+    excl, pairs14 = topology.exclusion_maps()
+    scale_e = np.ones((n, n))
+    scale_l = np.ones((n, n))
+    np.fill_diagonal(scale_e, 0.0)
+    np.fill_diagonal(scale_l, 0.0)
+    for i, j in excl:
+        scale_e[i, j] = scale_e[j, i] = 0.0
+        scale_l[i, j] = scale_l[j, i] = 0.0
+    for i, j in pairs14:
+        scale_e[i, j] = scale_e[j, i] = ff.SCEE
+        scale_l[i, j] = scale_l[j, i] = ff.SCNB
+    return sigma, eps, scale_e, scale_l
+
+
+def _gb_arrays(topology: Topology):
+    n = topology.n_atoms
+    radii = np.zeros(n)
+    screen = np.zeros(n)
+    neighbors = topology.neighbor_sets()
+    for i in range(n):
+        elem = topology.elements[i]
+        if elem not in ff.GB_RADII_BY_ELEMENT:
+            raise ForceFieldError(f"no GB radius for element {elem!r}")
+        r = ff.GB_RADII_BY_ELEMENT[elem]
+        if elem == "H":
+            # mbondi2: hydrogens on nitrogen get 1.3 A
+            heavy = next(iter(neighbors[i]), None)
+            if heavy is not None and topology.elements[heavy] == "N":
+                r = ff.GB_RADIUS_H_ON_N
+        radii[i] = r * _ANG_TO_NM
+        screen[i] = ff.GB_SCREEN_BY_ELEMENT[elem]
+    return radii, screen
+
+
+def build_system(
+    source: "str | Path | PDBStructure | Topology",
+    *,
+    hydrogen_mass: Optional[float] = 3.0,
+    implicit_solvent: bool = True,
+    dtype=jnp.float32,
+) -> Tuple[System, jnp.ndarray]:
+    """Build a ``System`` and initial positions from a PDB path/structure.
+
+    Returns ``(system, positions_nm)``. ``hydrogen_mass`` enables HMR
+    (None disables).
+    """
+    if isinstance(source, Topology):
+        topology = source
+    else:
+        structure = source if isinstance(source, PDBStructure) else read_pdb(source)
+        topology = build_topology(structure)
+
+    bond_idx, bond_k, bond_r0 = _bond_arrays(topology)
+    angle_idx, angle_k, angle_t0 = _angle_arrays(topology)
+    torsion_idx, torsion_k, torsion_n, torsion_phase = _torsion_arrays(topology)
+    sigma, eps, scale_e, scale_l = _nonbonded_arrays(topology)
+    gb_radii, gb_screen = _gb_arrays(topology)
+
+    masses = np.asarray([ff.TYPE_MASSES[t] for t in topology.atom_types])
+    if hydrogen_mass is not None:
+        masses = hydrogen_mass_repartition(masses, topology.bonds, hydrogen_mass)
+
+    net_charge = float(topology.charges.sum())
+    if abs(net_charge - round(net_charge)) > 5e-3:
+        raise ForceFieldError(
+            f"non-integer net charge {net_charge:.4f}; template charges inconsistent"
+        )
+
+    system = System(
+        masses=jnp.asarray(masses, dtype=dtype),
+        charges=jnp.asarray(topology.charges, dtype=dtype),
+        bond_idx=jnp.asarray(bond_idx),
+        bond_k=jnp.asarray(bond_k, dtype=dtype),
+        bond_r0=jnp.asarray(bond_r0, dtype=dtype),
+        angle_idx=jnp.asarray(angle_idx),
+        angle_k=jnp.asarray(angle_k, dtype=dtype),
+        angle_t0=jnp.asarray(angle_t0, dtype=dtype),
+        torsion_idx=jnp.asarray(torsion_idx),
+        torsion_k=jnp.asarray(torsion_k, dtype=dtype),
+        torsion_n=jnp.asarray(torsion_n, dtype=dtype),
+        torsion_phase=jnp.asarray(torsion_phase, dtype=dtype),
+        lj_sigma=jnp.asarray(sigma, dtype=dtype),
+        lj_eps=jnp.asarray(eps, dtype=dtype),
+        scale_elec=jnp.asarray(scale_e, dtype=dtype),
+        scale_lj=jnp.asarray(scale_l, dtype=dtype),
+        gb_radii=jnp.asarray(gb_radii, dtype=dtype),
+        gb_screen=jnp.asarray(gb_screen, dtype=dtype),
+        atom_names=tuple(topology.atom_names),
+        atom_types=tuple(topology.atom_types),
+        residue_names=tuple(topology.residue_names),
+        residue_ids=tuple(topology.residue_ids),
+        use_gb=implicit_solvent,
+    )
+    positions = jnp.asarray(topology.positions, dtype=dtype)
+    return system, positions
+
+
+__all__ = ["build_system"]

@@ -1,0 +1,221 @@
+"""Potential energy as one pure, jittable JAX function.
+
+TPU-native replacement for OpenMM's force kernels (reference:
+src/pmarlo/simulation/__init__.py:64-71 — amber14 + GBN2 implicit solvent,
+NoCutoff). Everything is dense and statically shaped:
+
+- bonded terms: segment gathers + vectorized trig, O(N_terms)
+- nonbonded: full (N, N) pairwise matrices (the reference runs NoCutoff for
+  implicit-solvent systems, so dense is both exact and the fastest mapping
+  onto the TPU's vector units for N up to a few thousand)
+- GB: OBC2-family Born radii (HCT pair integral + tanh rescale) and the
+  ACE surface-area term, matching OpenMM's GBSAOBCForce functional form.
+  (The reference uses GBn2; OBC2 is the same family with different rescale
+  coefficients — a documented substitution, see ff_params.py.)
+
+Forces are ``jax.grad`` of this function; bias potentials (DeepTICA CVs,
+metadynamics) fuse by adding their energy to the same scalar before grad.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import COULOMB_CONSTANT_KJ_NM_PER_MOL_E2
+from .ff_params import GB_DIELECTRIC_OFFSET, OBC2_ALPHA, OBC2_BETA, OBC2_GAMMA
+from .system import System
+
+_EPS = 1e-12
+
+
+def bond_energy(system: System, positions: jax.Array) -> jax.Array:
+    ri = positions[system.bond_idx[:, 0]]
+    rj = positions[system.bond_idx[:, 1]]
+    r = jnp.sqrt(jnp.sum((ri - rj) ** 2, axis=-1) + _EPS)
+    return jnp.sum(0.5 * system.bond_k * (r - system.bond_r0) ** 2)
+
+
+def angle_energy(system: System, positions: jax.Array) -> jax.Array:
+    a = positions[system.angle_idx[:, 0]]
+    b = positions[system.angle_idx[:, 1]]
+    c = positions[system.angle_idx[:, 2]]
+    v1 = a - b
+    v2 = c - b
+    cos_t = jnp.sum(v1 * v2, axis=-1) / jnp.sqrt(
+        jnp.sum(v1 * v1, axis=-1) * jnp.sum(v2 * v2, axis=-1) + _EPS
+    )
+    theta = jnp.arccos(jnp.clip(cos_t, -1.0 + 1e-7, 1.0 - 1e-7))
+    return jnp.sum(0.5 * system.angle_k * (theta - system.angle_t0) ** 2)
+
+
+def dihedral_angles(positions: jax.Array, idx: jax.Array) -> jax.Array:
+    """Signed dihedral angles (rad) for (M, 4) index quadruples.
+
+    atan2 formulation — smooth everywhere, grad-safe (no arccos branch).
+    """
+    p0 = positions[idx[:, 0]]
+    p1 = positions[idx[:, 1]]
+    p2 = positions[idx[:, 2]]
+    p3 = positions[idx[:, 3]]
+    b0 = p1 - p0
+    b1 = p2 - p1
+    b2 = p3 - p2
+    n1 = jnp.cross(b0, b1)
+    n2 = jnp.cross(b1, b2)
+    b1n = b1 / jnp.sqrt(jnp.sum(b1 * b1, axis=-1, keepdims=True) + _EPS)
+    m1 = jnp.cross(n1, b1n)
+    x = jnp.sum(n1 * n2, axis=-1)
+    y = jnp.sum(m1 * n2, axis=-1)
+    return jnp.arctan2(y, x)
+
+
+def torsion_energy(system: System, positions: jax.Array) -> jax.Array:
+    phi = dihedral_angles(positions, system.torsion_idx)
+    return jnp.sum(
+        system.torsion_k
+        * (1.0 + jnp.cos(system.torsion_n * phi - system.torsion_phase))
+    )
+
+
+def _pairwise_distances(positions: jax.Array) -> jax.Array:
+    diff = positions[:, None, :] - positions[None, :, :]
+    return jnp.sqrt(jnp.sum(diff * diff, axis=-1) + _EPS)
+
+
+def nonbonded_energy(system: System, positions: jax.Array) -> jax.Array:
+    """LJ 12-6 + Coulomb with per-pair scale matrices (dense, upper-tri)."""
+    r = _pairwise_distances(positions)
+    n = r.shape[0]
+    eye = jnp.eye(n, dtype=positions.dtype)
+    # diagonal r ~ sqrt(eps): (sigma/r)^12 would overflow f32 and poison the
+    # masked sum with inf*0=nan — push the diagonal to a safe 1 nm instead.
+    r_safe = r + eye
+    inv_r = 1.0 / r_safe
+    # Lorentz-Berthelot combining
+    sigma_ij = 0.5 * (system.lj_sigma[:, None] + system.lj_sigma[None, :])
+    eps_ij = jnp.sqrt(system.lj_eps[:, None] * system.lj_eps[None, :] + _EPS)
+    sr6 = (sigma_ij * inv_r) ** 6
+    e_lj = 4.0 * eps_ij * (sr6 * sr6 - sr6) * system.scale_lj
+    qq = system.charges[:, None] * system.charges[None, :]
+    e_el = (
+        COULOMB_CONSTANT_KJ_NM_PER_MOL_E2 / system.solute_dielectric
+    ) * qq * inv_r * system.scale_elec
+    upper = jnp.triu(jnp.ones((n, n), dtype=positions.dtype), k=1)
+    return jnp.sum((e_lj + e_el) * upper)
+
+
+def born_radii(system: System, positions: jax.Array) -> jax.Array:
+    """OBC Born radii: HCT pairwise descreening integral + tanh rescale."""
+    r = _pairwise_distances(positions)
+    n = r.shape[0]
+    offset = GB_DIELECTRIC_OFFSET
+    rho = system.gb_radii - offset                       # (N,)
+    sr = system.gb_screen * rho                          # (N,) scaled of j
+    rho_i = rho[:, None]
+    sr_j = sr[None, :]
+
+    U = r + sr_j
+    L = jnp.maximum(jnp.abs(r - sr_j), rho_i)
+    inv_L = 1.0 / L
+    inv_U = 1.0 / U
+    term = (
+        inv_L
+        - inv_U
+        + 0.25 * (r - sr_j * sr_j / r) * (inv_U * inv_U - inv_L * inv_L)
+        + 0.5 * jnp.log(L * inv_U) / r
+    )
+    # inside-correction when atom i is engulfed: rho_i < sr_j - r
+    corr = 2.0 * (1.0 / rho_i - inv_L)
+    term = term + jnp.where(sr_j - r > rho_i, corr, 0.0)
+    # only pairs where the descreening sphere reaches atom i
+    active = (U > rho_i).astype(positions.dtype)
+    mask = (1.0 - jnp.eye(n, dtype=positions.dtype)) * active
+    I = 0.5 * jnp.sum(term * mask, axis=1)
+
+    psi = I * rho
+    psi2 = psi * psi
+    tanh_arg = OBC2_ALPHA * psi - OBC2_BETA * psi2 + OBC2_GAMMA * psi2 * psi
+    inv_B = 1.0 / rho - jnp.tanh(tanh_arg) / system.gb_radii
+    return 1.0 / jnp.maximum(inv_B, 1e-3)
+
+
+def gb_energy(system: System, positions: jax.Array) -> jax.Array:
+    """Generalized-Born polarization energy + ACE surface-area term."""
+    B = born_radii(system, positions)
+    r = _pairwise_distances(positions)
+    n = r.shape[0]
+    BB = B[:, None] * B[None, :]
+    f = jnp.sqrt(r * r + BB * jnp.exp(-(r * r) / (4.0 * BB)))
+    qq = system.charges[:, None] * system.charges[None, :]
+    pref = (
+        -0.5
+        * COULOMB_CONSTANT_KJ_NM_PER_MOL_E2
+        * (1.0 / system.solute_dielectric - 1.0 / system.solvent_dielectric)
+    )
+    off_diag = (1.0 - jnp.eye(n, dtype=positions.dtype))
+    e_cross = pref * jnp.sum(qq * off_diag / f)
+    e_self = pref * jnp.sum(system.charges**2 / B)
+    # ACE nonpolar term (OpenMM GBSAOBCForce form)
+    probe = 0.14
+    e_sa = system.surface_tension * jnp.sum(
+        (system.gb_radii + probe) ** 2 * (system.gb_radii / B) ** 6
+    )
+    return e_cross + e_self + e_sa
+
+
+def potential_energy(
+    system: System,
+    positions: jax.Array,
+    bias_fn=None,
+) -> jax.Array:
+    """Total potential energy (kJ/mol). ``bias_fn(positions) -> energy`` is
+    composed in-graph — this is where CV bias forces fuse into the MD step
+    (replacing the reference's TorchForce bridge,
+    features/deeptica/openmm_integration.py:189)."""
+    e = (
+        bond_energy(system, positions)
+        + angle_energy(system, positions)
+        + torsion_energy(system, positions)
+        + nonbonded_energy(system, positions)
+    )
+    if system.use_gb:
+        e = e + gb_energy(system, positions)
+    if bias_fn is not None:
+        e = e + bias_fn(positions)
+    return e
+
+
+def energy_components(system: System, positions: jax.Array) -> Dict[str, jax.Array]:
+    comps = {
+        "bond": bond_energy(system, positions),
+        "angle": angle_energy(system, positions),
+        "torsion": torsion_energy(system, positions),
+        "nonbonded": nonbonded_energy(system, positions),
+    }
+    if system.use_gb:
+        comps["gb"] = gb_energy(system, positions)
+    return comps
+
+
+def compute_forces(
+    system: System, positions: jax.Array, bias_fn=None
+) -> jax.Array:
+    """Forces (kJ/mol/nm) = -dE/dx."""
+    return -jax.grad(lambda x: potential_energy(system, x, bias_fn))(positions)
+
+
+__all__ = [
+    "potential_energy",
+    "energy_components",
+    "compute_forces",
+    "bond_energy",
+    "angle_energy",
+    "torsion_energy",
+    "nonbonded_energy",
+    "gb_energy",
+    "born_radii",
+    "dihedral_angles",
+]

@@ -1,0 +1,297 @@
+"""Residue templates: atom types, partial charges, intra-residue bonds.
+
+First-party equivalent of the amber residue libraries that OpenMM's
+``amber14-all.xml`` provides to the reference (src/pmarlo/simulation/
+__init__.py:64-66). Charges follow the published AMBER ff94/ff14SB values
+(all_amino94.lib family). Atom names use PDB v3 conventions; ``normalize
+_atom_name`` maps old-style names ("1HB", "2HH3") onto them.
+
+Template dict layout:
+  atoms: {name: (amber_type, charge)}
+  bonds: [(name_a, name_b), ...]          intra-residue
+  head/tail: atom names joined by the peptide bond to neighbors
+  impropers: optional explicit improper quadruples (i, j, center, l)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+ResidueTemplate = Dict[str, object]
+
+
+def _t(atoms, bonds, head="N", tail="C") -> ResidueTemplate:
+    return {"atoms": atoms, "bonds": bonds, "head": head, "tail": tail}
+
+
+TEMPLATES: Dict[str, ResidueTemplate] = {}
+
+# --- capping groups ---------------------------------------------------------
+
+TEMPLATES["ACE"] = _t(
+    atoms={
+        "HH31": ("HC", 0.1123), "CH3": ("CT", -0.3662), "HH32": ("HC", 0.1123),
+        "HH33": ("HC", 0.1123), "C": ("C", 0.5972), "O": ("O", -0.5679),
+    },
+    bonds=[("CH3", "HH31"), ("CH3", "HH32"), ("CH3", "HH33"),
+           ("CH3", "C"), ("C", "O")],
+    head=None,
+    tail="C",
+)
+
+TEMPLATES["NME"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CH3": ("CT", -0.1490),
+        "HH31": ("H1", 0.0976), "HH32": ("H1", 0.0976), "HH33": ("H1", 0.0976),
+    },
+    bonds=[("N", "H"), ("N", "CH3"), ("CH3", "HH31"), ("CH3", "HH32"),
+           ("CH3", "HH33")],
+    head="N",
+    tail=None,
+)
+
+# --- standard residues ------------------------------------------------------
+
+_BACKBONE_BONDS = [("N", "H"), ("N", "CA"), ("CA", "HA"), ("CA", "C"), ("C", "O")]
+
+TEMPLATES["ALA"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", 0.0337),
+        "HA": ("H1", 0.0823), "CB": ("CT", -0.1825),
+        "HB1": ("HC", 0.0603), "HB2": ("HC", 0.0603), "HB3": ("HC", 0.0603),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB1"), ("CB", "HB2"),
+                             ("CB", "HB3")],
+)
+
+TEMPLATES["GLY"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.0252),
+        "HA2": ("H1", 0.0698), "HA3": ("H1", 0.0698),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=[("N", "H"), ("N", "CA"), ("CA", "HA2"), ("CA", "HA3"),
+           ("CA", "C"), ("C", "O")],
+)
+
+TEMPLATES["ASP"] = _t(
+    atoms={
+        "N": ("N", -0.5163), "H": ("H", 0.2936), "CA": ("CT", 0.0381),
+        "HA": ("H1", 0.0880), "CB": ("CT", -0.0303),
+        "HB2": ("HC", -0.0122), "HB3": ("HC", -0.0122),
+        "CG": ("C", 0.7994), "OD1": ("O2", -0.8014), "OD2": ("O2", -0.8014),
+        "C": ("C", 0.5366), "O": ("O", -0.5819),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "CG"), ("CG", "OD1"), ("CG", "OD2")],
+)
+
+TEMPLATES["GLU"] = _t(
+    atoms={
+        "N": ("N", -0.5163), "H": ("H", 0.2936), "CA": ("CT", 0.0397),
+        "HA": ("H1", 0.1105), "CB": ("CT", 0.0560),
+        "HB2": ("HC", -0.0173), "HB3": ("HC", -0.0173),
+        "CG": ("CT", 0.0136), "HG2": ("HC", -0.0425), "HG3": ("HC", -0.0425),
+        "CD": ("C", 0.8054), "OE1": ("O2", -0.8188), "OE2": ("O2", -0.8188),
+        "C": ("C", 0.5366), "O": ("O", -0.5819),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "CG"), ("CG", "HG2"), ("CG", "HG3"),
+                             ("CG", "CD"), ("CD", "OE1"), ("CD", "OE2")],
+)
+
+TEMPLATES["THR"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.0389),
+        "HA": ("H1", 0.1007), "CB": ("CT", 0.3654), "HB": ("H1", 0.0043),
+        "OG1": ("OH", -0.6761), "HG1": ("HO", 0.4102),
+        "CG2": ("CT", -0.2438),
+        "HG21": ("HC", 0.0642), "HG22": ("HC", 0.0642), "HG23": ("HC", 0.0642),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB"), ("CB", "OG1"),
+                             ("OG1", "HG1"), ("CB", "CG2"), ("CG2", "HG21"),
+                             ("CG2", "HG22"), ("CG2", "HG23")],
+)
+
+TEMPLATES["TYR"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.0014),
+        "HA": ("H1", 0.0876), "CB": ("CT", -0.0152),
+        "HB2": ("HC", 0.0295), "HB3": ("HC", 0.0295),
+        "CG": ("CA", -0.0011),
+        "CD1": ("CA", -0.1906), "HD1": ("HA", 0.1699),
+        "CD2": ("CA", -0.1906), "HD2": ("HA", 0.1699),
+        "CE1": ("CA", -0.2341), "HE1": ("HA", 0.1656),
+        "CE2": ("CA", -0.2341), "HE2": ("HA", 0.1656),
+        # Amber types TYR CZ as carbonyl-like "C"; we keep aromatic CA so the
+        # ring uses one consistent parameter family (documented deviation).
+        "CZ": ("CA", 0.3226), "OH": ("OH", -0.5579), "HH": ("HO", 0.3992),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "CG"), ("CG", "CD1"), ("CG", "CD2"),
+                             ("CD1", "HD1"), ("CD2", "HD2"),
+                             ("CD1", "CE1"), ("CD2", "CE2"),
+                             ("CE1", "HE1"), ("CE2", "HE2"),
+                             ("CE1", "CZ"), ("CE2", "CZ"),
+                             ("CZ", "OH"), ("OH", "HH")],
+)
+
+TEMPLATES["TRP"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.0275),
+        "HA": ("H1", 0.1123), "CB": ("CT", -0.0050),
+        "HB2": ("HC", 0.0339), "HB3": ("HC", 0.0339),
+        "CG": ("C*", -0.1415),
+        "CD1": ("CW", -0.1638), "HD1": ("H4", 0.2062),
+        "NE1": ("NA", -0.3418), "HE1": ("H", 0.3412),
+        "CE2": ("CN", 0.1380), "CD2": ("CB", 0.1243),
+        "CE3": ("CA", -0.2387), "HE3": ("HA", 0.1700),
+        "CZ2": ("CA", -0.2601), "HZ2": ("HA", 0.1572),
+        "CZ3": ("CA", -0.1972), "HZ3": ("HA", 0.1447),
+        "CH2": ("CA", -0.1134), "HH2": ("HA", 0.1417),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "CG"), ("CG", "CD1"), ("CG", "CD2"),
+                             ("CD1", "HD1"), ("CD1", "NE1"), ("NE1", "HE1"),
+                             ("NE1", "CE2"), ("CE2", "CD2"),
+                             ("CD2", "CE3"), ("CE3", "HE3"),
+                             ("CE3", "CZ3"), ("CZ3", "HZ3"),
+                             ("CZ3", "CH2"), ("CH2", "HH2"),
+                             ("CH2", "CZ2"), ("CZ2", "HZ2"),
+                             ("CZ2", "CE2")],
+)
+
+TEMPLATES["PRO"] = _t(
+    atoms={
+        "N": ("N", -0.2548),
+        "CD": ("CT", 0.0192), "HD2": ("H1", 0.0391), "HD3": ("H1", 0.0391),
+        "CG": ("CT", 0.0189), "HG2": ("HC", 0.0213), "HG3": ("HC", 0.0213),
+        "CB": ("CT", -0.0070), "HB2": ("HC", 0.0253), "HB3": ("HC", 0.0253),
+        "CA": ("CT", -0.0266), "HA": ("H1", 0.0641),
+        "C": ("C", 0.5896), "O": ("O", -0.5748),
+    },
+    bonds=[("N", "CA"), ("N", "CD"), ("CA", "HA"), ("CA", "C"), ("C", "O"),
+           ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"), ("CB", "CG"),
+           ("CG", "HG2"), ("CG", "HG3"), ("CG", "CD"), ("CD", "HD2"),
+           ("CD", "HD3")],
+)
+
+# --- terminal variants ------------------------------------------------------
+# Protonated N-terminus (NH3+) and deprotonated C-terminus (COO-). Charges
+# from the amber N*/C* libraries for GLY; other residues get generated
+# variants via make_terminal_variant().
+
+TEMPLATES["NGLY"] = _t(
+    atoms={
+        "N": ("N3", 0.2943), "H1": ("H", 0.1642), "H2": ("H", 0.1642),
+        "H3": ("H", 0.1642), "CA": ("CT", -0.0100),
+        "HA2": ("HP", 0.0895), "HA3": ("HP", 0.0895),
+        "C": ("C", 0.6163), "O": ("O", -0.5722),
+    },
+    bonds=[("N", "H1"), ("N", "H2"), ("N", "H3"), ("N", "CA"),
+           ("CA", "HA2"), ("CA", "HA3"), ("CA", "C"), ("C", "O")],
+    head=None,
+)
+
+TEMPLATES["CGLY"] = _t(
+    atoms={
+        "N": ("N", -0.3821), "H": ("H", 0.2681), "CA": ("CT", -0.2493),
+        "HA2": ("H1", 0.1056), "HA3": ("H1", 0.1056),
+        "C": ("C", 0.7231), "O": ("O2", -0.7855), "OXT": ("O2", -0.7855),
+    },
+    bonds=[("N", "H"), ("N", "CA"), ("CA", "HA2"), ("CA", "HA3"),
+           ("CA", "C"), ("C", "O"), ("C", "OXT")],
+    tail=None,
+)
+
+
+def make_terminal_variant(resname: str, kind: str) -> ResidueTemplate:
+    """Derive an N- or C-terminal variant from an interior template.
+
+    Explicit amber terminal charges are used where we have them (NGLY/CGLY);
+    for other residues this applies the structural edit (NH3+ or COO-) and
+    shifts the charge difference onto the backbone so the total is the
+    interior total +1 (N-term) or -1 (C-term) — a documented approximation.
+    """
+    key = ("N" if kind == "nterm" else "C") + resname
+    if key in TEMPLATES:
+        return TEMPLATES[key]
+    base = TEMPLATES[resname]
+    atoms = dict(base["atoms"])  # type: ignore[index]
+    bonds = list(base["bonds"])  # type: ignore[index]
+    tmpl = {"atoms": atoms, "bonds": bonds, "head": base["head"], "tail": base["tail"]}
+    if kind == "nterm":
+        if resname == "PRO":
+            raise NotImplementedError("N-terminal proline variant not yet provided")
+        atoms.pop("H", None)
+        bonds = [b for b in bonds if "H" not in b]
+        n_type, _ = atoms["N"]
+        atoms["N"] = ("N3", 0.1849)
+        for h in ("H1", "H2", "H3"):
+            atoms[h] = ("H", 0.1984)
+            bonds.append(("N", h))
+        # HA next to charged N -> HP
+        for name, (t, q) in list(atoms.items()):
+            if name.startswith("HA"):
+                atoms[name] = ("HP", q + 0.02)
+        tmpl["bonds"] = bonds
+        tmpl["head"] = None
+    elif kind == "cterm":
+        c_type, _ = atoms["C"]
+        atoms["C"] = ("C", 0.7231)
+        atoms["O"] = ("O2", -0.7855)
+        atoms["OXT"] = ("O2", -0.7855)
+        bonds.append(("C", "OXT"))
+        # absorb the residual onto CA so total charge is exactly interior-1
+        interior_total = sum(q for (_, q) in TEMPLATES[resname]["atoms"].values())  # type: ignore[index]
+        current = sum(q for (_, q) in atoms.values())
+        ca_type, ca_q = atoms["CA"]
+        atoms["CA"] = (ca_type, ca_q + (interior_total - 1.0) - current)
+        tmpl["bonds"] = bonds
+        tmpl["tail"] = None
+    else:
+        raise ValueError(f"kind must be nterm|cterm, got {kind!r}")
+    return tmpl
+
+
+# --- name normalization -----------------------------------------------------
+
+_NAME_ALIASES = {
+    "HN": "H",
+    "HT1": "H1", "HT2": "H2", "HT3": "H3",
+    "OT1": "O", "OT2": "OXT", "O1": "O", "O2": "OXT",
+    "HA1": "HA2",  # old GLY naming HA1/HA2 -> HA2/HA3 handled contextually
+}
+
+
+def normalize_atom_name(name: str) -> str:
+    """Map PDB v2-style names onto v3 template names ("1HB" -> "HB1")."""
+    name = name.strip()
+    if name and name[0].isdigit():
+        name = name[1:] + name[0]
+    return _NAME_ALIASES.get(name, name)
+
+
+def get_template(
+    resname: str,
+    is_nterm: bool = False,
+    is_cterm: bool = False,
+) -> ResidueTemplate:
+    resname = resname.strip().upper()
+    if resname not in TEMPLATES:
+        raise KeyError(
+            f"no residue template for {resname!r}; available: "
+            f"{sorted(t for t in TEMPLATES if not t[0] in 'NC' or t in TEMPLATES)}"
+        )
+    if is_nterm and TEMPLATES[resname]["head"] is not None:
+        return make_terminal_variant(resname, "nterm")
+    if is_cterm and TEMPLATES[resname]["tail"] is not None:
+        return make_terminal_variant(resname, "cterm")
+    return TEMPLATES[resname]
+
+
+__all__ = ["TEMPLATES", "get_template", "normalize_atom_name", "make_terminal_variant"]

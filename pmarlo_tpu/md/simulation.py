@@ -1,0 +1,102 @@
+"""``run_segment``: one single-temperature MD segment, end to end.
+
+API-parity entry point for the reference's
+src/pmarlo/simulation/__init__.py:18-112 (prepare system -> minimize ->
+thermalize -> step -> report), with the OpenMM machinery replaced by the
+jitted JAX pipeline. Output is device arrays plus an optional npz
+trajectory on disk.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    DEFAULT_FRICTION_PER_PS,
+    DEFAULT_TEMPERATURE_K,
+    DEFAULT_TIMESTEP_PS,
+)
+from ..io.trajectory import TrajectoryWriter
+from .forcefield import build_system
+from .integrate import run_md, thermalize
+from .minimize import minimize_energy
+from .system import System
+
+
+def run_segment(
+    pdb_file: "str | Path",
+    *,
+    n_steps: int = 10_000,
+    temperature_K: float = DEFAULT_TEMPERATURE_K,
+    dt_ps: float = DEFAULT_TIMESTEP_PS,
+    friction_per_ps: float = DEFAULT_FRICTION_PER_PS,
+    report_interval: int = 100,
+    minimize_iterations: int = 500,
+    seed: int = 2024,
+    output_file: Optional["str | Path"] = None,
+    bias_fn: Optional[Callable] = None,
+    implicit_solvent: bool = True,
+) -> Dict:
+    """Run one Langevin segment. Returns a dict with device-resident
+    trajectory arrays and summary scalars.
+
+    Reference behavior mirrored: minimize -> set velocities to T ->
+    step(n_steps) with frames every ``report_interval``
+    (simulation/__init__.py:91-109).
+    """
+    system, positions = build_system(pdb_file, implicit_solvent=implicit_solvent)
+    key = jax.random.PRNGKey(seed)
+
+    x_min, e_min = minimize_energy(
+        system, positions, max_iterations=minimize_iterations, bias_fn=bias_fn
+    )
+    state = thermalize(system, x_min, key, temperature_K)
+
+    final_state, frames = run_md(
+        system,
+        state,
+        n_steps=n_steps,
+        dt=dt_ps,
+        friction=friction_per_ps,
+        temperature_K=temperature_K,
+        report_interval=report_interval,
+        bias_fn=bias_fn,
+    )
+
+    result = {
+        "system": system,
+        "final_state": final_state,
+        "positions": frames["positions"],          # (F, N, 3) device
+        "potential_energy": frames["potential_energy"],
+        "temperature": frames["temperature"],
+        "minimized_energy": e_min,
+        "n_steps": n_steps,
+        "dt_ps": dt_ps,
+        "temperature_K": temperature_K,
+    }
+
+    if output_file is not None:
+        writer = TrajectoryWriter(
+            Path(output_file),
+            metadata={
+                "temperature_K": temperature_K,
+                "dt_ps": dt_ps,
+                "report_interval": report_interval,
+                "n_steps": n_steps,
+                "atom_names": list(system.atom_names),
+                "residue_names": list(system.residue_names),
+                "residue_ids": list(system.residue_ids),
+            },
+        )
+        writer.write_frames(np.asarray(frames["positions"]))
+        writer.close()
+        result["output_file"] = Path(output_file)
+    return result
+
+
+__all__ = ["run_segment"]

@@ -1,0 +1,122 @@
+"""The ``System`` pytree: every force-field parameter as a static-shaped array.
+
+This is the TPU-native equivalent of an OpenMM ``System``
+(reference: src/pmarlo/simulation/__init__.py:64-71 builds one via
+ForceField("amber14-all.xml", "implicit/gbn2.xml")). Unlike OpenMM's opaque
+C++ object, a ``System`` here is a plain pytree of jnp arrays: it can be
+donated to jit, vmapped over, stored in checkpoints, and sharded.
+
+Shapes are static: the topology fixes n_atoms/n_bonds/..., so every MD step
+compiles once. Pairwise nonbonded interactions use dense (N, N) scale
+matrices — for implicit-solvent protein systems (N <= a few thousand) this
+is both simpler and faster on TPU than neighbor lists, and it matches the
+reference's NoCutoff setting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class System:
+    """Force-field parameters + topology metadata for one molecular system.
+
+    All index arrays are int32; parameter arrays float32. Units: kJ/mol, nm,
+    ps, amu, elementary charge, radians.
+    """
+
+    # --- per-atom ---
+    masses: jax.Array            # (N,) amu (after HMR if enabled)
+    charges: jax.Array           # (N,) e
+    # --- bonded terms ---
+    bond_idx: jax.Array          # (NB, 2)
+    bond_k: jax.Array            # (NB,) kJ/mol/nm^2  (E = 0.5 k (r-r0)^2)
+    bond_r0: jax.Array           # (NB,) nm
+    angle_idx: jax.Array         # (NA, 3)
+    angle_k: jax.Array           # (NA,) kJ/mol/rad^2 (E = 0.5 k (t-t0)^2)
+    angle_t0: jax.Array          # (NA,) rad
+    torsion_idx: jax.Array       # (NT, 4)  (propers + impropers)
+    torsion_k: jax.Array         # (NT,) kJ/mol      (E = k (1 + cos(n phi - phase)))
+    torsion_n: jax.Array         # (NT,) periodicity (float for jit math)
+    torsion_phase: jax.Array     # (NT,) rad
+    # --- nonbonded (dense pairwise) ---
+    lj_sigma: jax.Array          # (N,) nm
+    lj_eps: jax.Array            # (N,) kJ/mol
+    scale_elec: jax.Array        # (N, N) 0 for excluded, 1/1.2 for 1-4, 1 otherwise
+    scale_lj: jax.Array          # (N, N) 0 for excluded, 1/2 for 1-4, 1 otherwise
+    # --- GB implicit solvent (OBC-family) ---
+    gb_radii: jax.Array          # (N,) nm intrinsic Born radii (offset NOT applied)
+    gb_screen: jax.Array         # (N,) HCT screening factors
+    # --- static metadata (aux_data, not traced) ---
+    atom_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True), default=())
+    atom_types: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True), default=())
+    residue_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True), default=())
+    residue_ids: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True), default=())
+    solvent_dielectric: float = dataclasses.field(metadata=dict(static=True), default=78.5)
+    solute_dielectric: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    use_gb: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    surface_tension: float = dataclasses.field(
+        metadata=dict(static=True), default=28.3919551
+    )  # kJ/mol/nm^2 (ACE SA prefactor, OpenMM GBSAOBCForce default)
+
+    @property
+    def n_atoms(self) -> int:
+        return int(self.masses.shape[0])
+
+    def atom_index(self, residue_id: int, atom_name: str) -> int:
+        """Host-side lookup of an atom index by (residue id, atom name)."""
+        for i, (rid, name) in enumerate(zip(self.residue_ids, self.atom_names)):
+            if rid == residue_id and name == atom_name:
+                return i
+        raise KeyError(f"no atom {atom_name!r} in residue {residue_id}")
+
+    def select(self, name: str) -> np.ndarray:
+        """Indices of all atoms with the given atom name (e.g. 'CA')."""
+        return np.asarray(
+            [i for i, n in enumerate(self.atom_names) if n == name], dtype=np.int64
+        )
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            d[f.name] = np.asarray(v) if isinstance(v, (jax.Array, np.ndarray)) else v
+        return d
+
+
+def hydrogen_mass_repartition(
+    masses: np.ndarray,
+    bond_idx: np.ndarray,
+    hydrogen_mass: float = 3.0,
+    is_hydrogen: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Repartition mass from heavy atoms into bonded hydrogens.
+
+    Mirrors OpenMM's hydrogenMass option (reference
+    simulation/__init__.py:70 uses 1.5 amu; we default to 3 amu because the
+    JAX integrator runs unconstrained and benefits from slower H modes).
+    Total mass is conserved.
+    """
+    masses = np.asarray(masses, dtype=np.float64).copy()
+    if is_hydrogen is None:
+        is_hydrogen = masses < 2.0
+    for a, b in np.asarray(bond_idx):
+        h, heavy = (a, b) if is_hydrogen[a] else (b, a)
+        if not is_hydrogen[h] or is_hydrogen[heavy]:
+            continue
+        delta = hydrogen_mass - masses[h]
+        masses[h] += delta
+        masses[heavy] -= delta
+    if np.any(masses <= 0):
+        raise ValueError("HMR drove a heavy-atom mass non-positive")
+    return masses
+
+
+__all__ = ["System", "hydrogen_mass_repartition"]

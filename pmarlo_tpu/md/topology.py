@@ -1,0 +1,224 @@
+"""Topology construction: structure -> template-matched atom/bond graph.
+
+First-party equivalent of OpenMM's topology + forcefield matching step
+(reference builds it via app.PDBFile + ForceField.createSystem,
+src/pmarlo/simulation/__init__.py:59-71). Matching is strict: missing atoms
+or unknown residues raise ``TopologyError`` (the reference's "no silent
+fallbacks" policy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..io.pdb import PDBStructure
+from ..utils.errors import TopologyError
+from .residues import get_template, normalize_atom_name
+
+_WATER_NAMES = {"HOH", "WAT", "TIP3", "SOL"}
+_ION_NAMES = {"NA", "CL", "K", "MG", "ZN", "CA2"}
+
+
+@dataclasses.dataclass
+class Topology:
+    """Flat atom/bond description of a matched system (host-side)."""
+
+    atom_names: List[str]
+    atom_types: List[str]
+    charges: np.ndarray            # (N,)
+    elements: List[str]
+    residue_names: List[str]       # per atom
+    residue_ids: List[int]         # per atom
+    bonds: np.ndarray              # (NB, 2) int
+    positions: np.ndarray          # (N, 3) nm
+    residue_atom_ranges: List[Tuple[int, int]]  # per residue [start, stop)
+    residue_sequence: List[str]
+
+    @property
+    def n_atoms(self) -> int:
+        return len(self.atom_names)
+
+    def neighbor_sets(self) -> List[Set[int]]:
+        neighbors: List[Set[int]] = [set() for _ in range(self.n_atoms)]
+        for a, b in self.bonds:
+            neighbors[int(a)].add(int(b))
+            neighbors[int(b)].add(int(a))
+        return neighbors
+
+    def angles(self) -> np.ndarray:
+        """All unique bonded triples (i, j, k): paths of length 2."""
+        neighbors = self.neighbor_sets()
+        out = []
+        for j in range(self.n_atoms):
+            nbrs = sorted(neighbors[j])
+            for ii in range(len(nbrs)):
+                for kk in range(ii + 1, len(nbrs)):
+                    out.append((nbrs[ii], j, nbrs[kk]))
+        return np.asarray(out, dtype=np.int64).reshape(-1, 3)
+
+    def proper_dihedrals(self) -> np.ndarray:
+        """All unique bonded quadruples (i, j, k, l): paths of length 3."""
+        neighbors = self.neighbor_sets()
+        out = []
+        for j, k in ((int(a), int(b)) for a, b in self.bonds):
+            for i in neighbors[j]:
+                if i == k:
+                    continue
+                for l in neighbors[k]:
+                    if l == j or l == i:
+                        continue
+                    out.append((i, j, k, l))
+        return np.asarray(out, dtype=np.int64).reshape(-1, 4)
+
+    def improper_candidates(self) -> List[Tuple[int, int, int, int]]:
+        """(i, j, center, l) quadruples at trivalent centers.
+
+        Amber improper convention: central atom third; the unique
+        "out-of-plane" atom last is handled at parameter-match time by
+        trying each neighbor permutation.
+        """
+        neighbors = self.neighbor_sets()
+        out = []
+        for c in range(self.n_atoms):
+            nbrs = sorted(neighbors[c])
+            if len(nbrs) != 3:
+                continue
+            out.append((nbrs[0], nbrs[1], c, nbrs[2]))
+        return out
+
+    def exclusion_maps(self) -> Tuple[Set[Tuple[int, int]], Set[Tuple[int, int]]]:
+        """Return (excluded12_13, pairs14) as sets of ordered (i<j) tuples."""
+        neighbors = self.neighbor_sets()
+        excl: Set[Tuple[int, int]] = set()
+        for a, b in self.bonds:
+            i, j = int(a), int(b)
+            excl.add((min(i, j), max(i, j)))
+        for trip in self.angles():
+            i, k = int(trip[0]), int(trip[2])
+            excl.add((min(i, k), max(i, k)))
+        pairs14: Set[Tuple[int, int]] = set()
+        for quad in self.proper_dihedrals():
+            i, l = int(quad[0]), int(quad[3])
+            key = (min(i, l), max(i, l))
+            if key not in excl:
+                pairs14.add(key)
+        return excl, pairs14
+
+
+def build_topology(
+    structure: PDBStructure,
+    *,
+    keep_waters: bool = False,
+) -> Topology:
+    """Match each residue of a structure to a force-field template.
+
+    Atoms are re-ordered into canonical template order. Terminal residues
+    are detected positionally (first/last protein residue per chain) and
+    matched against terminal variants when the structure carries the
+    terminal atoms (H1..H3 / OXT).
+    """
+    residues = [
+        r for r in structure.residues
+        if keep_waters or (r.name not in _WATER_NAMES and r.name not in _ION_NAMES)
+    ]
+    if not residues:
+        raise TopologyError("structure contains no matchable residues")
+
+    # chain boundaries
+    chains: Dict[str, List[int]] = {}
+    for idx, r in enumerate(residues):
+        chains.setdefault(r.chain, []).append(idx)
+
+    atom_names: List[str] = []
+    atom_types: List[str] = []
+    charges: List[float] = []
+    elements: List[str] = []
+    res_names: List[str] = []
+    res_ids: List[int] = []
+    positions: List[Tuple[float, float, float]] = []
+    bonds: List[Tuple[int, int]] = []
+    ranges: List[Tuple[int, int]] = []
+    seq: List[str] = []
+
+    # map (res index in `residues`, template atom name) -> global index
+    head_tail: List[Tuple[Optional[int], Optional[int]]] = []
+
+    for ridx, res in enumerate(residues):
+        chain_ids = chains[res.chain]
+        is_first = ridx == chain_ids[0]
+        is_last = ridx == chain_ids[-1]
+        present = {normalize_atom_name(a.name): a for a in res.atoms}
+        wants_nterm = is_first and res.name not in ("ACE", "NME") and (
+            "H1" in present or "H2" in present or "H3" in present
+        )
+        wants_cterm = is_last and res.name not in ("ACE", "NME") and "OXT" in present
+        try:
+            template = get_template(res.name, is_nterm=wants_nterm, is_cterm=wants_cterm)
+        except KeyError as exc:
+            raise TopologyError(str(exc)) from exc
+
+        t_atoms: Dict[str, Tuple[str, float]] = template["atoms"]  # type: ignore[assignment]
+        missing = [n for n in t_atoms if n not in present]
+        if missing:
+            raise TopologyError(
+                f"residue {res.name}{res.resid}: missing atoms {missing} "
+                f"(present: {sorted(present)})"
+            )
+        extra = [n for n in present if n not in t_atoms]
+        if extra:
+            raise TopologyError(
+                f"residue {res.name}{res.resid}: unmatched atoms {extra} for "
+                f"template ({'N-term' if wants_nterm else 'C-term' if wants_cterm else 'interior'})"
+            )
+
+        start = len(atom_names)
+        local: Dict[str, int] = {}
+        for name in t_atoms:  # template order is canonical
+            a = present[name]
+            atype, q = t_atoms[name]
+            local[name] = len(atom_names)
+            atom_names.append(name)
+            atom_types.append(atype)
+            charges.append(q)
+            elements.append(a.element)
+            res_names.append(res.name)
+            res_ids.append(res.resid)
+            positions.append(a.xyz)
+        ranges.append((start, len(atom_names)))
+        seq.append(res.name)
+        for a_name, b_name in template["bonds"]:  # type: ignore[union-attr]
+            bonds.append((local[a_name], local[b_name]))
+        head = local.get(template["head"]) if template["head"] else None  # type: ignore[arg-type]
+        tail = local.get(template["tail"]) if template["tail"] else None  # type: ignore[arg-type]
+        head_tail.append((head, tail))
+
+    # peptide bonds along each chain
+    for chain_ids in chains.values():
+        for prev, nxt in zip(chain_ids[:-1], chain_ids[1:]):
+            tail = head_tail[prev][1]
+            head = head_tail[nxt][0]
+            if tail is None or head is None:
+                raise TopologyError(
+                    f"cannot bond residues {residues[prev].name}{residues[prev].resid} -> "
+                    f"{residues[nxt].name}{residues[nxt].resid}: missing head/tail"
+                )
+            bonds.append((tail, head))
+
+    return Topology(
+        atom_names=atom_names,
+        atom_types=atom_types,
+        charges=np.asarray(charges, dtype=np.float64),
+        elements=elements,
+        residue_names=res_names,
+        residue_ids=res_ids,
+        bonds=np.asarray(bonds, dtype=np.int64).reshape(-1, 2),
+        positions=np.asarray(positions, dtype=np.float64).reshape(-1, 3),
+        residue_atom_ranges=ranges,
+        residue_sequence=seq,
+    )
+
+
+__all__ = ["Topology", "build_topology"]
