@@ -1,0 +1,229 @@
+"""K-means microstate clustering, batched on device.
+
+Replaces deeptime/sklearn KMeans (reference:
+src/pmarlo/markov_state_model/clustering.py:43,155-240 — KMeans/
+MiniBatchKMeans with silhouette-based auto-k over 4-20). Lloyd iterations
+are dense matmuls (distance matrices on the MXU); k-means++ seeding runs
+under a JAX PRNG key for exact reproducibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class ClusteringResult:
+    """Reference-parity result container (clustering.py:43)."""
+
+    centers: np.ndarray          # (k, d)
+    labels: np.ndarray           # (T,) concatenated
+    inertia: float
+    n_states: int
+    labels_per_traj: Optional[List[np.ndarray]] = None
+    silhouette: Optional[float] = None
+
+    def to_dict(self):
+        return {
+            "centers": self.centers.tolist(),
+            "n_states": self.n_states,
+            "inertia": self.inertia,
+            "silhouette": self.silhouette,
+        }
+
+
+def _pairwise_sq_dists(x: jax.Array, c: jax.Array) -> jax.Array:
+    """(T, d), (k, d) -> (T, k) squared distances via the matmul identity."""
+    x2 = jnp.sum(x * x, axis=1, keepdims=True)
+    c2 = jnp.sum(c * c, axis=1)[None, :]
+    return jnp.maximum(x2 + c2 - 2.0 * (x @ c.T), 0.0)
+
+
+def _kmeans_pp_init(key: jax.Array, x: jax.Array, k: int) -> jax.Array:
+    """k-means++ seeding as a lax.scan (static k)."""
+    n = x.shape[0]
+
+    def body(carry, _):
+        key, centers, n_chosen, min_d2 = carry
+        key, sub = jax.random.split(key)
+        probs = min_d2 / jnp.maximum(jnp.sum(min_d2), 1e-30)
+        idx = jax.random.choice(sub, n, p=probs)
+        new_center = x[idx]
+        centers = centers.at[n_chosen].set(new_center)
+        d2_new = jnp.sum((x - new_center[None, :]) ** 2, axis=1)
+        return (key, centers, n_chosen + 1, jnp.minimum(min_d2, d2_new)), None
+
+    key, sub = jax.random.split(key)
+    first = x[jax.random.randint(sub, (), 0, n)]
+    centers = jnp.zeros((k, x.shape[1]), dtype=x.dtype).at[0].set(first)
+    min_d2 = jnp.sum((x - first[None, :]) ** 2, axis=1)
+    (_, centers, _, _), _ = jax.lax.scan(
+        body, (key, centers, 1, min_d2), None, length=k - 1
+    )
+    return centers
+
+
+def _lloyd(x: jax.Array, centers: jax.Array, n_iter: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    k = centers.shape[0]
+
+    def body(c, _):
+        d2 = _pairwise_sq_dists(x, c)
+        labels = jnp.argmin(d2, axis=1)
+        onehot = jax.nn.one_hot(labels, k, dtype=x.dtype)      # (T, k)
+        counts = jnp.sum(onehot, axis=0)                        # (k,)
+        sums = onehot.T @ x                                     # (k, d)
+        new_c = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], c
+        )
+        return new_c, None
+
+    centers, _ = jax.lax.scan(body, centers, None, length=n_iter)
+    d2 = _pairwise_sq_dists(x, centers)
+    labels = jnp.argmin(d2, axis=1)
+    inertia = jnp.sum(jnp.min(d2, axis=1))
+    return centers, labels, inertia
+
+
+def kmeans(
+    x,
+    n_states: int,
+    *,
+    key: Optional[jax.Array] = None,
+    seed: int = 0,
+    n_iter: int = 50,
+    n_init: int = 1,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Device k-means. Returns (centers, labels, inertia) as host arrays."""
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim != 2:
+        raise ValueError(f"expected (T, d) features, got {x.shape}")
+    if n_states < 2:
+        raise ValueError("n_states must be >= 2")
+    if x.shape[0] < n_states:
+        raise ValueError(f"{x.shape[0]} samples < {n_states} clusters")
+    if key is None:
+        key = jax.random.PRNGKey(seed)
+
+    best = None
+    for trial in range(max(int(n_init), 1)):
+        trial_key = jax.random.fold_in(key, trial)
+        init = _kmeans_pp_init(trial_key, x, n_states)
+        centers, labels, inertia = _lloyd(x, init, n_iter)
+        inertia_f = float(inertia)
+        if best is None or inertia_f < best[2]:
+            best = (np.asarray(centers), np.asarray(labels), inertia_f)
+    return best
+
+
+def silhouette_score(x, labels, n_states: int, max_samples: int = 2048, seed: int = 0) -> float:
+    """Mean silhouette on a subsample (device), matching sklearn semantics
+    closely enough for auto-k selection (reference clustering.py:216)."""
+    x = np.asarray(x)
+    labels = np.asarray(labels)
+    if len(np.unique(labels)) < 2:
+        return -1.0
+    if x.shape[0] > max_samples:
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(x.shape[0], max_samples, replace=False)
+        xs, ls = x[idx], labels[idx]
+    else:
+        xs, ls = x, labels
+    xs_j = jnp.asarray(xs, dtype=jnp.float32)
+    d = jnp.sqrt(_pairwise_sq_dists(xs_j, xs_j) + 1e-12)
+    d = np.asarray(d)
+    n = xs.shape[0]
+    sil = np.zeros(n)
+    for i in range(n):
+        same = ls == ls[i]
+        same[i] = False
+        a = d[i][same].mean() if same.any() else 0.0
+        b = np.inf
+        for c in np.unique(ls):
+            if c == ls[i]:
+                continue
+            mask = ls == c
+            if mask.any():
+                b = min(b, d[i][mask].mean())
+        sil[i] = 0.0 if max(a, b) == 0 or not np.isfinite(b) else (b - a) / max(a, b)
+    return float(sil.mean())
+
+
+def _auto_select_n_states(
+    x, k_range: Sequence[int], seed: int, n_iter: int
+) -> Tuple[int, float]:
+    """Silhouette-maximizing k over the candidate range
+    (reference clustering.py:155-240, default 4-20)."""
+    best_k, best_s = None, -np.inf
+    for k in k_range:
+        if x.shape[0] < k:
+            continue
+        _, labels, _ = kmeans(x, k, seed=seed, n_iter=n_iter)
+        s = silhouette_score(x, labels, k, seed=seed)
+        if s > best_s:
+            best_k, best_s = k, s
+    if best_k is None:
+        raise ValueError("no candidate k feasible for dataset size")
+    return best_k, best_s
+
+
+def cluster_microstates(
+    features: "np.ndarray | Sequence[np.ndarray]",
+    n_states: "int | str" = 50,
+    *,
+    seed: int = 0,
+    n_iter: int = 50,
+    n_init: int = 2,
+    auto_range: Sequence[int] = range(4, 21),
+) -> ClusteringResult:
+    """Cluster one or many feature trajectories into microstates.
+
+    ``n_states="auto"`` selects k by silhouette over ``auto_range``
+    (reference clustering.py:216). Labels are split back per-trajectory.
+    """
+    if isinstance(features, (list, tuple)):
+        lengths = [np.asarray(f).shape[0] for f in features]
+        X = np.concatenate([np.asarray(f) for f in features], axis=0)
+    else:
+        X = np.asarray(features)
+        lengths = [X.shape[0]]
+
+    silhouette = None
+    if isinstance(n_states, str):
+        if n_states != "auto":
+            raise ValueError(f"n_states must be int or 'auto', got {n_states!r}")
+        k, silhouette = _auto_select_n_states(X, auto_range, seed, n_iter)
+    else:
+        k = int(n_states)
+
+    centers, labels, inertia = kmeans(X, k, seed=seed, n_iter=n_iter, n_init=n_init)
+    splits = np.cumsum(lengths)[:-1]
+    per_traj = [np.asarray(a) for a in np.split(labels, splits)]
+    return ClusteringResult(
+        centers=centers,
+        labels=labels,
+        inertia=inertia,
+        n_states=k,
+        labels_per_traj=per_traj,
+        silhouette=silhouette,
+    )
+
+
+def assign_to_centers(features, centers) -> np.ndarray:
+    """Nearest-center assignment (device) for new data."""
+    x = jnp.asarray(features, dtype=jnp.float32)
+    c = jnp.asarray(centers, dtype=jnp.float32)
+    return np.asarray(jnp.argmin(_pairwise_sq_dists(x, c), axis=1))
+
+
+__all__ = [
+    "ClusteringResult",
+    "kmeans",
+    "cluster_microstates",
+    "assign_to_centers",
+    "silhouette_score",
+]
