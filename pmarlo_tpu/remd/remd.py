@@ -1,0 +1,383 @@
+"""Replica-exchange MD: all replicas as one batched tensor program.
+
+Rebuild of the removed ``pmarlo.replica_exchange`` subsystem from its
+documented contract (reference CHANGELOG.md:22,80,126-127,291,614 —
+ReplicaExchange/run_replica_exchange/RemdConfig, exchange attempts every
+100 steps, velocity rescaling on swap, gradual heating + temperature
+equilibration phases, demux by temperature), redesigned TPU-first:
+
+- Replicas are a leading batch axis; the MD step is ``vmap``-ed and the
+  whole (steps + exchanges) loop is ONE ``lax.scan`` — no host round-trips
+  per exchange (the reference crossed Python<->OpenMM every segment,
+  SURVEY.md section 3.2).
+- State is **rung-major**: array slot r always holds the configuration
+  currently simulating at temperature ``ladder[r]``. Swaps move
+  configurations between rungs, so per-rung trajectories are demuxed
+  *by construction*; the replica-identity permutation history is recorded
+  so per-replica (continuous-configuration) trajectories can be
+  reconstructed — the inverse view of the reference's demux
+  (CHANGELOG.md:633).
+- Exchange = parity-alternating neighbor Metropolis over beta-differences,
+  computed as pure array ops (roll + where): on a sharded replica axis XLA
+  lowers the neighbor access to ICI collective-permutes.
+- Velocities are rescaled by sqrt(T_new/T_old) on accepted swaps
+  (CHANGELOG.md:211's numpy-view hot path becomes a fused multiply).
+
+Sharding: ``ReplicaExchange.shard`` places the replica axis on a mesh;
+everything inside the scan is then SPMD over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    BOLTZMANN_CONSTANT_KJ_PER_MOL,
+    DEFAULT_FRICTION_PER_PS,
+    DEFAULT_TIMESTEP_PS,
+    REMD_DEFAULT_EXCHANGE_FREQUENCY,
+)
+from ..md.forces import potential_energy
+from ..md.integrate import (
+    MDState,
+    initialize_velocities,
+    langevin_step,
+    remove_com_motion,
+)
+from ..md.minimize import minimize_energy
+from ..md.system import System
+from ..utils.input_parsing import parse_temperature_ladder
+
+
+@dataclasses.dataclass(frozen=True)
+class RemdConfig:
+    """(reference CHANGELOG.md:126 RemdConfig)."""
+
+    temperatures: Tuple[float, ...] = ()
+    n_replicas: int = 32
+    t_min: float = 300.0
+    t_max: float = 450.0
+    exchange_frequency: int = REMD_DEFAULT_EXCHANGE_FREQUENCY
+    dt_ps: float = DEFAULT_TIMESTEP_PS
+    friction_per_ps: float = DEFAULT_FRICTION_PER_PS
+    heating_steps: int = 0          # linear ramp T_min -> ladder (CHANGELOG:291)
+    equilibration_steps: int = 0    # no-exchange phase at target temperatures
+    report_interval: int = 100
+    seed: int = 2024
+
+    def ladder(self) -> np.ndarray:
+        if self.temperatures:
+            return np.asarray(parse_temperature_ladder(list(self.temperatures)))
+        return np.asarray(
+            parse_temperature_ladder(f"{self.t_min}:{self.t_max}:{self.n_replicas}")
+        )
+
+    def __post_init__(self):
+        if self.exchange_frequency < 1:
+            raise ValueError("exchange_frequency must be >= 1")
+        if self.exchange_frequency % self.report_interval != 0:
+            raise ValueError(
+                "report_interval must divide exchange_frequency "
+                f"(got {self.report_interval} vs {self.exchange_frequency})"
+            )
+
+
+@dataclasses.dataclass
+class RemdResult:
+    """Device/host outputs of one REMD run."""
+
+    positions: np.ndarray          # (F, R, N, 3) rung-major (demuxed) frames
+    potential_energy: np.ndarray   # (F, R)
+    temperatures: np.ndarray       # (R,) ladder
+    replica_ids: np.ndarray        # (A+1, R) configuration identity per rung
+    acceptance_matrix: np.ndarray  # (R-1,) per-neighbor-pair acceptance rate
+    exchange_attempts: int
+    n_steps: int
+    dt_ps: float
+
+    @property
+    def mean_acceptance(self) -> float:
+        return float(np.nanmean(self.acceptance_matrix))
+
+    def demuxed_trajectory(self, rung: int) -> np.ndarray:
+        """Constant-temperature trajectory at ladder[rung] — rung-major
+        recording makes this a plain slice (demux by construction)."""
+        return self.positions[:, rung]
+
+    def replica_trajectory(self, replica: int) -> np.ndarray:
+        """Continuous-configuration trajectory of one walker, reconstructed
+        from the identity history (the reference's pre-demux view)."""
+        frames = []
+        n_attempts = self.replica_ids.shape[0] - 1
+        n_frames = self.positions.shape[0]
+        fpc = max(n_frames // max(n_attempts, 1), 1)
+        for f in range(n_frames):
+            # frames of attempt-chunk a are recorded BEFORE that chunk's
+            # closing swap, so the identity map is replica_ids[a]
+            a = min(f // fpc, n_attempts - 1) if n_attempts > 0 else 0
+            rung = int(np.where(self.replica_ids[a] == replica)[0][0])
+            frames.append(self.positions[f, rung])
+        return np.asarray(frames)
+
+
+class ReplicaExchange:
+    """REMD driver (reference CHANGELOG.md:22 ReplicaExchange).
+
+    Usage::
+
+        remd = ReplicaExchange(system, positions, RemdConfig(n_replicas=32))
+        result = remd.run(n_steps=100_000)
+    """
+
+    def __init__(
+        self,
+        system: System,
+        positions: jax.Array,
+        config: RemdConfig,
+        *,
+        bias_fn: Optional[Callable] = None,
+        minimize: bool = True,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.system = system
+        self.config = config
+        self.bias_fn = bias_fn
+        self.mesh = mesh
+        self.ladder = jnp.asarray(config.ladder(), dtype=positions.dtype)
+        self.n_replicas = int(self.ladder.shape[0])
+
+        key = jax.random.PRNGKey(config.seed)
+        if minimize:
+            positions, _ = minimize_energy(system, positions, bias_fn=bias_fn)
+        # replicate initial configuration across rungs
+        x0 = jnp.broadcast_to(
+            positions[None], (self.n_replicas,) + positions.shape
+        )
+        keys = jax.random.split(key, self.n_replicas + 1)
+        v0 = jax.vmap(
+            lambda k, T: remove_com_motion(
+                system, initialize_velocities(system, k, T)
+            )
+        )(keys[1:], self.ladder)
+        self._swap_key = keys[0]
+        self.state = MDState(
+            positions=self._shard(x0),
+            velocities=self._shard(v0),
+            key=self._shard(jax.vmap(jax.random.fold_in, (None, 0))(
+                keys[0], jnp.arange(self.n_replicas)
+            )),
+            step=jnp.zeros(self.n_replicas, dtype=jnp.int32),
+        )
+        self.replica_ids = jnp.arange(self.n_replicas, dtype=jnp.int32)
+
+    def _shard(self, arr: jax.Array) -> jax.Array:
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P("replica", *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+    # --- jitted phases --------------------------------------------------------
+
+    def _md_chunk(self, state: MDState, temps: jax.Array, n_steps: int):
+        """vmapped Langevin chunk at per-replica temperatures."""
+        dt, friction = self.config.dt_ps, self.config.friction_per_ps
+        system, bias_fn = self.system, self.bias_fn
+
+        def one_step(carry, _):
+            def step_single(st, T):
+                return langevin_step(
+                    system, st, dt=dt, friction=friction,
+                    temperature_K=T, bias_fn=bias_fn,
+                )
+            new_state, energy = jax.vmap(step_single)(carry, temps)
+            return new_state, energy
+
+        state, energies = jax.lax.scan(one_step, state, None, length=n_steps)
+        return state, energies[-1]  # (R,) final potential energies
+
+    def _attempt_swaps(
+        self,
+        state: MDState,
+        energies: jax.Array,
+        replica_ids: jax.Array,
+        parity: jax.Array,
+        key: jax.Array,
+    ):
+        """Parity-alternating neighbor Metropolis swap, pure array ops.
+
+        For rung pair (r, r+1) with parity matching: accept with
+        prob min(1, exp[(beta_r - beta_{r+1})(E_r - E_{r+1})]) and exchange
+        the *configurations* (positions/velocities/identities), rescaling
+        velocities by sqrt(T_other/T_self).
+        """
+        R = self.n_replicas
+        betas = 1.0 / (BOLTZMANN_CONSTANT_KJ_PER_MOL * self.ladder)
+        r = jnp.arange(R)
+
+        # partner of each rung under this parity (self if unpaired)
+        is_left = (r % 2) == (parity % 2)
+        partner = jnp.where(is_left, r + 1, r - 1)
+        partner = jnp.clip(partner, 0, R - 1)
+        paired = partner != r
+        # unpaired edge rungs keep themselves
+        paired = paired & jnp.where(is_left, partner > r, partner < r)
+
+        E_self = energies
+        E_part = energies[partner]
+        b_self = betas
+        b_part = betas[partner]
+        log_acc = (b_self - b_part) * (E_self - E_part)
+        u = jax.random.uniform(key, (R,))
+        # same random draw for both members of a pair: use the left rung's
+        pair_lo = jnp.minimum(r, partner)
+        accept = (jnp.log(u[pair_lo] + 1e-30) < log_acc) & paired
+
+        target = jnp.where(accept, partner, r)
+        # gather configurations from target rungs
+        new_positions = state.positions[target]
+        scale = jnp.sqrt(self.ladder[r] / self.ladder[target])
+        new_velocities = state.velocities[target] * scale[:, None, None]
+        new_keys = state.key[target]
+        new_ids = replica_ids[target]
+        new_state = MDState(
+            positions=new_positions,
+            velocities=new_velocities,
+            key=new_keys,
+            step=state.step,
+        )
+        # per-left-pair acceptance indicator for statistics: (R,) 1/0/nan
+        attempted_left = is_left & paired
+        acc_left = jnp.where(attempted_left, accept.astype(jnp.float32), jnp.nan)
+        return new_state, new_ids, acc_left
+
+    def run(self, n_steps: int) -> RemdResult:
+        """Production run: heating, equilibration, then exchange phases.
+
+        The production loop is one ``lax.scan`` over exchange attempts; the
+        body runs ``exchange_frequency`` vmapped MD steps then one swap
+        sweep. Frames are collected every ``report_interval`` steps.
+        """
+        cfg = self.config
+        if n_steps % cfg.exchange_frequency != 0:
+            raise ValueError(
+                f"n_steps {n_steps} must be a multiple of exchange_frequency "
+                f"{cfg.exchange_frequency}"
+            )
+        state = self.state
+        # --- gradual heating (CHANGELOG.md:291) ---
+        if cfg.heating_steps > 0:
+            n_ramp = 10
+            per = max(cfg.heating_steps // n_ramp, 1)
+            for i in range(n_ramp):
+                frac = (i + 1) / n_ramp
+                temps = cfg.t_min + frac * (self.ladder - cfg.t_min)
+                state, _ = jax.jit(self._md_chunk, static_argnums=2)(
+                    state, temps, per
+                )
+        # --- equilibration at target temperatures ---
+        if cfg.equilibration_steps > 0:
+            state, _ = jax.jit(self._md_chunk, static_argnums=2)(
+                state, self.ladder, cfg.equilibration_steps
+            )
+
+        n_attempts = n_steps // cfg.exchange_frequency
+        frames_per_chunk = max(cfg.exchange_frequency // cfg.report_interval, 1)
+        ladder = self.ladder
+
+        def body(carry, attempt_idx):
+            state, replica_ids, key = carry
+            # MD between exchanges, collecting frames every report_interval
+            def sub_chunk(c, _):
+                st, _ = c
+                st, energies = self._md_chunk(
+                    st, ladder, cfg.report_interval
+                )
+                frame = {
+                    "positions": st.positions,
+                    "energy": energies,
+                }
+                return (st, energies), frame
+
+            (state, energies), frames = jax.lax.scan(
+                sub_chunk, (state, jnp.zeros(self.n_replicas, ladder.dtype)),
+                None, length=frames_per_chunk,
+            )
+            key, sub = jax.random.split(key)
+            state, replica_ids, acc = self._attempt_swaps(
+                state, energies, replica_ids, attempt_idx, sub
+            )
+            out = {
+                "frames": frames,
+                "replica_ids": replica_ids,
+                "acceptance": acc,
+            }
+            return (state, replica_ids, key), out
+
+        run_scan = jax.jit(
+            lambda st, ids, key: jax.lax.scan(
+                body, (st, ids, key), jnp.arange(n_attempts)
+            )
+        )
+        (state, replica_ids, _), out = run_scan(
+            state, self.replica_ids, self._swap_key
+        )
+        self.state = state
+        self.replica_ids = replica_ids
+
+        # flatten (A, frames_per_chunk, R, ...) -> (F, R, ...)
+        pos = np.asarray(out["frames"]["positions"])
+        F = pos.shape[0] * pos.shape[1]
+        pos = pos.reshape((F,) + pos.shape[2:])
+        energy = np.asarray(out["frames"]["energy"]).reshape(F, self.n_replicas)
+        ids_hist = np.concatenate(
+            [np.arange(self.n_replicas, dtype=np.int32)[None],
+             np.asarray(out["replica_ids"])], axis=0
+        )
+        acc = np.asarray(out["acceptance"])  # (A, R) with nan where unattempted
+        # per-neighbor-pair acceptance: pair p = (p, p+1) attempted when
+        # parity matches; rung p holds the indicator on its attempts
+        pair_acc = np.full(self.n_replicas - 1, np.nan)
+        for p in range(self.n_replicas - 1):
+            vals = acc[:, p]
+            vals = vals[np.isfinite(vals)]
+            if vals.size:
+                pair_acc[p] = float(vals.mean())
+
+        return RemdResult(
+            positions=pos,
+            potential_energy=energy,
+            temperatures=np.asarray(self.ladder),
+            replica_ids=ids_hist,
+            acceptance_matrix=pair_acc,
+            exchange_attempts=n_attempts,
+            n_steps=n_steps,
+            dt_ps=cfg.dt_ps,
+        )
+
+
+def run_replica_exchange(
+    pdb_file,
+    *,
+    n_steps: int = 10_000,
+    config: Optional[RemdConfig] = None,
+    bias_fn: Optional[Callable] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    implicit_solvent: bool = True,
+) -> Tuple[RemdResult, System]:
+    """One-call REMD (reference CHANGELOG.md:22 run_replica_exchange)."""
+    from ..md.forcefield import build_system
+
+    config = config or RemdConfig()
+    system, positions = build_system(pdb_file, implicit_solvent=implicit_solvent)
+    remd = ReplicaExchange(system, positions, config, bias_fn=bias_fn, mesh=mesh)
+    return remd.run(n_steps), system
+
+
+__all__ = ["RemdConfig", "RemdResult", "ReplicaExchange", "run_replica_exchange"]
