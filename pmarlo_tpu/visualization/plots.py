@@ -1,0 +1,188 @@
+"""Plotting helpers. All functions accept an optional save path and return
+the matplotlib Figure; they use the Agg backend so they run headless.
+
+Reference surface: _plots.py:30 (FES/ITS/rates/CK), _tpt_viz.py:24
+(committor/flux/pathways), visualization/diagnostics.py:12-41 (sampling
+validation, frames-per-shard histogram).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _finish(fig, path):
+    fig.tight_layout()
+    if path is not None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def plot_fes(fes, path: Optional["str | Path"] = None, max_kj: float = 30.0):
+    """2D free-energy surface heat map with masked unsampled bins."""
+    if fes is None:
+        raise ValueError("no FES to plot")
+    fig, ax = plt.subplots(figsize=(6, 5))
+    F = np.ma.masked_invalid(fes.free_energy.T)
+    mesh = ax.pcolormesh(
+        fes.xedges, fes.yedges, np.clip(F, 0, max_kj), cmap="viridis", shading="auto"
+    )
+    fig.colorbar(mesh, ax=ax, label="F (kJ/mol)")
+    ax.set_xlabel(fes.cv_names[0])
+    ax.set_ylabel(fes.cv_names[1])
+    ax.set_title(f"FES @ {fes.temperature_K:g} K")
+    return _finish(fig, path)
+
+
+def plot_its(its, path: Optional["str | Path"] = None, dt_label: str = "steps"):
+    """Implied timescales vs lag with CI bands and the tau=t diagonal."""
+    if its is None:
+        raise ValueError("no ITS to plot")
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    k = its.timescales.shape[1]
+    for i in range(k):
+        ax.plot(its.lags, its.timescales[:, i], "o-", ms=3, label=f"t{i + 1}")
+        ax.fill_between(its.lags, its.ci_lower[:, i], its.ci_upper[:, i], alpha=0.2)
+    ax.plot(its.lags, its.lags, "k--", lw=1, label="tau")
+    if its.plateau_lag is not None:
+        ax.axvline(its.plateau_lag, color="r", ls=":", label=f"plateau @ {its.plateau_lag}")
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel(f"lag ({dt_label})")
+    ax.set_ylabel(f"implied timescale ({dt_label})")
+    ax.legend(fontsize=8)
+    return _finish(fig, path)
+
+
+def plot_ck(ck, path: Optional["str | Path"] = None, max_states: int = 4):
+    """Predicted vs estimated long-lag self-transition probabilities."""
+    if ck is None or not ck.predicted:
+        raise ValueError("no CK data to plot")
+    states = list(range(min(len(ck.states), max_states)))
+    factors = sorted(ck.predicted)
+    fig, axes = plt.subplots(1, len(states), figsize=(3 * len(states), 3), squeeze=False)
+    for col, s in enumerate(states):
+        ax = axes[0][col]
+        pred = [1.0] + [ck.predicted[f][s, s] for f in factors]
+        est = [1.0] + [ck.estimated[f][s, s] for f in factors]
+        xs = [1] + factors
+        ax.plot(xs, pred, "o--", label="T(tau)^k")
+        ax.plot(xs, est, "s-", label="T(k tau)")
+        ax.set_title(f"state {ck.states[s]}")
+        ax.set_xlabel("k")
+        ax.set_ylim(0, 1.05)
+        if col == 0:
+            ax.set_ylabel("P(self)")
+            ax.legend(fontsize=7)
+    return _finish(fig, path)
+
+
+def plot_ramachandran(
+    phi_deg, psi_deg, path: Optional["str | Path"] = None, bins: int = 72
+):
+    from ..features.ramachandran import periodic_hist2d
+
+    H, xe, ye = periodic_hist2d(phi_deg, psi_deg, bins=bins)
+    fig, ax = plt.subplots(figsize=(5.5, 5))
+    mesh = ax.pcolormesh(xe, ye, np.log1p(H.T), cmap="magma", shading="auto")
+    fig.colorbar(mesh, ax=ax, label="log(1+count)")
+    ax.set_xlabel("phi (deg)")
+    ax.set_ylabel("psi (deg)")
+    return _finish(fig, path)
+
+
+def plot_committors(tpt, path: Optional["str | Path"] = None):
+    fig, ax = plt.subplots(figsize=(6, 4))
+    n = len(tpt.forward_committor)
+    ax.bar(np.arange(n) - 0.2, tpt.forward_committor, 0.4, label="q+")
+    ax.bar(np.arange(n) + 0.2, tpt.backward_committor, 0.4, label="q-")
+    ax.set_xlabel("state")
+    ax.set_ylabel("committor")
+    ax.legend()
+    return _finish(fig, path)
+
+
+def plot_flux_network(
+    tpt, path: Optional["str | Path"] = None, top_edges: int = 20
+):
+    """Net-flux network: states on a committor axis, edges by flux."""
+    fig, ax = plt.subplots(figsize=(7, 5))
+    q = tpt.forward_committor
+    n = len(q)
+    rng = np.random.default_rng(0)
+    ys = rng.uniform(0, 1, n)
+    F = tpt.net_flux
+    order = np.dstack(np.unravel_index(np.argsort(-F, axis=None), F.shape))[0]
+    fmax = F.max() if F.max() > 0 else 1.0
+    for i, j in order[:top_edges]:
+        if F[i, j] <= 0:
+            continue
+        ax.annotate(
+            "", xy=(q[j], ys[j]), xytext=(q[i], ys[i]),
+            arrowprops=dict(arrowstyle="->", alpha=0.6, lw=2.5 * F[i, j] / fmax),
+        )
+    ax.scatter(q, ys, s=80, c=q, cmap="coolwarm", zorder=3, edgecolors="k")
+    for s in tpt.source_states:
+        ax.scatter([q[s]], [ys[s]], s=160, facecolors="none", edgecolors="b", zorder=4)
+    for s in tpt.sink_states:
+        ax.scatter([q[s]], [ys[s]], s=160, facecolors="none", edgecolors="r", zorder=4)
+    ax.set_xlabel("forward committor q+")
+    ax.set_yticks([])
+    ax.set_title(f"net flux (rate={tpt.rate:.3g})")
+    return _finish(fig, path)
+
+
+def plot_acceptance_matrix(remd_result, path: Optional["str | Path"] = None):
+    """REMD per-pair swap acceptance (sampling-validation diagnostic)."""
+    fig, ax = plt.subplots(figsize=(6, 3.5))
+    acc = remd_result.acceptance_matrix
+    ax.bar(np.arange(len(acc)), acc)
+    ax.axhline(0.2, color="r", ls="--", lw=1, label="0.2 floor")
+    ax.set_xlabel("neighbor pair")
+    ax.set_ylabel("acceptance")
+    ax.set_ylim(0, 1)
+    ax.legend()
+    return _finish(fig, path)
+
+
+def plot_sampling_validation(
+    features: Sequence[np.ndarray], path: Optional["str | Path"] = None
+):
+    """Coverage of the first two feature dimensions per trajectory
+    (reference visualization/diagnostics.py:12)."""
+    fig, ax = plt.subplots(figsize=(6, 5))
+    for i, X in enumerate(features):
+        X = np.asarray(X)
+        ax.scatter(X[:, 0], X[:, 1], s=2, alpha=0.3, label=f"traj {i}" if i < 8 else None)
+    ax.set_xlabel("CV1")
+    ax.set_ylabel("CV2")
+    ax.legend(fontsize=7, markerscale=3)
+    return _finish(fig, path)
+
+
+def plot_frames_per_shard(
+    shard_lengths: Sequence[int], path: Optional["str | Path"] = None
+):
+    """(reference visualization/diagnostics.py:41)."""
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    ax.hist(list(shard_lengths), bins=20)
+    ax.set_xlabel("frames per shard")
+    ax.set_ylabel("count")
+    return _finish(fig, path)
+
+
+__all__ = [
+    "plot_fes", "plot_its", "plot_ck", "plot_ramachandran", "plot_committors",
+    "plot_flux_network", "plot_acceptance_matrix", "plot_sampling_validation",
+    "plot_frames_per_shard",
+]
