@@ -1,0 +1,179 @@
+"""Dataset discretization: shards -> microstates -> counts -> T, with full
+accounting.
+
+Rebuild of src/pmarlo/analysis/discretize.py (:901 discretize_dataset, :22
+MSMDiscretizationResult, :46 NoAssignmentsError): feature-schema validation
++ fingerprint, per-shard assignment, segment-safe pair accounting (expected
+vs counted), low-count state pruning, count matrix + transition matrix +
+diagonal mass.
+
+A "dataset" here is a list of shard dicts (as returned by
+``io.shards.read_shard``) or a plain list of (T, K) feature arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..features.pairs import expected_pairs
+from ..msm.clustering import assign_to_centers, cluster_microstates
+from ..msm.counting import counts_from_dtrajs
+from ..msm.estimation import estimate_transition_matrix
+from ..utils.errors import NoAssignmentsError
+from ..utils.msm_utils import ensure_connected_counts
+from .validation import feature_schema_fingerprint, validate_features
+
+Shard = Union[Dict, np.ndarray]
+
+
+@dataclasses.dataclass
+class MSMDiscretizationResult:
+    """(reference discretize.py:22)."""
+
+    centers: np.ndarray
+    dtrajs: List[np.ndarray]
+    counts: np.ndarray
+    transition_matrix: np.ndarray
+    stationary_distribution: np.ndarray
+    active_states: np.ndarray
+    lag: int
+    n_states: int
+    segment_lengths: List[int]
+    expected_pair_count: int
+    counted_pairs: int
+    pruned_states: np.ndarray
+    diag_mass: float
+    schema_fingerprint: str
+    artifacts: Dict = dataclasses.field(default_factory=dict)
+
+    def to_dict(self) -> Dict:
+        return {
+            "lag": self.lag,
+            "n_states": self.n_states,
+            "n_active": int(len(self.active_states)),
+            "segment_lengths": self.segment_lengths,
+            "expected_pairs": self.expected_pair_count,
+            "counted_pairs": self.counted_pairs,
+            "pruned_states": self.pruned_states.tolist(),
+            "diag_mass": self.diag_mass,
+            "schema_fingerprint": self.schema_fingerprint,
+        }
+
+
+def _extract_features(shard: Shard) -> Tuple[np.ndarray, int]:
+    """(features, stride) from a shard dict or bare array."""
+    if isinstance(shard, dict):
+        if "features" not in shard:
+            raise NoAssignmentsError("shard has no 'features' array")
+        stride = int((shard.get("metadata") or {}).get("stride", 1))
+        return np.asarray(shard["features"]), stride
+    return np.asarray(shard), 1
+
+
+def discretize_dataset(
+    dataset: Sequence[Shard],
+    *,
+    n_states: "int | str" = 50,
+    lag: int = 10,
+    min_state_count: int = 0,
+    seed: int = 0,
+    columns: Optional[Sequence[str]] = None,
+    reversible: bool = True,
+) -> MSMDiscretizationResult:
+    """Discretize a shard dataset into an MSM with full pair accounting.
+
+    Steps (mirroring reference discretize.py:901): validate every shard's
+    feature matrix and schema consistency -> k-means over the pooled
+    features -> per-shard assignment (segments never concatenate across
+    shards) -> expected vs counted pair check -> optional low-count state
+    pruning (labels -> -1) -> counts -> connected set -> T, pi.
+    """
+    if not dataset:
+        raise NoAssignmentsError("empty dataset")
+    feats: List[np.ndarray] = []
+    strides: List[int] = []
+    k_ref: Optional[int] = None
+    for i, shard in enumerate(dataset):
+        X, stride = _extract_features(shard)
+        X = validate_features(X, name=f"shard[{i}]")
+        if k_ref is None:
+            k_ref = X.shape[1]
+        elif X.shape[1] != k_ref:
+            raise NoAssignmentsError(
+                f"shard[{i}] has {X.shape[1]} features, expected {k_ref} "
+                "(mixed feature schemas)"
+            )
+        feats.append(X.astype(np.float32))
+        strides.append(stride)
+    fingerprint = feature_schema_fingerprint(
+        columns or [f"f{i}" for i in range(k_ref)], k_ref
+    )
+
+    clustering = cluster_microstates(feats, n_states, seed=seed)
+    k = clustering.n_states
+    dtrajs = [d.astype(np.int64) for d in clustering.labels_per_traj]
+
+    # low-count state pruning: mark assignments in starved states invalid
+    pooled = np.concatenate(dtrajs)
+    state_counts = np.bincount(pooled, minlength=k)
+    pruned = np.where(state_counts < min_state_count)[0] if min_state_count > 0 \
+        else np.zeros(0, dtype=np.int64)
+    if pruned.size:
+        prune_set = set(pruned.tolist())
+        dtrajs = [
+            np.where(np.isin(d, list(prune_set)), -1, d) for d in dtrajs
+        ]
+
+    seg_lengths = [len(d) for d in dtrajs]
+    exp_pairs = expected_pairs(seg_lengths, lag)
+    C = counts_from_dtrajs(dtrajs, lag, k)
+    counted = int(C.sum())
+    if counted == 0:
+        raise NoAssignmentsError(
+            f"no (t, t+{lag}) pairs counted over {len(dtrajs)} shards "
+            f"(expected {exp_pairs}; segments too short or all pruned)"
+        )
+
+    C_active, active = ensure_connected_counts(C)
+    T_active, pi_active = estimate_transition_matrix(C_active, reversible=reversible)
+    T = np.eye(k)
+    T[np.ix_(active, active)] = T_active
+    pi = np.zeros(k)
+    pi[active] = pi_active
+    diag_mass = float(np.trace(C) / max(C.sum(), 1.0))
+
+    return MSMDiscretizationResult(
+        centers=clustering.centers,
+        dtrajs=dtrajs,
+        counts=C,
+        transition_matrix=T,
+        stationary_distribution=pi,
+        active_states=active,
+        lag=int(lag),
+        n_states=k,
+        segment_lengths=seg_lengths,
+        expected_pair_count=exp_pairs,
+        counted_pairs=counted,
+        pruned_states=pruned,
+        diag_mass=diag_mass,
+        schema_fingerprint=fingerprint,
+        artifacts={"strides": strides, "silhouette": clustering.silhouette},
+    )
+
+
+def assign_dataset(
+    dataset: Sequence[Shard], centers: np.ndarray
+) -> List[np.ndarray]:
+    """Assign shards to existing centers (for val splits / new data)."""
+    out = []
+    for shard in dataset:
+        X, _ = _extract_features(shard)
+        out.append(assign_to_centers(X, centers).astype(np.int64))
+    return out
+
+
+__all__ = ["MSMDiscretizationResult", "discretize_dataset", "assign_dataset",
+           "NoAssignmentsError"]
