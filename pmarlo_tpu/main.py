@@ -1,0 +1,92 @@
+"""Alternative lazy facade + console entry point
+(reference: src/pmarlo/main.py:26-44, console script pyproject.toml:72-73)."""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+import json
+import sys
+from typing import Any
+
+_EXPORTS = {
+    "Protein": ("pmarlo_tpu.protein.protein", "Protein"),
+    "run_segment": ("pmarlo_tpu.md.simulation", "run_segment"),
+    "run_replica_exchange": ("pmarlo_tpu.remd.remd", "run_replica_exchange"),
+    "run_complete_msm_analysis": ("pmarlo_tpu.msm.enhanced", "run_complete_msm_analysis"),
+    "set_global_seed": ("pmarlo_tpu.utils.seed", "set_global_seed"),
+}
+
+
+def __getattr__(name: str) -> Any:
+    try:
+        module_name, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(f"module 'pmarlo_tpu.main' has no attribute {name!r}")
+    return getattr(importlib.import_module(module_name), attr)
+
+
+def get_version() -> str:
+    import pmarlo_tpu
+
+    return pmarlo_tpu.__version__
+
+
+def get_info() -> dict:
+    import pmarlo_tpu
+
+    return pmarlo_tpu.get_info()
+
+
+def main(argv=None) -> int:
+    """Console entry: info / run-segment / remd / analyze subcommands."""
+    parser = argparse.ArgumentParser(prog="pmarlo-tpu")
+    sub = parser.add_subparsers(dest="command")
+    sub.add_parser("info", help="print backend/device info")
+
+    seg = sub.add_parser("run-segment", help="run one MD segment")
+    seg.add_argument("pdb")
+    seg.add_argument("--steps", type=int, default=10_000)
+    seg.add_argument("--temperature", type=float, default=300.0)
+    seg.add_argument("--output", default="segment.npz")
+
+    remd = sub.add_parser("remd", help="run replica exchange")
+    remd.add_argument("pdb")
+    remd.add_argument("--steps", type=int, default=10_000)
+    remd.add_argument("--replicas", type=int, default=8)
+    remd.add_argument("--tmin", type=float, default=300.0)
+    remd.add_argument("--tmax", type=float, default=450.0)
+
+    args = parser.parse_args(argv)
+    if args.command == "info" or args.command is None:
+        print(json.dumps(get_info(), indent=2))
+        return 0
+    if args.command == "run-segment":
+        from pmarlo_tpu.md.simulation import run_segment
+
+        result = run_segment(
+            args.pdb, n_steps=args.steps, temperature_K=args.temperature,
+            output_file=args.output,
+        )
+        print(json.dumps({
+            "frames": list(result["positions"].shape),
+            "output": str(result.get("output_file")),
+            "final_temperature_K": float(result["temperature"][-1]),
+        }))
+        return 0
+    if args.command == "remd":
+        from pmarlo_tpu.remd.remd import RemdConfig, run_replica_exchange
+
+        cfg = RemdConfig(n_replicas=args.replicas, t_min=args.tmin, t_max=args.tmax)
+        result, _ = run_replica_exchange(args.pdb, n_steps=args.steps, config=cfg)
+        print(json.dumps({
+            "frames": list(result.positions.shape),
+            "mean_acceptance": result.mean_acceptance,
+        }))
+        return 0
+    parser.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,153 @@
+"""Automatic lag selection combining CK error, connectivity, and counts.
+
+Reference: src/pmarlo/markov_state_model/ck_its_selector.py:462
+select_optimal_lag_ck_its, :23 LagEvaluationResult — tau candidates
+filtered by trajectory length, per-lag CK error + connectivity coverage +
+median counts + macrostate sanity, combined into a selection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..utils.errors import EstimationError
+from ..utils.msm_utils import candidate_lag_ladder, ensure_connected_counts
+from .ck import ck_test
+from .counting import counts_from_dtrajs
+from .estimation import build_msm
+from .pcca import pcca_assignments
+
+
+@dataclasses.dataclass
+class LagEvaluationResult:
+    """(reference ck_its_selector.py:23)."""
+
+    lag: int
+    ck_error: Optional[float]
+    connectivity_coverage: float      # fraction of states in the largest SCC
+    median_row_counts: float
+    macrostate_sane: bool
+    feasible: bool
+    score: float
+
+    def to_dict(self) -> Dict:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class CKITSSelectionResult:
+    """(reference results.py:149)."""
+
+    selected_lag: int
+    evaluations: List[LagEvaluationResult]
+    reason: str
+
+    def to_dict(self) -> Dict:
+        return {
+            "selected_lag": self.selected_lag,
+            "reason": self.reason,
+            "evaluations": [e.to_dict() for e in self.evaluations],
+        }
+
+
+def _evaluate_lag(
+    dtrajs: List[np.ndarray],
+    lag: int,
+    n_states: int,
+    ck_factors: Sequence[int],
+    n_macrostates: int,
+) -> LagEvaluationResult:
+    C = counts_from_dtrajs(dtrajs, lag, n_states)
+    if C.sum() == 0:
+        return LagEvaluationResult(lag, None, 0.0, 0.0, False, False, -np.inf)
+    _, active = ensure_connected_counts(C)
+    occupied = int((C.sum(axis=1) + C.sum(axis=0) > 0).sum())
+    coverage = len(active) / max(occupied, 1)
+    median_counts = float(np.median(C[active].sum(axis=1))) if len(active) else 0.0
+
+    ck_error = None
+    try:
+        ck = ck_test(dtrajs, lag, ck_factors, n_states=n_states)
+        if ck.rms:
+            ck_error = float(max(ck.rms.values()))
+    except EstimationError:
+        pass
+
+    macro_sane = False
+    try:
+        msm = build_msm(dtrajs, lag, n_states)
+        if len(msm.active_states) > n_macrostates:
+            labels, _ = pcca_assignments(
+                msm.restricted_T(), n_macrostates,
+                msm.stationary_distribution[msm.active_states],
+            )
+            pops = np.bincount(labels, minlength=n_macrostates)
+            macro_sane = bool((pops > 0).all())
+    except (EstimationError, np.linalg.LinAlgError):
+        pass
+
+    feasible = ck_error is not None and coverage > 0.5 and median_counts >= 2
+    # score: low CK error dominates; coverage and counts break ties
+    score = -np.inf
+    if feasible:
+        score = (
+            -(ck_error or 1.0) * 10.0
+            + coverage
+            + 0.1 * np.log1p(median_counts)
+            + (0.5 if macro_sane else 0.0)
+        )
+    return LagEvaluationResult(
+        lag=lag, ck_error=ck_error, connectivity_coverage=coverage,
+        median_row_counts=median_counts, macrostate_sane=macro_sane,
+        feasible=feasible, score=float(score),
+    )
+
+
+def select_optimal_lag_ck_its(
+    dtrajs: "np.ndarray | Sequence[np.ndarray]",
+    *,
+    n_states: Optional[int] = None,
+    candidate_lags: Optional[Sequence[int]] = None,
+    ck_factors: Sequence[int] = (2, 3),
+    n_macrostates: int = 2,
+) -> CKITSSelectionResult:
+    """(reference ck_its_selector.py:462)."""
+    if isinstance(dtrajs, np.ndarray) and dtrajs.ndim == 1:
+        dtrajs = [dtrajs]
+    dtrajs = [np.asarray(d, dtype=np.int64) for d in dtrajs]
+    if n_states is None:
+        n_states = max((int(d.max()) for d in dtrajs if d.size), default=-1) + 1
+    max_len = max(d.shape[0] for d in dtrajs)
+    # candidates must leave room for the largest CK factor
+    limit = max_len // (max(ck_factors) + 1)
+    if candidate_lags is None:
+        candidate_lags = candidate_lag_ladder(max(limit, 2), n_lags=10)
+    lags = [int(l) for l in candidate_lags if 1 <= l <= limit]
+    if not lags:
+        raise EstimationError(
+            f"no feasible candidate lags (trajectories too short: max {max_len})"
+        )
+    evaluations = [
+        _evaluate_lag(dtrajs, lag, n_states, ck_factors, n_macrostates)
+        for lag in lags
+    ]
+    feasible = [e for e in evaluations if e.feasible]
+    if feasible:
+        best = max(feasible, key=lambda e: e.score)
+        reason = (
+            f"lag {best.lag}: CK error {best.ck_error:.4f}, coverage "
+            f"{best.connectivity_coverage:.2f}, median counts "
+            f"{best.median_row_counts:.0f}"
+        )
+    else:
+        best = max(evaluations, key=lambda e: e.connectivity_coverage)
+        reason = f"no lag fully feasible; fell back to best coverage (lag {best.lag})"
+    return CKITSSelectionResult(
+        selected_lag=best.lag, evaluations=evaluations, reason=reason
+    )
+
+
+__all__ = ["LagEvaluationResult", "CKITSSelectionResult", "select_optimal_lag_ck_its"]

@@ -1,0 +1,206 @@
+"""Protein preparation: structure cleanup, properties, System creation.
+
+Rebuild of src/pmarlo/protein/protein.py:70 (Protein), :288 (prepare), :506
+(_compute_protein_metrics — sequence-based charge/pI via bisection), :628
+(get_properties), :733 (create_system). The PDBFixer/RDKit dependencies are
+replaced by first-party implementations of exactly the used surface:
+heterogen/water removal, terminal-variant detection, sequence-derived
+physico-chemical metrics (MW, charge vs pH from pKa tables, isoelectric
+point by bisection), and force-field System creation via md.forcefield.
+
+Hydrogen reconstruction for structures lacking hydrogens is intentionally
+NOT silently approximated: ``prepare`` raises with the list of missing
+atoms (the framework's fail-fast policy); supply an H-complete model (e.g.
+an NMR structure or an externally protonated PDB).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..io.pdb import PDBStructure, read_pdb, write_pdb
+from ..md.forcefield import build_system
+from ..md.topology import Topology, build_topology
+from ..utils.errors import TopologyError
+
+# --- sequence property tables -------------------------------------------------
+
+_RESIDUE_MASS = {  # average residue masses (Da), water subtracted
+    "ALA": 71.08, "ARG": 156.19, "ASN": 114.10, "ASP": 115.09, "CYS": 103.14,
+    "GLN": 128.13, "GLU": 129.12, "GLY": 57.05, "HIS": 137.14, "ILE": 113.16,
+    "LEU": 113.16, "LYS": 128.17, "MET": 131.19, "PHE": 147.18, "PRO": 97.12,
+    "SER": 87.08, "THR": 101.10, "TRP": 186.21, "TYR": 163.18, "VAL": 99.13,
+    "ACE": 43.04, "NME": 30.07,
+}
+
+#: side-chain pKa values (EMBOSS set) and charge signs
+_PKA_SIDECHAIN = {
+    "ASP": (3.9, -1), "GLU": (4.1, -1), "CYS": (8.5, -1), "TYR": (10.1, -1),
+    "HIS": (6.5, +1), "LYS": (10.8, +1), "ARG": (12.5, +1),
+}
+_PKA_NTERM = 8.6
+_PKA_CTERM = 3.6
+
+_HYDROPHOBIC = {"ALA", "VAL", "LEU", "ILE", "PHE", "MET", "TRP", "PRO"}
+_AROMATIC = {"PHE", "TYR", "TRP", "HIS"}
+
+_ONE_LETTER = {
+    "ALA": "A", "ARG": "R", "ASN": "N", "ASP": "D", "CYS": "C", "GLN": "Q",
+    "GLU": "E", "GLY": "G", "HIS": "H", "ILE": "I", "LEU": "L", "LYS": "K",
+    "MET": "M", "PHE": "F", "PRO": "P", "SER": "S", "THR": "T", "TRP": "W",
+    "TYR": "Y", "VAL": "V",
+}
+
+_WATER_NAMES = {"HOH", "WAT", "TIP3", "SOL"}
+
+
+def charge_at_pH(sequence: List[str], pH: float) -> float:
+    """Henderson-Hasselbalch net charge (reference protein.py:506 uses the
+    same construction for its bisection pI)."""
+    charge = 1.0 / (1.0 + 10 ** (pH - _PKA_NTERM))            # N-terminus
+    charge -= 1.0 / (1.0 + 10 ** (_PKA_CTERM - pH))           # C-terminus
+    for res in sequence:
+        if res in _PKA_SIDECHAIN:
+            pka, sign = _PKA_SIDECHAIN[res]
+            if sign > 0:
+                charge += 1.0 / (1.0 + 10 ** (pH - pka))
+            else:
+                charge -= 1.0 / (1.0 + 10 ** (pka - pH))
+    return charge
+
+
+def isoelectric_point(sequence: List[str], tol: float = 1e-4) -> float:
+    """pI via bisection on the net-charge curve (reference :506)."""
+    lo, hi = 0.0, 14.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        q = charge_at_pH(sequence, mid)
+        if abs(q) < tol:
+            return mid
+        if q > 0:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+@dataclasses.dataclass
+class Protein:
+    """Prepared protein: cleaned structure + topology + properties.
+
+    Usage (mirrors reference Protein):
+        p = Protein("input.pdb").prepare()
+        system, positions = p.create_system()
+        props = p.get_properties()
+    """
+
+    source: "str | Path | PDBStructure"
+    ph: float = 7.0
+    structure: Optional[PDBStructure] = None
+    topology: Optional[Topology] = None
+    _prepared: bool = False
+
+    def prepare(
+        self,
+        *,
+        remove_heterogens: bool = True,
+        keep_waters: bool = False,
+        model: int = 1,
+    ) -> "Protein":
+        """Load + clean + template-match (reference protein.py:288).
+
+        Raises TopologyError listing missing atoms if the structure lacks
+        hydrogens or side-chain atoms — no silent reconstruction.
+        """
+        if isinstance(self.source, PDBStructure):
+            structure = self.source
+        else:
+            structure = read_pdb(self.source, model=model)
+        if remove_heterogens:
+            structure = PDBStructure(
+                residues=[
+                    r for r in structure.residues
+                    if (r.name in _RESIDUE_MASS or r.name in _ONE_LETTER
+                        or r.name in ("ACE", "NME"))
+                    or (keep_waters and r.name in _WATER_NAMES)
+                ],
+                n_models=structure.n_models,
+            )
+        if not structure.residues:
+            raise TopologyError("no protein residues after cleanup")
+        self.structure = structure
+        self.topology = build_topology(structure, keep_waters=keep_waters)
+        self._prepared = True
+        return self
+
+    def _require_prepared(self):
+        if not self._prepared:
+            raise RuntimeError("call prepare() first")
+
+    # --- properties (reference :506,:628) -------------------------------------
+
+    def sequence(self) -> List[str]:
+        self._require_prepared()
+        return [r for r in self.structure.sequence() if r in _RESIDUE_MASS]
+
+    def sequence_one_letter(self) -> str:
+        return "".join(_ONE_LETTER.get(r, "X") for r in self.sequence()
+                       if r not in ("ACE", "NME"))
+
+    def get_properties(self) -> Dict:
+        """Physico-chemical property table (reference :628: MW, charge, pI,
+        hydrophobic/aromatic fractions, atom counts)."""
+        self._require_prepared()
+        seq = [r for r in self.sequence() if r not in ("ACE", "NME")]
+        mw = sum(_RESIDUE_MASS.get(r, 110.0) for r in self.sequence()) + 18.02
+        return {
+            "n_residues": len(seq),
+            "n_atoms": self.topology.n_atoms,
+            "sequence": self.sequence_one_letter(),
+            "molecular_weight": round(mw, 2),
+            "net_charge_at_pH": round(charge_at_pH(seq, self.ph), 3),
+            "ph": self.ph,
+            "isoelectric_point": round(isoelectric_point(seq), 2),
+            "hydrophobic_fraction": round(
+                sum(r in _HYDROPHOBIC for r in seq) / max(len(seq), 1), 3
+            ),
+            "aromatic_fraction": round(
+                sum(r in _AROMATIC for r in seq) / max(len(seq), 1), 3
+            ),
+            "formal_charge": int(round(float(self.topology.charges.sum()))),
+        }
+
+    # --- system creation (reference :733) ---------------------------------------
+
+    def create_system(
+        self,
+        *,
+        hydrogen_mass: Optional[float] = 3.0,
+        implicit_solvent: bool = True,
+    ):
+        """Build the MD System + positions from the prepared topology."""
+        self._require_prepared()
+        return build_system(
+            self.topology,
+            hydrogen_mass=hydrogen_mass,
+            implicit_solvent=implicit_solvent,
+        )
+
+    def save_prepared(self, path: "str | Path") -> Path:
+        """Write the cleaned, canonically-ordered structure."""
+        self._require_prepared()
+        return write_pdb(
+            path,
+            self.topology.positions,
+            self.topology.atom_names,
+            self.topology.residue_names,
+            self.topology.residue_ids,
+            elements=self.topology.elements,
+        )
+
+
+__all__ = ["Protein", "charge_at_pH", "isoelectric_point"]

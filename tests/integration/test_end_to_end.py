@@ -1,0 +1,112 @@
+"""Integration: REMD -> shards -> analysis, and multi-device sharding."""
+
+import numpy as np
+import pytest
+
+from pmarlo_tpu.features.base import TopologyInfo
+
+
+@pytest.fixture(scope="module")
+def alanine():
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.md.forcefield import build_system
+    from pmarlo_tpu.md.topology import build_topology
+
+    topo = build_topology(alanine_dipeptide_structure())
+    system, positions = build_system(topo)
+    info = TopologyInfo(
+        atom_names=topo.atom_names,
+        residue_names=topo.residue_names,
+        residue_ids=topo.residue_ids,
+    )
+    return system, positions, topo, info
+
+
+def test_remd_to_shards_to_analysis(alanine, tmp_path):
+    import jax
+
+    from pmarlo_tpu.features.featurize import featurize_trajectory
+    from pmarlo_tpu.io.shards import emit_shards_from_trajectory, read_shard, select_shard_paths
+    from pmarlo_tpu.analysis.discretize import discretize_dataset
+    from pmarlo_tpu.remd.remd import RemdConfig, ReplicaExchange
+
+    system, positions, topo, info = alanine
+    cfg = RemdConfig(
+        n_replicas=4, t_min=300, t_max=600, exchange_frequency=100,
+        report_interval=50, seed=2,
+    )
+    remd = ReplicaExchange(system, positions, cfg)
+    res = remd.run(n_steps=3000)
+
+    # featurize the two coldest rungs, emit shards
+    for rung in range(2):
+        traj = res.demuxed_trajectory(rung)
+        X, _ = featurize_trajectory(traj, "phi_psi", info, cos_sin_expand=True)
+        emit_shards_from_trajectory(
+            tmp_path, np.asarray(X),
+            temperature_K=float(res.temperatures[rung]),
+            run_id="e2e", frames_per_shard=20, dt_ps=cfg.dt_ps,
+            feature_spec=["phi_psi"],
+        )
+    paths = select_shard_paths(tmp_path)
+    assert len(paths) == 6  # 60 frames per rung -> 3 shards each
+    shards = [read_shard(p) for p in paths]
+    result = discretize_dataset(shards, n_states=5, lag=2, seed=0)
+    assert result.counted_pairs == result.expected_pair_count
+    assert result.transition_matrix.shape == (5, 5)
+    assert np.isclose(result.stationary_distribution.sum(), 1.0)
+
+
+def test_multidevice_sharded_remd(alanine):
+    """Replica axis sharded over the 8-device CPU mesh — validates the
+    multi-chip path without hardware (driver dryrun pattern)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (conftest sets XLA_FLAGS)")
+
+    from pmarlo_tpu.remd.remd import RemdConfig, ReplicaExchange
+
+    system, positions, _, _ = alanine
+    mesh = Mesh(np.array(jax.devices()[:8]), ("replica",))
+    cfg = RemdConfig(
+        n_replicas=8, t_min=300, t_max=600, exchange_frequency=50,
+        report_interval=50, seed=4,
+    )
+    remd = ReplicaExchange(system, positions, cfg, mesh=mesh, minimize=False)
+    res = remd.run(n_steps=200)
+    assert res.positions.shape == (4, 8, 22, 3)
+    assert np.isfinite(res.positions).all()
+
+
+def test_run_complete_analysis_from_npz(alanine, tmp_path):
+    """The reference's canonical flow: trajectory files on disk -> analysis."""
+    import jax
+
+    from pmarlo_tpu.io.trajectory import TrajectoryWriter
+    from pmarlo_tpu.md.integrate import run_md, thermalize
+    from pmarlo_tpu.md.minimize import minimize_energy
+    from pmarlo_tpu.msm.enhanced import run_complete_msm_analysis
+
+    system, positions, topo, info = alanine
+    x_min, _ = minimize_energy(system, positions, max_iterations=100)
+    files = []
+    for i in range(2):
+        state = thermalize(system, x_min, jax.random.PRNGKey(i), 400.0)
+        _, frames = run_md(
+            system, state, n_steps=2000, dt=0.002, friction=1.0,
+            temperature_K=400.0, report_interval=50,
+        )
+        path = tmp_path / f"traj_{i}.npz"
+        with TrajectoryWriter(path) as w:
+            w.write_frames(np.asarray(frames["positions"]))
+        files.append(path)
+
+    msm = run_complete_msm_analysis(
+        files, info, temperature_K=400.0, output_dir=tmp_path / "out",
+        n_states=6, lag_time=3, compute_its=False, compute_ck=False,
+    )
+    assert msm.msm is not None
+    assert (tmp_path / "out" / "transition_matrix.npy").exists()
+    assert (tmp_path / "out" / "analysis_summary.json").exists()

@@ -1,0 +1,108 @@
+"""Featurization: registry, spec parsing, dihedral correctness."""
+
+import numpy as np
+import pytest
+
+from pmarlo_tpu.features.base import (
+    FEATURE_REGISTRY,
+    get_feature,
+    parse_feature_spec,
+)
+from pmarlo_tpu.features.builtins import (
+    compute_dihedrals,
+    compute_distances,
+    phi_psi_indices,
+    radius_of_gyration,
+)
+from pmarlo_tpu.features.featurize import featurize_trajectory
+from pmarlo_tpu.features.pairs import (
+    diagnose_pairs,
+    expected_pairs,
+    lagged_time_pairs,
+    segment_lagged_pairs,
+)
+
+
+def test_spec_parser_grammar():
+    specs = parse_feature_spec("phi_psi")
+    assert specs[0].name == "phi_psi"
+    specs = parse_feature_spec("distance(1,7)")
+    assert specs[0].name == "distance" and specs[0].args == (1, 7)
+    specs = parse_feature_spec("dist:atompair(3,9)")
+    assert specs[0].name == "distance" and specs[0].args == (3, 9)
+    specs = parse_feature_spec("distance([2,5])")
+    assert specs[0].args == (2, 5)
+    specs = parse_feature_spec(["phi_psi", "rg"])
+    assert [s.name for s in specs] == ["phi_psi", "rg"]
+    specs = parse_feature_spec("phi_psi,rg")
+    assert [s.name for s in specs] == ["phi_psi", "rg"]
+    with pytest.raises(KeyError):
+        get_feature("not_a_feature")
+
+
+def test_dihedral_analytic():
+    # four points with a known 90-degree dihedral
+    pts = np.array([
+        [[1.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 1.0], [0.0, 1.0, 1.0]]
+    ], dtype=np.float32)
+    quad = np.array([[0, 1, 2, 3]], dtype=np.int32)
+    angle = float(np.asarray(compute_dihedrals(pts, quad))[0, 0])
+    assert abs(abs(angle) - np.pi / 2) < 1e-5
+
+
+def test_dihedral_trans_is_pi():
+    pts = np.array([
+        [[-1.0, 1.0, 0.0], [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [2.0, -1.0, 0.0]]
+    ], dtype=np.float32)
+    quad = np.array([[0, 1, 2, 3]], dtype=np.int32)
+    angle = float(np.asarray(compute_dihedrals(pts, quad))[0, 0])
+    assert abs(abs(angle) - np.pi) < 1e-5
+
+
+def test_phi_psi_indices_alanine(topology_info):
+    phi_q, psi_q, labels = phi_psi_indices(
+        topology_info.atom_names, topology_info.residue_ids
+    )
+    assert phi_q.shape == (1, 4) and psi_q.shape == (1, 4)  # only ALA
+    assert labels == [2]
+
+
+def test_featurize_alanine(alanine_system, topology_info):
+    _, positions, _ = alanine_system
+    traj = np.asarray(positions)[None].repeat(5, axis=0)
+    X, info = featurize_trajectory(traj, "phi_psi", topology_info)
+    assert X.shape == (5, 2)
+    assert info["periodic"].all()
+    X2, info2 = featurize_trajectory(
+        traj, "phi_psi", topology_info, cos_sin_expand=True
+    )
+    assert X2.shape == (5, 4)
+    assert not info2["periodic"].any()
+    np.testing.assert_allclose(
+        np.asarray(X2[:, :2]) ** 2 + np.asarray(X2[:, 2:]) ** 2, 1.0, atol=1e-5
+    )
+
+
+def test_distance_and_rg():
+    traj = np.zeros((2, 3, 3), dtype=np.float32)
+    traj[:, 1, 0] = 3.0
+    traj[:, 2, 1] = 4.0
+    d = np.asarray(compute_distances(traj, np.array([[0, 1], [1, 2]])))
+    assert abs(d[0, 0] - 3.0) < 1e-5
+    assert abs(d[0, 1] - 5.0) < 1e-5
+    rg = np.asarray(radius_of_gyration(traj))
+    assert rg.shape == (2,) and (rg > 0).all()
+
+
+def test_lagged_pairs():
+    i, j = lagged_time_pairs(10, 3)
+    assert len(i) == 7 and (j - i == 3).all()
+    i, j = lagged_time_pairs(3, 5)
+    assert len(i) == 0
+    i, j = segment_lagged_pairs([5, 5], 2)
+    assert len(i) == 6
+    # no pair crosses the boundary at index 5
+    assert not ((i < 5) & (j >= 5)).any()
+    assert expected_pairs([5, 5], 2) == 6
+    diag = diagnose_pairs([5, 2], 2)
+    assert diag["too_short_segments"] == [1]

@@ -1,0 +1,91 @@
+"""I/O: PDB round-trips, trajectory store, shard contracts."""
+
+import json
+
+import numpy as np
+import pytest
+
+from pmarlo_tpu.data import alanine_dipeptide_structure
+from pmarlo_tpu.io.pdb import read_pdb, write_pdb
+from pmarlo_tpu.io.shards import (
+    emit_shards_from_trajectory,
+    feature_spec_hash,
+    read_shard,
+    select_shard_paths,
+    shard_id,
+    write_shard,
+)
+from pmarlo_tpu.io.trajectory import TrajectoryReader, TrajectoryWriter, iterload
+
+
+def test_pdb_roundtrip(tmp_path):
+    s = alanine_dipeptide_structure()
+    coords = s.coordinates()
+    names = [a.name for r in s.residues for a in r.atoms]
+    rnames = [a.resname for r in s.residues for a in r.atoms]
+    rids = [a.resid for r in s.residues for a in r.atoms]
+    p = write_pdb(tmp_path / "x.pdb", coords, names, rnames, rids)
+    loaded = read_pdb(p)
+    np.testing.assert_allclose(loaded.coordinates(), coords, atol=1e-4)
+    assert [a.name for r in loaded.residues for a in r.atoms] == names
+
+
+def test_trajectory_writer_reader(tmp_path):
+    path = tmp_path / "traj.npz"
+    with TrajectoryWriter(path, metadata={"temperature_K": 300.0},
+                          flush_interval=3) as w:
+        for _ in range(4):  # exercises the spill path
+            w.write_frames(np.random.rand(2, 5, 3).astype(np.float32))
+    r = TrajectoryReader(path)
+    assert r.probe_length() == 8
+    assert r.metadata()["temperature_K"] == 300.0
+    chunks = list(r.iter_frames(chunk=3))
+    assert sum(c.shape[0] for c in chunks) == 8
+    assert sum(1 for _ in iterload(path, chunk=3, stride=2)) >= 1
+
+
+def test_shard_contract(tmp_path):
+    assert shard_id(300.0, "abc") == "T300_run-abc"
+    assert shard_id(312.5, "r", 3) == "T312.5_run-r_00003"
+    feats = np.random.rand(50, 4).astype(np.float32)
+    p = write_shard(
+        tmp_path, temperature_K=300.0, run_id="test", features=feats,
+        feature_spec=["phi_psi"], stride=2, dt_ps=0.002,
+        source_range=(100, 150), bias={"kind": "none"},
+    )
+    shard = read_shard(p)
+    meta = shard["metadata"]
+    assert meta["shard_id"] == "T300_run-test"
+    assert meta["n_frames"] == 50
+    assert meta["source"]["range"] == [100, 150]
+    assert meta["feature_spec_hash"] == feature_spec_hash(["phi_psi"])
+    np.testing.assert_array_equal(shard["features"], feats)
+
+
+def test_shard_selection(tmp_path):
+    for T in (300.0, 350.0):
+        for i in range(3):
+            write_shard(tmp_path, temperature_K=T, run_id="r1",
+                        features=np.zeros((10, 2)), index=i)
+    assert len(select_shard_paths(tmp_path)) == 6
+    assert len(select_shard_paths(tmp_path, temperature_K=300.0)) == 3
+    assert len(select_shard_paths(tmp_path, temperature_K=300.0, limit=2)) == 2
+    assert len(select_shard_paths(tmp_path, run_id="nope")) == 0
+
+
+def test_emit_shards(tmp_path):
+    feats = np.random.rand(95, 3).astype(np.float32)
+    paths = emit_shards_from_trajectory(
+        tmp_path, feats, temperature_K=320.0, run_id="emit",
+        frames_per_shard=30,
+    )
+    assert len(paths) == 4  # 30+30+30+5
+    total = sum(read_shard(p)["metadata"]["n_frames"] for p in paths)
+    assert total == 95
+    ranges = [tuple(read_shard(p)["metadata"]["source"]["range"]) for p in paths]
+    assert ranges == [(0, 30), (30, 60), (60, 90), (90, 95)]
+
+
+def test_shard_requires_payload(tmp_path):
+    with pytest.raises(ValueError, match="features and/or coordinates"):
+        write_shard(tmp_path, temperature_K=300.0, run_id="x")

@@ -1,0 +1,56 @@
+"""Integrator and minimizer behavior."""
+
+import jax
+import numpy as np
+import pytest
+
+from pmarlo_tpu.md.integrate import (
+    instantaneous_temperature,
+    run_md,
+    thermalize,
+)
+from pmarlo_tpu.md.minimize import minimize_energy
+from pmarlo_tpu.md.forces import potential_energy
+
+
+def test_minimize_reduces_energy(alanine_system):
+    system, positions, _ = alanine_system
+    x_min, e_min = minimize_energy(system, positions, max_iterations=300)
+    e0 = float(potential_energy(system, positions))
+    assert float(e_min) < e0
+    assert np.isfinite(np.asarray(x_min)).all()
+
+
+def test_md_stays_finite_and_thermalizes(alanine_system):
+    system, positions, _ = alanine_system
+    x_min, _ = minimize_energy(system, positions, max_iterations=200)
+    state = thermalize(system, x_min, jax.random.PRNGKey(1), 300.0)
+    final, frames = run_md(
+        system, state, n_steps=2000, dt=0.002, friction=1.0,
+        temperature_K=300.0, report_interval=100,
+    )
+    temps = np.asarray(frames["temperature"])
+    assert np.isfinite(np.asarray(final.positions)).all()
+    # 22 atoms: sigma(T) ~ 55 K; mean over 20 samples within ~4 sigma/sqrt(20)
+    assert 180 < temps[5:].mean() < 420
+
+
+def test_md_reproducible_same_seed(alanine_system):
+    system, positions, _ = alanine_system
+    runs = []
+    for _ in range(2):
+        state = thermalize(system, positions, jax.random.PRNGKey(7), 300.0)
+        final, _ = run_md(
+            system, state, n_steps=200, dt=0.002, friction=1.0,
+            temperature_K=300.0, report_interval=100,
+        )
+        runs.append(np.asarray(final.positions))
+    np.testing.assert_array_equal(runs[0], runs[1])
+
+
+def test_run_md_validates_report_interval(alanine_system):
+    system, positions, _ = alanine_system
+    state = thermalize(system, positions, jax.random.PRNGKey(0), 300.0)
+    with pytest.raises(ValueError, match="multiple"):
+        run_md(system, state, n_steps=150, dt=0.002, friction=1.0,
+               temperature_K=300.0, report_interval=100)

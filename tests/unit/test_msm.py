@@ -1,0 +1,119 @@
+"""MSM math: counting, estimation, ITS, CK — the reference's analytic
+two-state oracles (tests/unit/markov_state_model/ in the reference)."""
+
+import numpy as np
+import pytest
+
+from pmarlo_tpu.msm.counting import counts_from_dtrajs, split_invalid_segments
+from pmarlo_tpu.msm.estimation import build_msm, reversible_mle
+from pmarlo_tpu.msm.its import compute_implied_timescales, detect_plateau
+from pmarlo_tpu.msm.ck import ck_test, decide_ck, CKConfig
+from pmarlo_tpu.utils.errors import EstimationError
+from pmarlo_tpu.utils.msm_utils import (
+    candidate_lag_ladder,
+    check_transition_matrix,
+    ensure_connected_counts,
+    stationary_distribution,
+)
+
+
+def _two_state_dtraj(p_stay=0.95, n=50_000, seed=0):
+    rng = np.random.default_rng(seed)
+    d = np.zeros(n, dtype=np.int64)
+    for t in range(1, n):
+        d[t] = d[t - 1] if rng.random() < p_stay else 1 - d[t - 1]
+    return d
+
+
+def test_counting_hand_check():
+    d = np.array([0, 0, 1, 1, 0, -1, 1, 1])
+    C = counts_from_dtrajs([d], 1, 2)
+    # pairs: (0,0)(0,1)(1,1)(1,0); (0,-1) and (-1,1) dropped; (1,1)
+    assert C[0, 0] == 1 and C[0, 1] == 1 and C[1, 1] == 2 and C[1, 0] == 1
+
+
+def test_counting_segment_safety():
+    # two segments must not create a cross-boundary pair
+    C_joint = counts_from_dtrajs([np.array([0, 0]), np.array([1, 1])], 1, 2)
+    assert C_joint[0, 1] == 0
+    C_concat = counts_from_dtrajs([np.array([0, 0, 1, 1])], 1, 2)
+    assert C_concat[0, 1] == 1
+
+
+def test_strided_counting():
+    d = np.arange(10) % 2
+    sliding = counts_from_dtrajs([d], 2, 2)
+    strided = counts_from_dtrajs([d], 2, 2, count_mode="strided")
+    assert sliding.sum() == 8 and strided.sum() == 4
+
+
+def test_two_state_msm_analytic():
+    d = _two_state_dtraj()
+    msm = build_msm(d, lag=1, n_states=2)
+    # symmetric chain: pi = [0.5, 0.5], T offdiag ~ 0.05
+    np.testing.assert_allclose(msm.stationary_distribution, [0.5, 0.5], atol=0.02)
+    np.testing.assert_allclose(msm.transition_matrix[0, 1], 0.05, atol=0.01)
+    # t1 = -1/ln(2*p_stay - 1) = -1/ln(0.9)
+    expected_t1 = -1 / np.log(0.9)
+    assert abs(msm.timescales(1)[0] - expected_t1) / expected_t1 < 0.15
+
+
+def test_reversible_mle_detailed_balance():
+    rng = np.random.default_rng(1)
+    C = rng.integers(1, 50, (5, 5)).astype(float)
+    T = reversible_mle(C)
+    check_transition_matrix(T)
+    pi = stationary_distribution(T)
+    flux = pi[:, None] * T
+    np.testing.assert_allclose(flux, flux.T, atol=1e-6)
+
+
+def test_connected_counts_restriction():
+    C = np.array([[5, 1, 0], [2, 3, 0], [0, 0, 7.0]])  # state 2 disconnected
+    restricted, active = ensure_connected_counts(C)
+    assert set(active.tolist()) == {0, 1}
+    assert restricted.shape == (2, 2)
+
+
+def test_lag_exceeding_length_raises():
+    with pytest.raises(EstimationError, match="lag"):
+        build_msm(np.zeros(5, dtype=int), lag=10, n_states=2)
+
+
+def test_its_recovers_timescale(double_well_dtrajs):
+    dtrajs, _ = double_well_dtrajs
+    its = compute_implied_timescales(
+        dtrajs, lags=[1, 2, 5, 10, 20], n_samples=25, n_timescales=2
+    )
+    assert its.timescales.shape == (5, 2)
+    assert np.isfinite(its.timescales[:, 0]).all()
+    assert (its.ci_upper[:, 0] >= its.ci_lower[:, 0]).all()
+    # slowest timescale roughly lag-independent at larger lags
+    assert its.timescales[-1, 0] > 10
+
+
+def test_plateau_detection():
+    lags = np.array([1, 2, 5, 10, 20])
+    its = np.array([[50.0], [80.0], [100.0], [101.0], [99.0]])
+    assert detect_plateau(lags, its) == 5
+
+
+def test_ck_two_state_passes(double_well_dtrajs):
+    dtrajs, _ = double_well_dtrajs
+    ck = ck_test(dtrajs, lag=5, factors=(2, 3))
+    assert not ck.insufficient_data
+    assert ck.max_error < 0.1
+    decision = decide_ck(ck, CKConfig(threshold=0.1))
+    assert decision["passed"]
+
+
+def test_split_invalid_segments():
+    d = np.array([0, 1, -1, 2, 3, -1, -1, 4])
+    segs = split_invalid_segments(d)
+    assert [s.tolist() for s in segs] == [[0, 1], [2, 3], [4]]
+
+
+def test_lag_ladder_monotone():
+    ladder = candidate_lag_ladder(100, n_lags=10)
+    assert ladder == sorted(set(ladder))
+    assert ladder[0] >= 1 and ladder[-1] <= 100

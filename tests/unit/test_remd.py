@@ -1,0 +1,79 @@
+"""REMD: ladder parsing, swap bookkeeping, determinism, short runs."""
+
+import numpy as np
+import pytest
+
+from pmarlo_tpu.remd.remd import RemdConfig, ReplicaExchange
+from pmarlo_tpu.utils.input_parsing import (
+    geometric_temperature_ladder,
+    parse_temperature_ladder,
+)
+
+
+def test_ladder_parsing():
+    assert parse_temperature_ladder("300,320,340") == [300.0, 320.0, 340.0]
+    ladder = parse_temperature_ladder("300:600:4")
+    assert len(ladder) == 4
+    assert ladder[0] == pytest.approx(300) and ladder[-1] == pytest.approx(600)
+    # geometric: constant ratio
+    ratios = np.diff(np.log(ladder))
+    np.testing.assert_allclose(ratios, ratios[0], rtol=1e-10)
+    with pytest.raises(ValueError):
+        parse_temperature_ladder("500,300")
+    with pytest.raises(ValueError):
+        parse_temperature_ladder("300:200:4")
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="divide"):
+        RemdConfig(exchange_frequency=100, report_interval=33)
+    cfg = RemdConfig(n_replicas=4, t_min=300, t_max=400)
+    assert len(cfg.ladder()) == 4
+
+
+@pytest.fixture(scope="module")
+def short_remd(alanine_system_module):
+    system, positions, _ = alanine_system_module
+    cfg = RemdConfig(
+        n_replicas=4, t_min=300, t_max=600, exchange_frequency=50,
+        report_interval=50, seed=5,
+    )
+    remd = ReplicaExchange(system, positions, cfg, minimize=True)
+    return remd.run(n_steps=1000)
+
+
+@pytest.fixture(scope="module")
+def alanine_system_module():
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.md.forcefield import build_system
+    from pmarlo_tpu.md.topology import build_topology
+
+    topo = build_topology(alanine_dipeptide_structure())
+    system, positions = build_system(topo)
+    return system, positions, topo
+
+
+def test_remd_shapes_and_stats(short_remd):
+    res = short_remd
+    assert res.positions.shape[:2] == (20, 4)
+    assert res.potential_energy.shape == (20, 4)
+    assert res.replica_ids.shape == (21, 4)
+    assert np.isfinite(res.positions).all()
+    # every identity row is a permutation of replicas
+    for row in res.replica_ids:
+        assert sorted(row.tolist()) == [0, 1, 2, 3]
+    assert 0.0 <= res.mean_acceptance <= 1.0
+
+
+def test_remd_energy_ordering(short_remd):
+    # hotter rungs should have higher mean potential energy
+    means = short_remd.potential_energy[5:].mean(axis=0)
+    assert means[-1] > means[0]
+
+
+def test_demux_and_replica_views(short_remd):
+    res = short_remd
+    demux = res.demuxed_trajectory(0)
+    assert demux.shape == (20, 22, 3)
+    walker = res.replica_trajectory(0)
+    assert walker.shape == (20, 22, 3)
