@@ -64,6 +64,42 @@ def remove_com_motion(system: System, velocities: jax.Array) -> jax.Array:
     return velocities - (p / total_mass)[None, :]
 
 
+def make_force_fn(
+    system: System,
+    bias_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    analytic: bool = True,
+):
+    """Build ``force_fn(x) -> (energy, forces)``.
+
+    ``analytic=True`` uses the manual-derivative dense path
+    (md/analytic.py) — ~2x fewer ops than forward+reverse autodiff and the
+    same math the Pallas kernel runs; the bias term (if any) is small and
+    stays on autodiff.
+    """
+    if analytic:
+        from .analytic import energy_and_forces, make_dense_params
+
+        dense = make_dense_params(system)
+
+        def force_fn(x):
+            e, f = energy_and_forces(dense, x)
+            if bias_fn is not None:
+                be, bg = jax.value_and_grad(bias_fn)(x)
+                e = e + be
+                f = f - bg
+            return e, f
+
+        return force_fn
+
+    def force_fn(x):
+        e, g = jax.value_and_grad(
+            lambda p: potential_energy(system, p, bias_fn)
+        )(x)
+        return e, -g
+
+    return force_fn
+
+
 def langevin_step(
     system: System,
     state: MDState,
@@ -72,6 +108,7 @@ def langevin_step(
     friction: float,
     temperature_K: float | jax.Array,
     bias_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    force_fn: Optional[Callable] = None,
 ) -> Tuple[MDState, jax.Array]:
     """One BAOAB step. Returns (new_state, potential_energy).
 
@@ -85,10 +122,13 @@ def langevin_step(
     kT = BOLTZMANN_CONSTANT_KJ_PER_MOL * temperature_K
     m = system.masses[:, None]
 
-    energy, grad = jax.value_and_grad(
-        lambda x: potential_energy(system, x, bias_fn)
-    )(state.positions)
-    f = -grad
+    if force_fn is not None:
+        energy, f = force_fn(state.positions)
+    else:
+        energy, grad = jax.value_and_grad(
+            lambda x: potential_energy(system, x, bias_fn)
+        )(state.positions)
+        f = -grad
 
     v = state.velocities + 0.5 * dt * f / m
     x = state.positions + 0.5 * dt * v
@@ -116,6 +156,7 @@ def run_md(
     temperature_K: float | jax.Array,
     report_interval: int = 100,
     bias_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    force_fn: Optional[Callable] = None,
 ) -> Tuple[MDState, dict]:
     """Run ``n_steps`` and collect frames every ``report_interval`` steps.
 
@@ -130,10 +171,13 @@ def run_md(
         )
     n_chunks = n_steps // report_interval
 
+    if force_fn is None:
+        force_fn = make_force_fn(system, bias_fn, analytic=True)
+
     def inner(carry, _):
         new_state, energy = langevin_step(
             system, carry, dt=dt, friction=friction,
-            temperature_K=temperature_K, bias_fn=bias_fn,
+            temperature_K=temperature_K, force_fn=force_fn,
         )
         return new_state, energy
 

@@ -180,6 +180,211 @@ TEMPLATES["PRO"] = _t(
            ("CD", "HD3")],
 )
 
+TEMPLATES["SER"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.0249),
+        "HA": ("H1", 0.0843), "CB": ("CT", 0.2117),
+        "HB2": ("H1", 0.0352), "HB3": ("H1", 0.0352),
+        "OG": ("OH", -0.6546), "HG": ("HO", 0.4275),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "OG"), ("OG", "HG")],
+)
+
+TEMPLATES["CYS"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", 0.0213),
+        "HA": ("H1", 0.1124), "CB": ("CT", -0.1231),
+        "HB2": ("H1", 0.1112), "HB3": ("H1", 0.1112),
+        "SG": ("SH", -0.3119), "HG": ("HS", 0.1933),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "SG"), ("SG", "HG")],
+)
+
+TEMPLATES["MET"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.0237),
+        "HA": ("H1", 0.0880), "CB": ("CT", 0.0342),
+        "HB2": ("HC", 0.0241), "HB3": ("HC", 0.0241),
+        "CG": ("CT", 0.0018), "HG2": ("H1", 0.0440), "HG3": ("H1", 0.0440),
+        "SD": ("S", -0.2737), "CE": ("CT", -0.0536),
+        "HE1": ("H1", 0.0684), "HE2": ("H1", 0.0684), "HE3": ("H1", 0.0684),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "CG"), ("CG", "HG2"), ("CG", "HG3"),
+                             ("CG", "SD"), ("SD", "CE"), ("CE", "HE1"),
+                             ("CE", "HE2"), ("CE", "HE3")],
+)
+
+TEMPLATES["VAL"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.0875),
+        "HA": ("H1", 0.0969), "CB": ("CT", 0.2985), "HB": ("HC", -0.0297),
+        "CG1": ("CT", -0.3192),
+        "HG11": ("HC", 0.0791), "HG12": ("HC", 0.0791), "HG13": ("HC", 0.0791),
+        "CG2": ("CT", -0.3192),
+        "HG21": ("HC", 0.0791), "HG22": ("HC", 0.0791), "HG23": ("HC", 0.0791),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB"),
+                             ("CB", "CG1"), ("CG1", "HG11"), ("CG1", "HG12"),
+                             ("CG1", "HG13"), ("CB", "CG2"), ("CG2", "HG21"),
+                             ("CG2", "HG22"), ("CG2", "HG23")],
+)
+
+TEMPLATES["LEU"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.0518),
+        "HA": ("H1", 0.0922), "CB": ("CT", -0.1102),
+        "HB2": ("HC", 0.0457), "HB3": ("HC", 0.0457),
+        "CG": ("CT", 0.3531), "HG": ("HC", -0.0361),
+        "CD1": ("CT", -0.4121),
+        "HD11": ("HC", 0.1000), "HD12": ("HC", 0.1000), "HD13": ("HC", 0.1000),
+        "CD2": ("CT", -0.4121),
+        "HD21": ("HC", 0.1000), "HD22": ("HC", 0.1000), "HD23": ("HC", 0.1000),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "CG"), ("CG", "HG"),
+                             ("CG", "CD1"), ("CD1", "HD11"), ("CD1", "HD12"),
+                             ("CD1", "HD13"), ("CG", "CD2"), ("CD2", "HD21"),
+                             ("CD2", "HD22"), ("CD2", "HD23")],
+)
+
+TEMPLATES["ILE"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.0597),
+        "HA": ("H1", 0.0869), "CB": ("CT", 0.1303), "HB": ("HC", 0.0187),
+        "CG2": ("CT", -0.3204),
+        "HG21": ("HC", 0.0882), "HG22": ("HC", 0.0882), "HG23": ("HC", 0.0882),
+        "CG1": ("CT", -0.0430),
+        "HG12": ("HC", 0.0236), "HG13": ("HC", 0.0236),
+        "CD1": ("CT", -0.0660),
+        "HD11": ("HC", 0.0186), "HD12": ("HC", 0.0186), "HD13": ("HC", 0.0186),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB"),
+                             ("CB", "CG2"), ("CG2", "HG21"), ("CG2", "HG22"),
+                             ("CG2", "HG23"), ("CB", "CG1"), ("CG1", "HG12"),
+                             ("CG1", "HG13"), ("CG1", "CD1"), ("CD1", "HD11"),
+                             ("CD1", "HD12"), ("CD1", "HD13")],
+)
+
+TEMPLATES["PHE"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.0024),
+        "HA": ("H1", 0.0978), "CB": ("CT", -0.0343),
+        "HB2": ("HC", 0.0295), "HB3": ("HC", 0.0295),
+        "CG": ("CA", 0.0118),
+        "CD1": ("CA", -0.1256), "HD1": ("HA", 0.1330),
+        "CD2": ("CA", -0.1256), "HD2": ("HA", 0.1330),
+        "CE1": ("CA", -0.1704), "HE1": ("HA", 0.1430),
+        "CE2": ("CA", -0.1704), "HE2": ("HA", 0.1430),
+        "CZ": ("CA", -0.1072), "HZ": ("HA", 0.1297),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "CG"), ("CG", "CD1"), ("CG", "CD2"),
+                             ("CD1", "HD1"), ("CD2", "HD2"),
+                             ("CD1", "CE1"), ("CD2", "CE2"),
+                             ("CE1", "HE1"), ("CE2", "HE2"),
+                             ("CE1", "CZ"), ("CE2", "CZ"), ("CZ", "HZ")],
+)
+
+TEMPLATES["ASN"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", 0.0143),
+        "HA": ("H1", 0.1048), "CB": ("CT", -0.2041),
+        "HB2": ("HC", 0.0797), "HB3": ("HC", 0.0797),
+        "CG": ("C", 0.7130), "OD1": ("O", -0.5931),
+        "ND2": ("N", -0.9191), "HD21": ("H", 0.4196), "HD22": ("H", 0.4196),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "CG"), ("CG", "OD1"), ("CG", "ND2"),
+                             ("ND2", "HD21"), ("ND2", "HD22")],
+)
+
+TEMPLATES["GLN"] = _t(
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.0031),
+        "HA": ("H1", 0.0850), "CB": ("CT", -0.0036),
+        "HB2": ("HC", 0.0171), "HB3": ("HC", 0.0171),
+        "CG": ("CT", -0.0645), "HG2": ("HC", 0.0352), "HG3": ("HC", 0.0352),
+        "CD": ("C", 0.6951), "OE1": ("O", -0.6086),
+        "NE2": ("N", -0.9407), "HE21": ("H", 0.4251), "HE22": ("H", 0.4251),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "CG"), ("CG", "HG2"), ("CG", "HG3"),
+                             ("CG", "CD"), ("CD", "OE1"), ("CD", "NE2"),
+                             ("NE2", "HE21"), ("NE2", "HE22")],
+)
+
+TEMPLATES["LYS"] = _t(
+    atoms={
+        "N": ("N", -0.3479), "H": ("H", 0.2747), "CA": ("CT", -0.2400),
+        "HA": ("H1", 0.1426), "CB": ("CT", -0.0094),
+        "HB2": ("HC", 0.0362), "HB3": ("HC", 0.0362),
+        "CG": ("CT", 0.0187), "HG2": ("HC", 0.0103), "HG3": ("HC", 0.0103),
+        "CD": ("CT", -0.0479), "HD2": ("HC", 0.0621), "HD3": ("HC", 0.0621),
+        "CE": ("CT", -0.0143), "HE2": ("HP", 0.1135), "HE3": ("HP", 0.1135),
+        "NZ": ("N3", -0.3854),
+        "HZ1": ("H", 0.3400), "HZ2": ("H", 0.3400), "HZ3": ("H", 0.3400),
+        "C": ("C", 0.7341), "O": ("O", -0.5894),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "CG"), ("CG", "HG2"), ("CG", "HG3"),
+                             ("CG", "CD"), ("CD", "HD2"), ("CD", "HD3"),
+                             ("CD", "CE"), ("CE", "HE2"), ("CE", "HE3"),
+                             ("CE", "NZ"), ("NZ", "HZ1"), ("NZ", "HZ2"),
+                             ("NZ", "HZ3")],
+)
+
+TEMPLATES["ARG"] = _t(
+    atoms={
+        "N": ("N", -0.3479), "H": ("H", 0.2747), "CA": ("CT", -0.2637),
+        "HA": ("H1", 0.1560), "CB": ("CT", -0.0007),
+        "HB2": ("HC", 0.0327), "HB3": ("HC", 0.0327),
+        "CG": ("CT", 0.0390), "HG2": ("HC", 0.0285), "HG3": ("HC", 0.0285),
+        "CD": ("CT", 0.0486), "HD2": ("H1", 0.0687), "HD3": ("H1", 0.0687),
+        "NE": ("N2", -0.5295), "HE": ("H", 0.3456),
+        "CZ": ("CA", 0.8076),
+        "NH1": ("N2", -0.8627), "HH11": ("H", 0.4478), "HH12": ("H", 0.4478),
+        "NH2": ("N2", -0.8627), "HH21": ("H", 0.4478), "HH22": ("H", 0.4478),
+        "C": ("C", 0.7341), "O": ("O", -0.5894),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "CG"), ("CG", "HG2"), ("CG", "HG3"),
+                             ("CG", "CD"), ("CD", "HD2"), ("CD", "HD3"),
+                             ("CD", "NE"), ("NE", "HE"), ("NE", "CZ"),
+                             ("CZ", "NH1"), ("NH1", "HH11"), ("NH1", "HH12"),
+                             ("CZ", "NH2"), ("NH2", "HH21"), ("NH2", "HH22")],
+)
+
+# Histidine: neutral epsilon tautomer (HIE), the amber default for "HIS"
+_HIS_ATOMS = {
+    "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.0581),
+    "HA": ("H1", 0.1360), "CB": ("CT", -0.0074),
+    "HB2": ("HC", 0.0367), "HB3": ("HC", 0.0367),
+    "CG": ("CC", 0.1868), "ND1": ("NB", -0.5432),
+    "CE1": ("CR", 0.1635), "HE1": ("H5", 0.1435),
+    "NE2": ("NA", -0.2795), "HE2": ("H", 0.3339),
+    "CD2": ("CW", -0.2207), "HD2": ("H4", 0.1862),
+    "C": ("C", 0.5973), "O": ("O", -0.5679),
+}
+_HIS_BONDS = _BACKBONE_BONDS + [
+    ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"), ("CB", "CG"),
+    ("CG", "ND1"), ("ND1", "CE1"), ("CE1", "HE1"), ("CE1", "NE2"),
+    ("NE2", "HE2"), ("NE2", "CD2"), ("CD2", "HD2"), ("CD2", "CG"),
+]
+TEMPLATES["HIS"] = _t(atoms=_HIS_ATOMS, bonds=_HIS_BONDS)
+TEMPLATES["HIE"] = TEMPLATES["HIS"]
+
 # --- terminal variants ------------------------------------------------------
 # Protonated N-terminus (NH3+) and deprotonated C-terminus (COO-). Charges
 # from the amber N*/C* libraries for GLY; other residues get generated

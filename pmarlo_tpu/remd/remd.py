@@ -150,6 +150,10 @@ class ReplicaExchange:
         self.mesh = mesh
         self.ladder = jnp.asarray(config.ladder(), dtype=positions.dtype)
         self.n_replicas = int(self.ladder.shape[0])
+        from ..md.integrate import make_force_fn
+
+        self._force_fn = make_force_fn(system, bias_fn, analytic=True)
+        self._jit_cache: Dict = {}
 
         key = jax.random.PRNGKey(config.seed)
         if minimize:
@@ -188,13 +192,13 @@ class ReplicaExchange:
     def _md_chunk(self, state: MDState, temps: jax.Array, n_steps: int):
         """vmapped Langevin chunk at per-replica temperatures."""
         dt, friction = self.config.dt_ps, self.config.friction_per_ps
-        system, bias_fn = self.system, self.bias_fn
+        system, force_fn = self.system, self._force_fn
 
         def one_step(carry, _):
             def step_single(st, T):
                 return langevin_step(
                     system, st, dt=dt, friction=friction,
-                    temperature_K=T, bias_fn=bias_fn,
+                    temperature_K=T, force_fn=force_fn,
                 )
             new_state, energy = jax.vmap(step_single)(carry, temps)
             return new_state, energy
@@ -271,6 +275,15 @@ class ReplicaExchange:
                 f"{cfg.exchange_frequency}"
             )
         state = self.state
+        # cached jitted chunk (retracing per call would dominate wall time)
+        def _chunk_jit(n: int):
+            key = ("chunk", n)
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(
+                    lambda st, temps: self._md_chunk(st, temps, n)
+                )
+            return self._jit_cache[key]
+
         # --- gradual heating (CHANGELOG.md:291) ---
         if cfg.heating_steps > 0:
             n_ramp = 10
@@ -278,14 +291,10 @@ class ReplicaExchange:
             for i in range(n_ramp):
                 frac = (i + 1) / n_ramp
                 temps = cfg.t_min + frac * (self.ladder - cfg.t_min)
-                state, _ = jax.jit(self._md_chunk, static_argnums=2)(
-                    state, temps, per
-                )
+                state, _ = _chunk_jit(per)(state, temps)
         # --- equilibration at target temperatures ---
         if cfg.equilibration_steps > 0:
-            state, _ = jax.jit(self._md_chunk, static_argnums=2)(
-                state, self.ladder, cfg.equilibration_steps
-            )
+            state, _ = _chunk_jit(cfg.equilibration_steps)(state, self.ladder)
 
         n_attempts = n_steps // cfg.exchange_frequency
         frames_per_chunk = max(cfg.exchange_frequency // cfg.report_interval, 1)
@@ -320,16 +329,20 @@ class ReplicaExchange:
             }
             return (state, replica_ids, key), out
 
-        run_scan = jax.jit(
-            lambda st, ids, key: jax.lax.scan(
-                body, (st, ids, key), jnp.arange(n_attempts)
+        scan_key = ("run", n_attempts, frames_per_chunk)
+        if scan_key not in self._jit_cache:
+            self._jit_cache[scan_key] = jax.jit(
+                lambda st, ids, key: jax.lax.scan(
+                    body, (st, ids, key), jnp.arange(n_attempts)
+                )
             )
-        )
-        (state, replica_ids, _), out = run_scan(
+        (state, replica_ids, _), out = self._jit_cache[scan_key](
             state, self.replica_ids, self._swap_key
         )
         self.state = state
         self.replica_ids = replica_ids
+        # advance the swap stream so repeated run() calls draw fresh randomness
+        self._swap_key = jax.random.fold_in(self._swap_key, n_attempts)
 
         # flatten (A, frames_per_chunk, R, ...) -> (F, R, ...)
         pos = np.asarray(out["frames"]["positions"])
