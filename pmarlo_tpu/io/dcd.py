@@ -1,0 +1,197 @@
+"""DCD trajectory interop: native C++ codec with pure-Python fallback.
+
+The reference reads/writes DCD through mdtraj's C plugin (src/pmarlo/io/
+trajectory.py:100, trajectory_writer.py:192). Here the codec is
+first-party: ``native/dcd.cpp`` compiled on demand (ctypes, no pybind11
+needed), with a NumPy struct-level fallback when no compiler is available.
+Coordinates are nm on the Python side, Angstrom on disk (DCD convention).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import struct
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("pmarlo_tpu")
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_SO_PATH = _NATIVE_DIR / "libpmarlo_dcd.so"
+_lib: Optional[ctypes.CDLL] = None
+_native_failed = False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    global _lib, _native_failed
+    if _lib is not None or _native_failed:
+        return _lib
+    src = _NATIVE_DIR / "dcd.cpp"
+    try:
+        if not _SO_PATH.exists() or (
+            src.exists() and src.stat().st_mtime > _SO_PATH.stat().st_mtime
+        ):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", str(_SO_PATH), str(src)],
+                check=True, capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(str(_SO_PATH))
+        lib.pmarlo_dcd_write.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
+        ]
+        lib.pmarlo_dcd_write.restype = ctypes.c_int
+        lib.pmarlo_dcd_probe.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.pmarlo_dcd_probe.restype = ctypes.c_int
+        lib.pmarlo_dcd_read.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.pmarlo_dcd_read.restype = ctypes.c_int
+        _lib = lib
+    except (OSError, subprocess.SubprocessError) as exc:
+        logger.info("native DCD codec unavailable (%s); using Python fallback", exc)
+        _native_failed = True
+    return _lib
+
+
+# --- pure-Python fallback -------------------------------------------------------
+
+def _py_write(path: Path, coords_ang: np.ndarray, dt_ps: float, save_interval: int):
+    n_frames, n_atoms = coords_ang.shape[:2]
+    with path.open("wb") as f:
+        def rec(payload: bytes):
+            f.write(struct.pack("<i", len(payload)))
+            f.write(payload)
+            f.write(struct.pack("<i", len(payload)))
+
+        icntrl = [0] * 20
+        icntrl[0] = n_frames
+        icntrl[1] = 1
+        icntrl[2] = save_interval
+        icntrl[3] = n_frames * save_interval
+        delta = struct.unpack("<i", struct.pack("<f", dt_ps / 0.0488882129))[0]
+        icntrl[9] = delta
+        icntrl[19] = 24
+        rec(b"CORD" + struct.pack("<20i", *icntrl))
+        title = b"Created by pmarlo_tpu python DCD writer".ljust(80)
+        rec(struct.pack("<i", 1) + title)
+        rec(struct.pack("<i", n_atoms))
+        for frame in coords_ang:
+            for d in range(3):
+                rec(frame[:, d].astype("<f4").tobytes())
+
+
+def _py_read(path: Path) -> np.ndarray:
+    data = path.read_bytes()
+    off = 0
+
+    def rec():
+        nonlocal off
+        (n,) = struct.unpack_from("<i", data, off)
+        off += 4
+        payload = data[off : off + n]
+        off += n
+        (n2,) = struct.unpack_from("<i", data, off)
+        off += 4
+        if n2 != n:
+            raise ValueError("corrupt DCD record")
+        return payload
+
+    header = rec()
+    if header[:4] != b"CORD":
+        raise ValueError(f"{path} is not a DCD file")
+    icntrl = struct.unpack_from("<20i", header, 4)
+    has_cell = icntrl[10] != 0
+    rec()  # title
+    (n_atoms,) = struct.unpack("<i", rec())
+    frames = []
+    while off < len(data):
+        if has_cell:
+            rec()
+        axes = [np.frombuffer(rec(), dtype="<f4") for _ in range(3)]
+        frames.append(np.stack(axes, axis=1))
+    return np.asarray(frames)
+
+
+# --- public API --------------------------------------------------------------------
+
+def write_dcd(
+    path: "str | Path",
+    coordinates_nm: np.ndarray,
+    *,
+    dt_ps: float = 0.002,
+    save_interval: int = 1,
+) -> Path:
+    """Write (T, N, 3) nm coordinates as a DCD file."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    coords = np.ascontiguousarray(
+        np.asarray(coordinates_nm, dtype=np.float32) * 10.0
+    )
+    if coords.ndim != 3 or coords.shape[-1] != 3:
+        raise ValueError(f"coordinates must be (T, N, 3), got {coords.shape}")
+    lib = _load_native()
+    if lib is not None:
+        rc = lib.pmarlo_dcd_write(
+            str(path).encode(),
+            coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            coords.shape[0], coords.shape[1], dt_ps, save_interval,
+        )
+        if rc != 0:
+            raise IOError(f"native DCD write failed with code {rc}")
+    else:
+        _py_write(path, coords, dt_ps, save_interval)
+    return path
+
+
+def probe_dcd(path: "str | Path") -> Tuple[int, int]:
+    """(n_frames, n_atoms) without reading coordinates."""
+    path = Path(path)
+    lib = _load_native()
+    if lib is not None:
+        nf = ctypes.c_int64()
+        na = ctypes.c_int64()
+        hc = ctypes.c_int32()
+        rc = lib.pmarlo_dcd_probe(str(path).encode(), ctypes.byref(nf),
+                                  ctypes.byref(na), ctypes.byref(hc))
+        if rc != 0:
+            raise IOError(f"native DCD probe failed with code {rc}")
+        return int(nf.value), int(na.value)
+    arr = _py_read(path)
+    return arr.shape[0], arr.shape[1]
+
+
+def read_dcd(
+    path: "str | Path", start: int = 0, count: Optional[int] = None
+) -> np.ndarray:
+    """Read (T, N, 3) coordinates in nm."""
+    path = Path(path)
+    lib = _load_native()
+    if lib is not None:
+        n_frames, n_atoms = probe_dcd(path)
+        if count is None:
+            count = n_frames - start
+        count = max(min(count, n_frames - start), 0)
+        out = np.empty((count, n_atoms, 3), dtype=np.float32)
+        rc = lib.pmarlo_dcd_read(
+            str(path).encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            start, count, n_atoms,
+        )
+        if rc != 0:
+            raise IOError(f"native DCD read failed with code {rc}")
+        return out / 10.0
+    arr = _py_read(path)
+    arr = arr[start : None if count is None else start + count]
+    return arr.astype(np.float32) / 10.0
+
+
+__all__ = ["write_dcd", "read_dcd", "probe_dcd"]

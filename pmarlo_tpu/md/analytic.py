@@ -143,7 +143,14 @@ def make_dense_params(system: System, dtype=jnp.float32) -> DenseParams:
 
 
 def _mm(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # HIGHEST precision: the TPU MXU defaults to bf16 multiplies, which
+    # would round coordinates during one-hot gathers (1e-2 relative force
+    # error); these matmuls are tiny so exactness is free.
+    return jnp.dot(
+        a, b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _bond_energy_forces(p: DenseParams, x):

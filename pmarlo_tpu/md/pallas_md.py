@@ -1,0 +1,490 @@
+"""Fused multi-step Langevin kernel in Pallas: a whole MD chunk per launch.
+
+The XLA path executes ~100 small kernels per MD step (bonded matmuls,
+pairwise stages, integrator ops); at 22-704 atoms every one of them is
+latency-bound. This kernel runs K BAOAB steps for ALL replicas inside one
+``pallas_call``: state lives in VMEM/registers, forces are the analytic
+dense math of md/analytic.py re-laid-out for the TPU vector unit, and
+Gaussian noise comes from the on-core PRNG (Box-Muller over
+``pltpu.prng_random_bits``).
+
+Layout choices (see pallas_guide.md):
+- positions/velocities as (3, R, N): dimension-sliced 2D (R, N) planes keep
+  every elementwise op on well-formed (sublane, lane) tiles and make
+  "vector" math three plane-ops instead of 3D tensors with a lane dim of 3.
+- ALL bonded gathers/scatters are two packed matmuls per dimension: the
+  one-hot selector rows of every bond/angle/torsion endpoint are stacked
+  into single (K_sel, N) matrices, so gather = x_d @ S_all^T and scatter =
+  f_all @ S_all, regardless of how many term types exist.
+- pairwise stages are (R, N, N) tensors (leading replica dim untiled).
+
+Correctness gate: tests/unit/test_pallas_md.py compares one chunk against
+the pure-XLA integrator step-for-step with matched noise disabled
+(friction=0 -> deterministic velocity-Verlet limit) and statistically with
+noise on.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import BOLTZMANN_CONSTANT_KJ_PER_MOL
+from .analytic import DenseParams, make_dense_params
+from .ff_params import GB_DIELECTRIC_OFFSET, OBC2_ALPHA, OBC2_BETA, OBC2_GAMMA
+from .system import System
+
+_EPS = 1e-12
+
+
+# --- packed selector construction (host-side) -----------------------------------
+
+def _pack_selectors(p: DenseParams):
+    """Stack every bonded endpoint selector into one (K, N) matrix.
+
+    Row blocks: [bond_s1, bond_s2, angle_s1..s3, tor_s1..s4]. Returns
+    (S_all, offsets) where offsets mark block starts.
+    """
+    blocks = [
+        np.asarray(p.bond_s1), np.asarray(p.bond_s2),
+        np.asarray(p.angle_s1), np.asarray(p.angle_s2), np.asarray(p.angle_s3),
+        np.asarray(p.tor_s1), np.asarray(p.tor_s2), np.asarray(p.tor_s3),
+        np.asarray(p.tor_s4),
+    ]
+    sizes = [b.shape[0] for b in blocks]
+    offsets = np.cumsum([0] + sizes)
+    return np.concatenate(blocks, axis=0).astype(np.float32), offsets
+
+
+def _torsion_n_masks(tor_n: np.ndarray) -> np.ndarray:
+    """(4, NT) one-hot periodicity masks for n in 1..4."""
+    n = np.rint(tor_n).astype(int)
+    if not np.isin(n, [1, 2, 3, 4]).all():
+        raise ValueError(f"torsion periodicities outside 1..4: {sorted(set(n))}")
+    masks = np.zeros((4, len(n)), dtype=np.float32)
+    for k in range(1, 5):
+        masks[k - 1, n == k] = 1.0
+    return masks
+
+
+def _torsion_signs(tor_phase: np.ndarray) -> np.ndarray:
+    """cos(gamma) for gamma restricted to exactly {0, pi} (amber tables)."""
+    phase = np.asarray(tor_phase)
+    is_zero = np.isclose(phase, 0.0, atol=1e-6)
+    is_pi = np.isclose(np.abs(phase), np.pi, atol=1e-6)
+    if not np.all(is_zero | is_pi):
+        raise ValueError("torsion phases must be exactly 0 or pi for the kernel")
+    return np.where(is_zero, 1.0, -1.0).astype(np.float32)
+
+
+def _normal_from_bits(shape) -> jax.Array:
+    """Standard normals via Box-Muller over the on-core PRNG."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    bits1 = pltpu.prng_random_bits(shape)
+    bits2 = pltpu.prng_random_bits(shape)
+    # uint32 -> (0, 1); offset avoids log(0)
+    u1 = (bits1.astype(jnp.float32) + 0.5) * (1.0 / 4294967296.0) + 0.5
+    u1 = jnp.where(u1 >= 1.0, u1 - 1.0, u1)
+    u1 = jnp.maximum(u1, 1e-7)
+    u2 = (bits2.astype(jnp.float32) + 0.5) * (1.0 / 4294967296.0) + 0.5
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
+
+def _forces_planes(x0, x1, x2, c):
+    """Analytic forces in dimension-plane layout.
+
+    x_d: (R, N). ``c`` is the dict of constant arrays (closed over, baked
+    as compile-time constants into the kernel). Returns (f0, f1, f2, energy)
+    with f_d (R, N), energy (R,).
+    """
+    N = x0.shape[-1]
+    # --- bonded gathers: one packed matmul per dimension ---------------------
+    # (HIGHEST precision: MXU bf16 rounding would corrupt gathered coords)
+    _dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    ST = c["S_all"].T                                  # (N, K)
+    g0 = _dot(x0, ST)                                  # (R, K)
+    g1 = _dot(x1, ST)
+    g2 = _dot(x2, ST)
+    o = c["offsets"]
+
+    def blk(g, i):
+        return g[:, o[i]:o[i + 1]]
+
+    # --- bonds ---------------------------------------------------------------
+    d0 = blk(g0, 0) - blk(g0, 1)
+    d1 = blk(g1, 0) - blk(g1, 1)
+    d2 = blk(g2, 0) - blk(g2, 1)
+    r = jnp.sqrt(d0 * d0 + d1 * d1 + d2 * d2 + _EPS)
+    dr = r - c["bond_r0"]
+    e_bond = jnp.sum(0.5 * c["bond_k"] * dr * dr, axis=1, keepdims=True)
+    coefb = -(c["bond_k"] * dr / r)
+    fb0_1, fb1_1, fb2_1 = coefb * d0, coefb * d1, coefb * d2
+
+    # --- angles ----------------------------------------------------------------
+    ui0 = blk(g0, 2) - blk(g0, 3)
+    ui1 = blk(g1, 2) - blk(g1, 3)
+    ui2 = blk(g2, 2) - blk(g2, 3)
+    wi0 = blk(g0, 4) - blk(g0, 3)
+    wi1 = blk(g1, 4) - blk(g1, 3)
+    wi2 = blk(g2, 4) - blk(g2, 3)
+    lu = jnp.sqrt(ui0**2 + ui1**2 + ui2**2 + _EPS)
+    lw = jnp.sqrt(wi0**2 + wi1**2 + wi2**2 + _EPS)
+    dotuw = ui0 * wi0 + ui1 * wi1 + ui2 * wi2
+    luw = lu * lw
+    cos_t = jnp.clip(dotuw / luw, -1.0 + 1e-7, 1.0 - 1e-7)
+    # arccos/atan2 are not lowered on TPU Pallas: recover theta by Newton
+    # iteration on cos(theta) = c (bond angles live mid-range, far from the
+    # sin(theta) ~ 0 poles, so 4 iterations reach f32 exactness)
+    theta = 0.5 * jnp.pi - cos_t * (1.0 + cos_t * cos_t * (1.0 / 6.0))
+    for _ in range(4):
+        theta = theta + (jnp.cos(theta) - cos_t) / jnp.maximum(
+            jnp.sin(theta), 1e-6
+        )
+    sin_t = jnp.sqrt(1.0 - cos_t * cos_t)
+    dEa = c["angle_k"] * (theta - c["angle_t0"])
+    e_angle = jnp.sum(
+        0.5 * c["angle_k"] * (theta - c["angle_t0"]) ** 2, axis=1, keepdims=True
+    )
+    ilus = 1.0 / (lu * sin_t)
+    ilws = 1.0 / (lw * sin_t)
+    inv_lu, inv_lw = 1.0 / lu, 1.0 / lw
+    # dtheta/dxi = (cos*nu - nw)/(lu sin); nu = u/lu
+    gi0 = (cos_t * ui0 * inv_lu - wi0 * inv_lw) * ilus
+    gi1 = (cos_t * ui1 * inv_lu - wi1 * inv_lw) * ilus
+    gi2 = (cos_t * ui2 * inv_lu - wi2 * inv_lw) * ilus
+    gk0 = (cos_t * wi0 * inv_lw - ui0 * inv_lu) * ilws
+    gk1 = (cos_t * wi1 * inv_lw - ui1 * inv_lu) * ilws
+    gk2 = (cos_t * wi2 * inv_lw - ui2 * inv_lu) * ilws
+    fa_i0, fa_i1, fa_i2 = -dEa * gi0, -dEa * gi1, -dEa * gi2
+    fa_k0, fa_k1, fa_k2 = -dEa * gk0, -dEa * gk1, -dEa * gk2
+    fa_j0, fa_j1, fa_j2 = -(fa_i0 + fa_k0), -(fa_i1 + fa_k1), -(fa_i2 + fa_k2)
+
+    # --- torsions ---------------------------------------------------------------
+    b1_0 = blk(g0, 6) - blk(g0, 5)
+    b1_1 = blk(g1, 6) - blk(g1, 5)
+    b1_2 = blk(g2, 6) - blk(g2, 5)
+    b2_0 = blk(g0, 7) - blk(g0, 6)
+    b2_1 = blk(g1, 7) - blk(g1, 6)
+    b2_2 = blk(g2, 7) - blk(g2, 6)
+    b3_0 = blk(g0, 8) - blk(g0, 7)
+    b3_1 = blk(g1, 8) - blk(g1, 7)
+    b3_2 = blk(g2, 8) - blk(g2, 7)
+    # m = b1 x b2 ; n = b2 x b3 (per-dimension expansion)
+    m0 = b1_1 * b2_2 - b1_2 * b2_1
+    m1 = b1_2 * b2_0 - b1_0 * b2_2
+    m2 = b1_0 * b2_1 - b1_1 * b2_0
+    n0 = b2_1 * b3_2 - b2_2 * b3_1
+    n1 = b2_2 * b3_0 - b2_0 * b3_2
+    n2 = b2_0 * b3_1 - b2_1 * b3_0
+    lb2 = jnp.sqrt(b2_0**2 + b2_1**2 + b2_2**2 + _EPS)
+    m2sq = m0 * m0 + m1 * m1 + m2 * m2 + _EPS
+    n2sq = n0 * n0 + n1 * n1 + n2 * n2 + _EPS
+    # phi = atan2((m x b2hat) . n, m . n)
+    inv_lb2 = 1.0 / lb2
+    c0 = (m1 * b2_2 - m2 * b2_1) * inv_lb2
+    c1 = (m2 * b2_0 - m0 * b2_2) * inv_lb2
+    c2_ = (m0 * b2_1 - m1 * b2_0) * inv_lb2
+    yy = c0 * n0 + c1 * n1 + c2_ * n2
+    xx = m0 * n0 + m1 * n1 + m2 * n2
+    # E = k (1 + cos(n phi - gamma)) with integer n in 1..4 and gamma in
+    # {0, pi}: expand cos(n phi) / sin(n phi) by multiple-angle recurrences
+    # from (cos phi, sin phi) -- NO transcendentals, no atan2 needed.
+    norm = jnp.sqrt(xx * xx + yy * yy + _EPS)
+    cph = xx / norm
+    sph = yy / norm
+    c2p = 2.0 * cph * cph - 1.0
+    s2p = 2.0 * sph * cph
+    c3p = cph * c2p - sph * s2p
+    s3p = sph * c2p + cph * s2p
+    c4p = 2.0 * c2p * c2p - 1.0
+    s4p = 2.0 * s2p * c2p
+    mask_n = c["tor_nmask"]                      # (4, NT): one-hot in n
+    cos_n = (
+        mask_n[0:1] * cph + mask_n[1:2] * c2p
+        + mask_n[2:3] * c3p + mask_n[3:4] * c4p
+    )
+    sin_n = (
+        mask_n[0:1] * sph + mask_n[1:2] * s2p
+        + mask_n[2:3] * s3p + mask_n[3:4] * s4p
+    )
+    sign = c["tor_sign"]                          # (1, NT): cos(gamma)
+    e_tor = jnp.sum(
+        c["tor_k"] * (1.0 + sign * cos_n), axis=1, keepdims=True
+    )
+    dEt = -c["tor_k"] * c["tor_n"] * sign * sin_n
+    lm = lb2 / m2sq
+    ln = lb2 / n2sq
+    d1p0, d1p1, d1p2 = lm * m0, lm * m1, lm * m2
+    d4p0, d4p1, d4p2 = -ln * n0, -ln * n1, -ln * n2
+    s12 = (b1_0 * b2_0 + b1_1 * b2_1 + b1_2 * b2_2) / (lb2 * lb2)
+    s32 = (b3_0 * b2_0 + b3_1 * b2_1 + b3_2 * b2_2) / (lb2 * lb2)
+    d2p0 = -(1.0 + s12) * d1p0 + s32 * d4p0
+    d2p1 = -(1.0 + s12) * d1p1 + s32 * d4p1
+    d2p2 = -(1.0 + s12) * d1p2 + s32 * d4p2
+    d3p0 = s12 * d1p0 - (1.0 + s32) * d4p0
+    d3p1 = s12 * d1p1 - (1.0 + s32) * d4p1
+    d3p2 = s12 * d1p2 - (1.0 + s32) * d4p2
+    ft1_0, ft1_1, ft1_2 = -dEt * d1p0, -dEt * d1p1, -dEt * d1p2
+    ft2_0, ft2_1, ft2_2 = -dEt * d2p0, -dEt * d2p1, -dEt * d2p2
+    ft3_0, ft3_1, ft3_2 = -dEt * d3p0, -dEt * d3p1, -dEt * d3p2
+    ft4_0, ft4_1, ft4_2 = -dEt * d4p0, -dEt * d4p1, -dEt * d4p2
+
+    # --- packed scatter: f_all (R, K) @ S_all (K, N), per dimension -----------
+    def scatter(fb, fai, faj, fak, ft1, ft2, ft3, ft4):
+        f_all = jnp.concatenate(
+            [fb, -fb, fai, faj, fak, ft1, ft2, ft3, ft4], axis=1
+        )
+        return _dot(f_all, c["S_all"])
+
+    fB0 = scatter(fb0_1, fa_i0, fa_j0, fa_k0, ft1_0, ft2_0, ft3_0, ft4_0)
+    fB1 = scatter(fb1_1, fa_i1, fa_j1, fa_k1, ft1_1, ft2_1, ft3_1, ft4_1)
+    fB2 = scatter(fb2_1, fa_i2, fa_j2, fa_k2, ft1_2, ft2_2, ft3_2, ft4_2)
+
+    # --- pairwise stages (R, N, N) ---------------------------------------------
+    dd0 = x0[:, :, None] - x0[:, None, :]
+    dd1 = x1[:, :, None] - x1[:, None, :]
+    dd2 = x2[:, :, None] - x2[:, None, :]
+    eye = c["eye"]                                     # (N, N)
+    r2 = dd0 * dd0 + dd1 * dd1 + dd2 * dd2 + _EPS
+    rp = jnp.sqrt(r2) + eye[None, :, :]
+    inv_r = 1.0 / rp
+    inv_r2 = inv_r * inv_r
+    inv_r6 = inv_r2 * inv_r2 * inv_r2
+    inv_r12 = inv_r6 * inv_r6
+    lj_a, lj_b, qq_s = c["lj_a"], c["lj_b"], c["qq_scaled"]
+    e_nb = 0.5 * jnp.sum(
+        jnp.sum(lj_a * inv_r12 - lj_b * inv_r6 + qq_s * inv_r, axis=2),
+        axis=1, keepdims=True,
+    )
+    Gnb = 0.5 * (
+        -12.0 * lj_a * inv_r12 * inv_r
+        + 6.0 * lj_b * inv_r6 * inv_r
+        - qq_s * inv_r2
+    )
+    energy = e_bond + e_angle + e_tor + e_nb
+    G = Gnb
+
+    if c["use_gb"]:
+        rho_i = c["gb_rho"][:, :, None]                # (1, N, 1)
+        sr_j = c["gb_sr"][:, None, :]                  # (1, 1, N)
+        U = rp + sr_j
+        absd = jnp.abs(rp - sr_j)
+        sgn = jnp.sign(rp - sr_j)
+        use_rho = absd < rho_i
+        L = jnp.where(use_rho, rho_i, absd)
+        dL = jnp.where(use_rho, 0.0, sgn)
+        inv_L = 1.0 / L
+        inv_U = 1.0 / U
+        log_LU = jnp.log(L * inv_U)
+        quad = rp - sr_j * sr_j * inv_r
+        H = (
+            inv_L - inv_U
+            + 0.25 * quad * (inv_U * inv_U - inv_L * inv_L)
+            + 0.5 * log_LU * inv_r
+        )
+        engulfed = (sr_j - rp) > rho_i
+        H = H + jnp.where(engulfed, 2.0 * (1.0 / rho_i - inv_L), 0.0)
+        active = (U > rho_i).astype(jnp.float32) * (1.0 - eye)[None, :, :]
+        I = 0.5 * jnp.sum(H * active, axis=2)          # (R, N)
+        dquad = 1.0 + sr_j * sr_j * inv_r2
+        dH = (
+            -dL * inv_L * inv_L
+            + inv_U * inv_U
+            + 0.25 * dquad * (inv_U * inv_U - inv_L * inv_L)
+            + 0.25 * quad * (-2.0 * inv_U**3 + 2.0 * dL * inv_L**3)
+            - 0.5 * log_LU * inv_r2
+            + 0.5 * inv_r * (dL * inv_L - inv_U)
+        )
+        dH = dH + jnp.where(engulfed, 2.0 * dL * inv_L * inv_L, 0.0)
+        dIdr = 0.5 * dH * active
+
+        psi = I * c["gb_rho"]                          # (R, N) * (1, N)
+        g = OBC2_ALPHA * psi - OBC2_BETA * psi**2 + OBC2_GAMMA * psi**3
+        t = jnp.tanh(g)
+        inv_B = 1.0 / c["gb_rho"] - t / c["gb_radii"]
+        inv_B = jnp.maximum(inv_B, 1e-3)
+        B = 1.0 / inv_B
+        gprime = OBC2_ALPHA - 2.0 * OBC2_BETA * psi + 3.0 * OBC2_GAMMA * psi**2
+        dB_dpsi = B * B * (1.0 - t * t) * gprime / c["gb_radii"]
+
+        BB = B[:, :, None] * B[:, None, :]
+        u = r2 / (4.0 * BB)
+        expu = jnp.exp(-u)
+        f2 = rp * rp + BB * expu
+        fgb = jnp.sqrt(f2)
+        inv_f = 1.0 / fgb
+        one = (1.0 - eye)[None, :, :]
+        qq_full = c["qq_full"][None, :, :]
+        e_cross = jnp.sum(
+            jnp.sum(qq_full * inv_f * one, axis=2), axis=1, keepdims=True
+        )
+        q2 = c["q"] * c["q"]                           # (1, N)
+        e_self = jnp.sum(c["gb_pref"] * q2 * inv_B, axis=1, keepdims=True)
+        e_sa = jnp.sum(c["sa_coef"] * inv_B**6, axis=1, keepdims=True)
+        energy = energy + e_cross + e_self + e_sa
+
+        dEdf = -qq_full * inv_f * inv_f * one
+        dfdr = rp * (1.0 - 0.25 * expu) * inv_f
+        G_direct = dEdf * dfdr
+        dfdBi = expu * (B[:, None, :] + r2 / (4.0 * B[:, :, None])) * (0.5 * inv_f)
+        dEdB = (
+            2.0 * jnp.sum(dEdf * dfdBi, axis=2)
+            - c["gb_pref"] * q2 * inv_B * inv_B
+            - 6.0 * c["sa_coef"] * inv_B**7
+        )
+        chain = (dEdB * dB_dpsi * c["gb_rho"])[:, :, None] * dIdr
+        G = G + G_direct + chain
+
+    # pairwise force assembly: F_i = -sum_j (G_ij + G_ji)(x_i - x_j)/r
+    coef = (G + jnp.swapaxes(G, 1, 2)) * inv_r * (1.0 - eye)[None, :, :]
+    row = jnp.sum(coef, axis=2)                        # (R, N)
+    fP0 = -(row * x0 - jnp.sum(coef * x0[:, None, :], axis=2))
+    fP1 = -(row * x1 - jnp.sum(coef * x1[:, None, :], axis=2))
+    fP2 = -(row * x2 - jnp.sum(coef * x2[:, None, :], axis=2))
+
+    return fB0 + fP0, fB1 + fP1, fB2 + fP2, energy
+
+
+def build_pallas_chunk(
+    system: System,
+    *,
+    dt: float,
+    friction: float,
+    n_steps: int,
+    n_replicas: int,
+    interpret: bool = False,
+):
+    """Compile a fused K-step Langevin chunk.
+
+    Returns ``chunk(x, v, seeds, temps) -> (x, v, energies)`` with
+    x, v (R, N, 3) float32, seeds (R,) int32, temps (R,) float32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p = make_dense_params(system)
+    S_all, offsets = _pack_selectors(p)
+    # parameter arrays travel as kernel inputs (Pallas forbids captured
+    # traced constants); names fix the ref order
+    const_arrays = {
+        "S_all": np.asarray(S_all, np.float32),
+        "bond_k": np.asarray(p.bond_k, np.float32)[None, :],
+        "bond_r0": np.asarray(p.bond_r0, np.float32)[None, :],
+        "angle_k": np.asarray(p.angle_k, np.float32)[None, :],
+        "angle_t0": np.asarray(p.angle_t0, np.float32)[None, :],
+        "tor_k": np.asarray(p.tor_k, np.float32)[None, :],
+        "tor_n": np.asarray(p.tor_n, np.float32)[None, :],
+        "tor_nmask": _torsion_n_masks(np.asarray(p.tor_n)),
+        "tor_sign": _torsion_signs(np.asarray(p.tor_phase))[None, :],
+        "lj_a": np.asarray(p.lj_a, np.float32)[None, :, :],
+        "lj_b": np.asarray(p.lj_b, np.float32)[None, :, :],
+        "qq_scaled": np.asarray(p.qq_scaled, np.float32)[None, :, :],
+        "qq_full": np.asarray(p.qq_full, np.float32),
+        "q": np.asarray(p.q, np.float32)[None, :],
+        "gb_rho": np.asarray(p.gb_rho, np.float32)[None, :],
+        "gb_sr": np.asarray(p.gb_sr, np.float32)[None, :],
+        "gb_radii": np.asarray(p.gb_radii, np.float32)[None, :],
+        "sa_coef": np.asarray(p.sa_coef, np.float32)[None, :],
+        "eye": np.eye(system.n_atoms, dtype=np.float32),
+        "inv_m": (1.0 / np.asarray(p.masses, np.float32))[None, :],
+    }
+    const_names = list(const_arrays)
+    static_consts = {
+        "offsets": offsets,
+        "gb_pref": float(p.gb_pref),
+        "use_gb": system.use_gb,
+    }
+    c1 = math.exp(-friction * dt)
+    c2sq = 1.0 - c1 * c1
+    kB = BOLTZMANN_CONSTANT_KJ_PER_MOL
+    R, N = n_replicas, system.n_atoms
+
+    def kernel(x_ref, v_ref, seed_ref, temp_ref, *rest):
+        const_refs = rest[: len(const_names)]
+        ox_ref, ov_ref, oe_ref = rest[len(const_names):]
+        consts = {
+            name: ref[...] for name, ref in zip(const_names, const_refs)
+        }
+        consts.update(static_consts)
+        inv_m = consts["inv_m"]
+        pltpu.prng_seed(seed_ref[0])
+        kT = kB * temp_ref[...]                        # (R, 1)
+        sigma_v = jnp.sqrt(c2sq * kT * inv_m)          # (R, N)
+
+        def step(_, carry):
+            x0, x1, x2, v0, v1, v2 = carry
+            f0, f1, f2, _ = _forces_planes(x0, x1, x2, consts)
+            half = 0.5 * dt
+            v0 = v0 + half * f0 * inv_m
+            v1 = v1 + half * f1 * inv_m
+            v2 = v2 + half * f2 * inv_m
+            x0 = x0 + half * v0
+            x1 = x1 + half * v1
+            x2 = x2 + half * v2
+            v0 = c1 * v0 + sigma_v * _normal_from_bits((R, N))
+            v1 = c1 * v1 + sigma_v * _normal_from_bits((R, N))
+            v2 = c1 * v2 + sigma_v * _normal_from_bits((R, N))
+            x0 = x0 + half * v0
+            x1 = x1 + half * v1
+            x2 = x2 + half * v2
+            return x0, x1, x2, v0, v1, v2
+
+        carry = (
+            x_ref[0], x_ref[1], x_ref[2],
+            v_ref[0], v_ref[1], v_ref[2],
+        )
+        x0, x1, x2, v0, v1, v2 = jax.lax.fori_loop(0, n_steps, step, carry)
+        _, _, _, energy = _forces_planes(x0, x1, x2, consts)
+        ox_ref[0], ox_ref[1], ox_ref[2] = x0, x1, x2
+        ov_ref[0], ov_ref[1], ov_ref[2] = v0, v1, v2
+        oe_ref[...] = energy
+
+    const_values = [jnp.asarray(const_arrays[name]) for name in const_names]
+
+    @jax.jit
+    def chunk(x, v, seeds, temps):
+        # (R, N, 3) -> (3, R, N)
+        xp = jnp.transpose(x, (2, 0, 1)).astype(jnp.float32)
+        vp = jnp.transpose(v, (2, 0, 1)).astype(jnp.float32)
+        seed_scalar = jnp.sum(seeds.astype(jnp.int32))[None]
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((3, R, N), jnp.float32),
+                jax.ShapeDtypeStruct((3, R, N), jnp.float32),
+                jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            ),
+            in_specs=[
+                vmem, vmem,
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                vmem,
+            ] + [vmem] * len(const_values),
+            out_specs=(vmem, vmem, vmem),
+            interpret=interpret,
+        )(
+            xp, vp, seed_scalar,
+            temps.astype(jnp.float32).reshape(R, 1),
+            *const_values,
+        )
+        xo, vo, eo = out
+        return (
+            jnp.transpose(xo, (1, 2, 0)),
+            jnp.transpose(vo, (1, 2, 0)),
+            eo[:, 0],
+        )
+
+    return chunk
+
+
+__all__ = ["build_pallas_chunk"]

@@ -143,6 +143,7 @@ class ReplicaExchange:
         bias_fn: Optional[Callable] = None,
         minimize: bool = True,
         mesh: Optional[jax.sharding.Mesh] = None,
+        use_pallas: bool = False,
     ):
         self.system = system
         self.config = config
@@ -154,6 +155,14 @@ class ReplicaExchange:
 
         self._force_fn = make_force_fn(system, bias_fn, analytic=True)
         self._jit_cache: Dict = {}
+        if use_pallas and bias_fn is not None:
+            raise ValueError(
+                "use_pallas=True does not support bias_fn yet (the fused "
+                "kernel has no CV-bias hook); run the XLA path for biased MD"
+            )
+        if use_pallas and mesh is not None:
+            raise ValueError("use_pallas=True is single-chip only for now")
+        self.use_pallas = use_pallas
 
         key = jax.random.PRNGKey(config.seed)
         if minimize:
@@ -191,6 +200,8 @@ class ReplicaExchange:
 
     def _md_chunk(self, state: MDState, temps: jax.Array, n_steps: int):
         """vmapped Langevin chunk at per-replica temperatures."""
+        if self.use_pallas:
+            return self._md_chunk_pallas(state, temps, n_steps)
         dt, friction = self.config.dt_ps, self.config.friction_per_ps
         system, force_fn = self.system, self._force_fn
 
@@ -205,6 +216,31 @@ class ReplicaExchange:
 
         state, energies = jax.lax.scan(one_step, state, None, length=n_steps)
         return state, energies[-1]  # (R,) final potential energies
+
+    def _md_chunk_pallas(self, state: MDState, temps: jax.Array, n_steps: int):
+        """Fused-kernel chunk: one pallas_call advances all replicas
+        n_steps (md/pallas_md.py). Noise comes from the on-core PRNG,
+        seeded from the (folded) state keys each chunk."""
+        from ..md.pallas_md import build_pallas_chunk
+
+        key = ("pallas", n_steps)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = build_pallas_chunk(
+                self.system,
+                dt=self.config.dt_ps,
+                friction=self.config.friction_per_ps,
+                n_steps=n_steps,
+                n_replicas=self.n_replicas,
+            )
+        seeds = state.key.reshape(self.n_replicas, -1)[:, 0].astype(jnp.int32)
+        x, v, energies = self._jit_cache[key](
+            state.positions, state.velocities, seeds, temps
+        )
+        new_keys = jax.vmap(lambda k: jax.random.fold_in(k, n_steps))(state.key)
+        new_state = MDState(
+            positions=x, velocities=v, key=new_keys, step=state.step + n_steps
+        )
+        return new_state, energies
 
     def _attempt_swaps(
         self,

@@ -1,0 +1,99 @@
+"""Fused Pallas MD kernel: plane-math equivalence (CPU) and, on TPU,
+kernel-vs-XLA trajectory agreement. The plane functions are pure jnp, so
+their math is fully checked on the CPU backend; the Mosaic lowering path is
+exercised only when a TPU is present.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmarlo_tpu.md.analytic import energy_and_forces, make_dense_params
+from pmarlo_tpu.md import pallas_md as PM
+
+
+def _consts(system, p):
+    S_all, offsets = PM._pack_selectors(p)
+    return {
+        "S_all": jnp.asarray(S_all),
+        "bond_k": jnp.asarray(p.bond_k)[None, :],
+        "bond_r0": jnp.asarray(p.bond_r0)[None, :],
+        "angle_k": jnp.asarray(p.angle_k)[None, :],
+        "angle_t0": jnp.asarray(p.angle_t0)[None, :],
+        "tor_k": jnp.asarray(p.tor_k)[None, :],
+        "tor_n": jnp.asarray(p.tor_n)[None, :],
+        "tor_nmask": jnp.asarray(PM._torsion_n_masks(np.asarray(p.tor_n))),
+        "tor_sign": jnp.asarray(PM._torsion_signs(np.asarray(p.tor_phase)))[None, :],
+        "lj_a": jnp.asarray(p.lj_a)[None],
+        "lj_b": jnp.asarray(p.lj_b)[None],
+        "qq_scaled": jnp.asarray(p.qq_scaled)[None],
+        "qq_full": jnp.asarray(p.qq_full),
+        "q": jnp.asarray(p.q)[None, :],
+        "gb_rho": jnp.asarray(p.gb_rho)[None, :],
+        "gb_sr": jnp.asarray(p.gb_sr)[None, :],
+        "gb_radii": jnp.asarray(p.gb_radii)[None, :],
+        "sa_coef": jnp.asarray(p.sa_coef)[None, :],
+        "eye": jnp.eye(system.n_atoms, dtype=jnp.float32),
+        "inv_m": (1.0 / jnp.asarray(p.masses))[None, :],
+        "offsets": offsets,
+        "gb_pref": float(p.gb_pref),
+        "use_gb": system.use_gb,
+    }
+
+
+def test_forces_planes_match_analytic(alanine_system):
+    system, pos, _ = alanine_system
+    p = make_dense_params(system)
+    consts = _consts(system, p)
+    R = 4
+    x = jnp.broadcast_to(pos[None], (R,) + pos.shape) + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(0), (R,) + pos.shape
+    )
+    f0, f1, f2, e = PM._forces_planes(x[..., 0], x[..., 1], x[..., 2], consts)
+    e_ref, f_ref = jax.vmap(lambda xi: energy_and_forces(p, xi))(x)
+    f_plane = jnp.stack([f0, f1, f2], axis=-1)
+    scale = float(jnp.abs(f_ref).max())
+    assert float(jnp.abs(e[:, 0] - e_ref).max()) / float(jnp.abs(e_ref).max()) < 1e-4
+    assert float(jnp.abs(f_plane - f_ref).max()) / scale < 1e-4
+
+
+def test_forces_planes_vacuum(alanine_system):
+    system, pos, _ = alanine_system
+    vac = dataclasses.replace(system, use_gb=False)
+    p = make_dense_params(vac)
+    consts = _consts(vac, p)
+    x = pos[None]
+    f0, f1, f2, e = PM._forces_planes(x[..., 0], x[..., 1], x[..., 2], consts)
+    e_ref, f_ref = energy_and_forces(p, pos)
+    assert abs(float(e[0, 0]) - float(e_ref)) / abs(float(e_ref)) < 1e-4
+
+
+def test_torsion_tables_validate():
+    with pytest.raises(ValueError, match="periodicities"):
+        PM._torsion_n_masks(np.asarray([1.0, 5.0]))
+    with pytest.raises(ValueError, match="phases"):
+        PM._torsion_signs(np.asarray([0.5]))
+    masks = PM._torsion_n_masks(np.asarray([1.0, 2.0, 3.0, 4.0]))
+    np.testing.assert_array_equal(masks, np.eye(4, dtype=np.float32))
+    signs = PM._torsion_signs(np.asarray([0.0, np.pi]))
+    np.testing.assert_array_equal(signs, [1.0, -1.0])
+
+
+def test_pallas_chunk_on_tpu(alanine_system):
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a real TPU for Mosaic lowering")
+    system, pos, _ = alanine_system
+    R = 4
+    chunk = PM.build_pallas_chunk(
+        system, dt=0.002, friction=1.0, n_steps=10, n_replicas=R
+    )
+    x = jnp.broadcast_to(pos[None], (R,) + pos.shape)
+    v = jnp.zeros_like(x)
+    xo, vo, eo = chunk(
+        x, v, jnp.arange(R, dtype=jnp.int32), jnp.full((R,), 300.0)
+    )
+    assert np.isfinite(np.asarray(xo)).all()
+    assert np.isfinite(np.asarray(eo)).all()
