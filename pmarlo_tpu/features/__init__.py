@@ -23,6 +23,11 @@ from .builtins import (
     contacts,
 )
 from .featurize import featurize_trajectory
+from .structure import (
+    shrake_rupley_sasa,
+    hydrogen_bonds,
+    ss_fractions,
+)
 from .pairs import lagged_time_pairs, make_training_pairs_from_trajectory
 from .ramachandran import compute_ramachandran, compute_ramachandran_fes, periodic_hist2d
 

@@ -47,6 +47,17 @@ class TopologyInfo:
     residue_names: Sequence[str]
     residue_ids: Sequence[int]
     masses: Optional[np.ndarray] = None
+    bonds: Optional[np.ndarray] = None   # (NB, 2) — needed by hbonds/sasa
+
+    @classmethod
+    def from_topology(cls, topology) -> "TopologyInfo":
+        """Build from an md.topology.Topology."""
+        return cls(
+            atom_names=topology.atom_names,
+            residue_names=topology.residue_names,
+            residue_ids=topology.residue_ids,
+            bonds=np.asarray(topology.bonds),
+        )
 
 
 class Feature:
