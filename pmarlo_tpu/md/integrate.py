@@ -109,8 +109,13 @@ def langevin_step(
     temperature_K: float | jax.Array,
     bias_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     force_fn: Optional[Callable] = None,
+    constraints=None,
 ) -> Tuple[MDState, jax.Array]:
     """One BAOAB step. Returns (new_state, potential_energy).
+
+    With ``constraints`` (md.constraints.ConstraintSpec) the step runs
+    g-BAOAB-style: SHAKE after each position half-step, RATTLE after each
+    velocity update — matching OpenMM's HBonds protocol.
 
     B: v += dt/2 f/m ; A: x += dt/2 v ; O: OU noise ; A ; B — one force
     evaluation per step (the second B reuses the force at the new x, so we
@@ -132,13 +137,31 @@ def langevin_step(
 
     v = state.velocities + 0.5 * dt * f / m
     x = state.positions + 0.5 * dt * v
+    if constraints is not None:
+        from .constraints import rattle, shake
+
+        v = rattle(constraints, v, state.positions)
+        x_c = shake(constraints, x, state.positions)
+        v = v + (x_c - x) / (0.5 * dt)
+        x = x_c
 
     c1 = jnp.exp(-friction * dt)
     c2 = jnp.sqrt((1.0 - c1 * c1) * kT / m)
     key, sub = jax.random.split(state.key)
     v = c1 * v + c2 * jax.random.normal(sub, v.shape, dtype=v.dtype)
+    if constraints is not None:
+        from .constraints import rattle
 
+        v = rattle(constraints, v, x)
+
+    x_pre = x
     x = x + 0.5 * dt * v
+    if constraints is not None:
+        from .constraints import shake
+
+        x_c = shake(constraints, x, x_pre)
+        v = v + (x_c - x) / (0.5 * dt)
+        x = x_c
     # trailing B uses the force at the *new* positions in strict BAOAB; we
     # fold it into the next step's leading B (standard leapfrog-style fusion,
     # identical long-run sampling, one force eval per step).
@@ -157,6 +180,7 @@ def run_md(
     report_interval: int = 100,
     bias_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     force_fn: Optional[Callable] = None,
+    constraints=None,
 ) -> Tuple[MDState, dict]:
     """Run ``n_steps`` and collect frames every ``report_interval`` steps.
 
@@ -178,6 +202,7 @@ def run_md(
         new_state, energy = langevin_step(
             system, carry, dt=dt, friction=friction,
             temperature_K=temperature_K, force_fn=force_fn,
+            constraints=constraints,
         )
         return new_state, energy
 

@@ -1,0 +1,72 @@
+"""SHAKE/RATTLE H-bond constraints: the OpenMM-parity protocol
+(HBonds + HMR 1.5 + 2 fs, reference simulation/__init__.py:68-70)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pmarlo_tpu.data import alanine_dipeptide_structure
+from pmarlo_tpu.md.constraints import (
+    build_h_constraints,
+    constraint_violation,
+    rattle,
+    shake,
+)
+from pmarlo_tpu.md.forcefield import build_system
+from pmarlo_tpu.md.integrate import run_md, thermalize
+from pmarlo_tpu.md.minimize import minimize_energy
+
+
+@pytest.fixture(scope="module")
+def constrained_system():
+    topo_sys, positions = build_system(
+        alanine_dipeptide_structure(), hydrogen_mass=1.5
+    )
+    spec = build_h_constraints(topo_sys)
+    return topo_sys, positions, spec
+
+
+def test_constraint_set(constrained_system):
+    system, _, spec = constrained_system
+    # alanine dipeptide: 12 hydrogens, each in exactly one bond
+    assert spec.s1.shape[0] == 12
+
+
+def test_shake_projects_onto_manifold(constrained_system):
+    system, positions, spec = constrained_system
+    rng = np.random.default_rng(0)
+    x_ref = positions
+    x_new = positions + jnp.asarray(
+        rng.normal(0, 0.005, positions.shape), positions.dtype
+    )
+    x_proj = shake(spec, x_new, x_ref)
+    assert float(constraint_violation(spec, x_proj)) < 1e-5
+
+
+def test_rattle_removes_bond_velocities(constrained_system):
+    system, positions, spec = constrained_system
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.normal(0, 1.0, positions.shape), positions.dtype)
+    v_proj = rattle(spec, v, positions)
+    d = np.asarray(spec.s1 @ positions - spec.s2 @ positions)
+    dv = np.asarray(spec.s1 @ v_proj - spec.s2 @ v_proj)
+    radial = np.abs((d * dv).sum(axis=1)) / np.linalg.norm(d, axis=1)
+    assert radial.max() < 1e-4
+
+
+def test_constrained_dynamics_2fs_hmr15(constrained_system):
+    """The reference protocol: 2 fs, HMR 1.5, H-bonds constrained —
+    dynamics must stay stable and on the constraint manifold."""
+    system, positions, spec = constrained_system
+    x_min, _ = minimize_energy(system, positions, max_iterations=200)
+    x_min = shake(spec, x_min, positions)
+    state = thermalize(system, x_min, jax.random.PRNGKey(3), 300.0)
+    final, frames = run_md(
+        system, state, n_steps=1000, dt=0.002, friction=1.0,
+        temperature_K=300.0, report_interval=100, constraints=spec,
+    )
+    assert np.isfinite(np.asarray(final.positions)).all()
+    assert float(constraint_violation(spec, final.positions)) < 1e-4
+    temps = np.asarray(frames["temperature"])
+    assert 150 < temps[3:].mean() < 450
