@@ -15,6 +15,23 @@ from pmarlo_tpu.md.analytic import energy_and_forces, make_dense_params
 from pmarlo_tpu.md import pallas_md as PM
 
 
+def _packed_consts(system, p):
+    n = system.n_atoms
+    RHO, TAU, SUMJ, PERM = PM._pair_pack_matrices(n)
+    flat = lambda m: jnp.asarray(np.asarray(m, np.float32).reshape(1, n * n))
+    rho_col = np.asarray(p.gb_rho, np.float32)
+    sr_col = np.asarray(p.gb_sr, np.float32)
+    return {
+        "RHO": jnp.asarray(RHO), "TAU": jnp.asarray(TAU),
+        "SUMJ": jnp.asarray(SUMJ), "PERM": jnp.asarray(PERM),
+        "lj_a_flat": flat(p.lj_a), "lj_b_flat": flat(p.lj_b),
+        "qq_scaled_flat": flat(p.qq_scaled), "qq_full_flat": flat(p.qq_full),
+        "eye_flat": flat(np.eye(n)),
+        "gb_rho_flat_i": flat(np.broadcast_to(rho_col[:, None], (n, n))),
+        "gb_sr_flat_j": flat(np.broadcast_to(sr_col[None, :], (n, n))),
+    }
+
+
 def _consts(system, p):
     S_all, offsets = PM._pack_selectors(p)
     return {
@@ -58,6 +75,25 @@ def test_forces_planes_match_analytic(alanine_system):
     scale = float(jnp.abs(f_ref).max())
     assert float(jnp.abs(e[:, 0] - e_ref).max()) / float(jnp.abs(e_ref).max()) < 1e-4
     assert float(jnp.abs(f_plane - f_ref).max()) / scale < 1e-4
+
+
+def test_forces_planes_packed_match_analytic(alanine_system):
+    system, pos, _ = alanine_system
+    p = make_dense_params(system)
+    consts = _consts(system, p)
+    consts.update(_packed_consts(system, p))
+    R = 4
+    x = jnp.broadcast_to(pos[None], (R,) + pos.shape) + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(2), (R,) + pos.shape
+    )
+    f0, f1, f2, e = PM._forces_planes_packed(
+        x[..., 0], x[..., 1], x[..., 2], consts
+    )
+    e_ref, f_ref = jax.vmap(lambda xi: energy_and_forces(p, xi))(x)
+    f_packed = jnp.stack([f0, f1, f2], axis=-1)
+    scale = float(jnp.abs(f_ref).max())
+    assert float(jnp.abs(e[:, 0] - e_ref).max()) / float(jnp.abs(e_ref).max()) < 1e-4
+    assert float(jnp.abs(f_packed - f_ref).max()) / scale < 1e-4
 
 
 def test_forces_planes_vacuum(alanine_system):
