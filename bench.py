@@ -80,10 +80,15 @@ def bench_msm() -> dict:
         ]).astype(np.float32)
         rng.shuffle(X)
         shards.append({"features": X, "metadata": {"stride": 1}})
+    def build():
+        result = discretize_dataset(shards, n_states=50, lag=10, seed=0)
+        pooled = np.concatenate([s["features"] for s in shards])
+        generate_2d_fes(pooled[:, 0], pooled[:, 1], temperature_K=300.0, bins=32)
+        return result, pooled
+
+    build()  # warm-up: compiles the k-means/counting kernels
     t0 = time.perf_counter()
-    result = discretize_dataset(shards, n_states=50, lag=10, seed=0)
-    pooled = np.concatenate([s["features"] for s in shards])
-    generate_2d_fes(pooled[:, 0], pooled[:, 1], temperature_K=300.0, bins=32)
+    result, pooled = build()
     wall = time.perf_counter() - t0
     return {
         "msm_build_wall_s": wall,

@@ -90,7 +90,8 @@ class TrajectoryWriter:
 
 @dataclasses.dataclass
 class TrajectoryReader:
-    """Reader over the npz trajectory format (streaming via mmap)."""
+    """Reader over npz (native) and DCD trajectories, selected by extension
+    (the backend-registry role of reference io/trajectory_reader.py:128)."""
 
     path: Path
 
@@ -98,12 +99,19 @@ class TrajectoryReader:
         self.path = Path(self.path)
         if not self.path.exists():
             raise FileNotFoundError(self.path)
+        self._is_dcd = self.path.suffix.lower() == ".dcd"
 
     def load(self) -> np.ndarray:
+        if self._is_dcd:
+            from .dcd import read_dcd
+
+            return read_dcd(self.path)
         with np.load(self.path) as data:
             return np.asarray(data["coordinates"])
 
     def metadata(self) -> Dict:
+        if self._is_dcd:
+            return {"format": "dcd"}
         with np.load(self.path) as data:
             if "metadata" in data:
                 return json.loads(str(data["metadata"]))
@@ -112,6 +120,10 @@ class TrajectoryReader:
     def probe_length(self) -> int:
         """Frame count without materializing coordinates
         (reference io/trajectory_reader.py:269)."""
+        if self._is_dcd:
+            from .dcd import probe_dcd
+
+            return probe_dcd(self.path)[0]
         with np.load(self.path) as data:
             return int(data["coordinates"].shape[0])
 

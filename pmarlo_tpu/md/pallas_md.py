@@ -364,21 +364,20 @@ def _pair_pack_matrices(n: int):
     RHO (N, P): value at pair column (i*N+j) = a[i]  (broadcast by i)
     TAU (N, P): value at pair column (i*N+j) = a[j]  (broadcast by j)
     SUMJ (P, N): row-sum over j for each i
-    PERM (P, P): pair transpose (i,j) -> (j,i)
+    (all O(N^3) memory; the pair transpose is avoided analytically in
+    _forces_planes_packed, keeping the kernel O(N^2)-state)
     """
     P = n * n
     rho = np.zeros((n, P), dtype=np.float32)
     tau = np.zeros((n, P), dtype=np.float32)
     sumj = np.zeros((P, n), dtype=np.float32)
-    perm = np.zeros((P, P), dtype=np.float32)
     for i in range(n):
         for j in range(n):
             col = i * n + j
             rho[i, col] = 1.0
             tau[j, col] = 1.0
             sumj[col, i] = 1.0
-            perm[col, j * n + i] = 1.0
-    return rho, tau, sumj, perm
+    return rho, tau, sumj
 
 
 def _forces_planes_packed(x0, x1, x2, c):
@@ -397,7 +396,7 @@ def _forces_planes_packed(x0, x1, x2, c):
     cb["skip_pairs"] = True
     fB0, fB1, fB2, e_bonded = _forces_planes(x0, x1, x2, cb)
 
-    RHO, TAU, SUMJ, PERM = c["RHO"], c["TAU"], c["SUMJ"], c["PERM"]
+    RHO, TAU, SUMJ = c["RHO"], c["TAU"], c["SUMJ"]
 
     def toI(a):
         return _dot(a, RHO)
@@ -498,12 +497,19 @@ def _forces_planes_packed(x0, x1, x2, c):
         chain = toI(dEdB * dB_dpsi * c["gb_rho"]) * dIdr
         G = G + G_direct + chain
 
-    GT = _dot(G, PERM)
-    coef = (G + GT) * inv_r * one_f
-    row = _dot(coef, SUMJ)                     # (R, N)
-    fP0 = -(row * x0 - _dot(coef * xJ0, SUMJ))
-    fP1 = -(row * x1 - _dot(coef * xJ1, SUMJ))
-    fP2 = -(row * x2 - _dot(coef * xJ2, SUMJ))
+    # Pair-transpose-free force assembly. With u_ij = (x_i - x_j)/r_ij and
+    # V_ij = G_ij u_ij:  F_i = -sum_j (G_ij + G_ji) u_ij
+    #                        = -rowsum_i(V) + colsum_i(V)
+    # (since u_ij = -u_ji). rowsum = V @ SUMJ, colsum = V @ TAU^T — no
+    # O(N^4) permutation matrix needed.
+    W = G * inv_r * one_f
+    TAUT = c["TAUT"]                           # (P, N): col-sums over i
+    V0 = W * dd0
+    V1 = W * dd1
+    V2 = W * dd2
+    fP0 = -_dot(V0, SUMJ) + _dot(V0, TAUT)
+    fP1 = -_dot(V1, SUMJ) + _dot(V1, TAUT)
+    fP2 = -_dot(V2, SUMJ) + _dot(V2, TAUT)
     return fB0 + fP0, fB1 + fP1, fB2 + fP2, energy
 
 
@@ -553,12 +559,12 @@ def build_pallas_chunk(
     }
     if pack_pairs:
         n = system.n_atoms
-        RHO, TAU, SUMJ, PERM = _pair_pack_matrices(n)
+        RHO, TAU, SUMJ = _pair_pack_matrices(n)
         flat = lambda m: np.asarray(m, np.float32).reshape(1, n * n)
         rho_col = np.asarray(p.gb_rho, np.float32)
         sr_col = np.asarray(p.gb_sr, np.float32)
         const_arrays.update({
-            "RHO": RHO, "TAU": TAU, "SUMJ": SUMJ, "PERM": PERM,
+            "RHO": RHO, "TAU": TAU, "SUMJ": SUMJ, "TAUT": TAU.T.copy(),
             "lj_a_flat": flat(p.lj_a),
             "lj_b_flat": flat(p.lj_b),
             "qq_scaled_flat": flat(p.qq_scaled),

@@ -17,13 +17,13 @@ from pmarlo_tpu.md import pallas_md as PM
 
 def _packed_consts(system, p):
     n = system.n_atoms
-    RHO, TAU, SUMJ, PERM = PM._pair_pack_matrices(n)
+    RHO, TAU, SUMJ = PM._pair_pack_matrices(n)
     flat = lambda m: jnp.asarray(np.asarray(m, np.float32).reshape(1, n * n))
     rho_col = np.asarray(p.gb_rho, np.float32)
     sr_col = np.asarray(p.gb_sr, np.float32)
     return {
         "RHO": jnp.asarray(RHO), "TAU": jnp.asarray(TAU),
-        "SUMJ": jnp.asarray(SUMJ), "PERM": jnp.asarray(PERM),
+        "SUMJ": jnp.asarray(SUMJ), "TAUT": jnp.asarray(TAU.T.copy()),
         "lj_a_flat": flat(p.lj_a), "lj_b_flat": flat(p.lj_b),
         "qq_scaled_flat": flat(p.qq_scaled), "qq_full_flat": flat(p.qq_full),
         "eye_flat": flat(np.eye(n)),
