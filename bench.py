@@ -45,10 +45,16 @@ def bench_remd() -> dict:
         exchange_frequency=EXCHANGE_FREQUENCY,
         report_interval=EXCHANGE_FREQUENCY, dt_ps=DT_PS, seed=0,
     )
-    remd = ReplicaExchange(system, positions, cfg)
-
-    # warm-up: compiles the full scan at the production shapes
-    remd.run(n_steps=N_STEPS)
+    # fused Pallas kernel path (1.8x over XLA); fall back if the platform
+    # cannot lower it (e.g. CPU test runs)
+    try:
+        remd = ReplicaExchange(system, positions, cfg, use_pallas=True)
+        remd.run(n_steps=N_STEPS)  # warm-up compile
+        md_path = "pallas"
+    except Exception:
+        remd = ReplicaExchange(system, positions, cfg)
+        remd.run(n_steps=N_STEPS)
+        md_path = "xla"
     # timed steady-state run (same shapes -> cached executable)
     t0 = time.perf_counter()
     result = remd.run(n_steps=N_STEPS)
@@ -62,6 +68,7 @@ def bench_remd() -> dict:
         "steps_per_second": N_STEPS * N_REPLICAS / wall,
         "remd_wall_s": wall,
         "mean_swap_acceptance": float(result.mean_acceptance),
+        "md_path": md_path,
     }
 
 

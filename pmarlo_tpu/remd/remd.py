@@ -163,6 +163,25 @@ class ReplicaExchange:
         if use_pallas and mesh is not None:
             raise ValueError("use_pallas=True is single-chip only for now")
         self.use_pallas = use_pallas
+        if use_pallas:
+            # chunks must be BUILT eagerly: construction converts system
+            # parameter arrays with numpy, which is illegal inside the
+            # production scan's trace
+            from ..md.pallas_md import build_pallas_chunk
+
+            sizes = {config.report_interval}
+            if config.equilibration_steps > 0:
+                sizes.add(config.equilibration_steps)
+            if config.heating_steps > 0:
+                sizes.add(max(config.heating_steps // 10, 1))
+            for n in sizes:
+                self._jit_cache[("pallas", n)] = build_pallas_chunk(
+                    system,
+                    dt=config.dt_ps,
+                    friction=config.friction_per_ps,
+                    n_steps=n,
+                    n_replicas=self.n_replicas,
+                )
 
         key = jax.random.PRNGKey(config.seed)
         if minimize:
@@ -221,16 +240,12 @@ class ReplicaExchange:
         """Fused-kernel chunk: one pallas_call advances all replicas
         n_steps (md/pallas_md.py). Noise comes from the on-core PRNG,
         seeded from the (folded) state keys each chunk."""
-        from ..md.pallas_md import build_pallas_chunk
-
         key = ("pallas", n_steps)
         if key not in self._jit_cache:
-            self._jit_cache[key] = build_pallas_chunk(
-                self.system,
-                dt=self.config.dt_ps,
-                friction=self.config.friction_per_ps,
-                n_steps=n_steps,
-                n_replicas=self.n_replicas,
+            raise RuntimeError(
+                f"no prebuilt pallas chunk for n_steps={n_steps}; chunk sizes "
+                "are fixed by RemdConfig at construction (report_interval/"
+                "equilibration/heating)"
             )
         seeds = state.key.reshape(self.n_replicas, -1)[:, 0].astype(jnp.int32)
         x, v, energies = self._jit_cache[key](

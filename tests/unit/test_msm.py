@@ -117,3 +117,29 @@ def test_lag_ladder_monotone():
     ladder = candidate_lag_ladder(100, n_lags=10)
     assert ladder == sorted(set(ladder))
     assert ladder[0] >= 1 and ladder[-1] <= 100
+
+
+def test_lag_selector(double_well_dtrajs):
+    from pmarlo_tpu.msm.ck_its_selector import select_optimal_lag_ck_its
+
+    dtrajs, _ = double_well_dtrajs
+    sel = select_optimal_lag_ck_its(
+        dtrajs, candidate_lags=[1, 2, 5, 10], ck_factors=(2, 3)
+    )
+    assert sel.selected_lag in (1, 2, 5, 10)
+    assert any(e.feasible for e in sel.evaluations)
+    assert "lag" in sel.reason
+    d = sel.to_dict()
+    assert len(d["evaluations"]) == 4
+
+
+def test_msm_builder(double_well_dtrajs):
+    from pmarlo_tpu.msm.msm_builder import MSMBuilder
+
+    _, xs = double_well_dtrajs
+    X = [x[:, None].astype("float32") for x in xs]
+    builder = MSMBuilder(n_states=8, lag=5).fit(X)
+    assert builder.msm is not None
+    labels = builder.transform(X[0][:100])
+    assert labels.shape == (100,)
+    assert (labels >= 0).all() and (labels < 8).all()
