@@ -13,7 +13,7 @@ from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+import numpy as np  # noqa: F401 - used by make_phi_psi_feature_fn
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,4 +65,38 @@ def make_feature_cv_fn(
     return cv_fn
 
 
-__all__ = ["HarmonicExpansionBias", "make_cv_bias_fn", "make_feature_cv_fn"]
+def make_phi_psi_feature_fn(
+    atom_names: Sequence[str],
+    residue_ids: Sequence[int],
+    cos_sin: bool = True,
+):
+    """Single-frame phi/psi feature function for CV bias composition.
+
+    Returns ``feature_fn(positions (N, 3)) -> (K,)`` with K = 2*n_dihedrals
+    when ``cos_sin`` (the bias-safe smooth embedding) else n_dihedrals.
+    This is the in-graph replacement for the reference's TorchScript
+    feature extractor (ts_feature_extractor.py:311).
+    """
+    from ..features.builtins import phi_psi_indices
+    from ..md.forces import dihedral_angles
+
+    phi_q, psi_q, _ = phi_psi_indices(atom_names, residue_ids)
+    quads = jnp.asarray(np.concatenate([phi_q, psi_q], axis=0))
+    if quads.shape[0] == 0:
+        raise ValueError("system has no phi/psi dihedrals for a CV bias")
+
+    def feature_fn(positions: jax.Array) -> jax.Array:
+        angles = dihedral_angles(positions, quads)
+        if cos_sin:
+            return jnp.concatenate([jnp.cos(angles), jnp.sin(angles)])
+        return angles
+
+    return feature_fn
+
+
+__all__ = [
+    "HarmonicExpansionBias",
+    "make_cv_bias_fn",
+    "make_feature_cv_fn",
+    "make_phi_psi_feature_fn",
+]
