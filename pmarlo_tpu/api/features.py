@@ -8,7 +8,6 @@ feature cache (:27-75, :192), compute_universal_metric/_embedding
 from __future__ import annotations
 
 import hashlib
-from pathlib import Path
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np

@@ -12,7 +12,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..msm.free_energy import FESResult, generate_2d_fes
-from ..utils.thermodynamics import kT_kJ_per_mol
 
 
 def select_fes_pair(

@@ -17,7 +17,7 @@ SecondaryStructureFractionFeature (DSSP), hydrogen-bond counting
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,7 @@ import numpy as np
 
 from ..constants import BOLTZMANN_CONSTANT_KJ_PER_MOL
 from .analytic import DenseParams, make_dense_params
-from .ff_params import GB_DIELECTRIC_OFFSET, OBC2_ALPHA, OBC2_BETA, OBC2_GAMMA
+from .ff_params import OBC2_ALPHA, OBC2_BETA, OBC2_GAMMA
 from .system import System
 
 _EPS = 1e-12

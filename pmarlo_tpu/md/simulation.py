@@ -25,7 +25,6 @@ from ..io.trajectory import TrajectoryWriter
 from .forcefield import build_system
 from .integrate import run_md, thermalize
 from .minimize import minimize_energy
-from .system import System
 
 
 def run_segment(

@@ -26,10 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..utils.errors import WhiteningError
 from ..utils.seed import set_global_seed
 from .losses import vamp2_loss
-from .whitening import apply_output_transform, estimate_whitening
+from .whitening import estimate_whitening
 
 
 @dataclasses.dataclass(frozen=True)

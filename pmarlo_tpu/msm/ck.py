@@ -14,7 +14,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..utils.errors import EstimationError
-from .counting import counts_from_dtrajs
 from .estimation import build_msm
 
 

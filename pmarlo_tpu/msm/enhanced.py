@@ -19,7 +19,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..features.base import TopologyInfo
-from ..features.builtins import trig_expand_periodic
 from ..features.featurize import featurize_trajectory
 from ..io.trajectory import TrajectoryReader
 from ..utils.errors import EstimationError

@@ -13,7 +13,7 @@ permutation, stitch per-temperature trajectories; and the inverse.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 

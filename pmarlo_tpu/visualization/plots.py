@@ -9,7 +9,7 @@ validation, frames-per-shard histogram).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import matplotlib
 
