@@ -1,3 +1,13 @@
-from .loader import load_defaults, REQUIRED_CONFIG_KEYS, ENV_CONFIG_FILE
+from .loader import (
+    ENV_CONFIG_FILE,
+    REQUIRED_CONFIG_KEYS,
+    load_defaults,
+    load_feature_spec,
+)
 
-__all__ = ["load_defaults", "REQUIRED_CONFIG_KEYS", "ENV_CONFIG_FILE"]
+__all__ = [
+    "load_defaults",
+    "load_feature_spec",
+    "REQUIRED_CONFIG_KEYS",
+    "ENV_CONFIG_FILE",
+]

@@ -63,4 +63,30 @@ def load_defaults(config_file: Optional["str | Path"] = None) -> Dict[str, Any]:
     return _validate(base, str(override or _DEFAULTS_PATH))
 
 
-__all__ = ["load_defaults", "REQUIRED_CONFIG_KEYS", "ENV_CONFIG_FILE"]
+_FEATURE_SPEC_PATH = Path(__file__).parent / "feature_spec.yaml"
+
+
+def load_feature_spec(path: Optional["str | Path"] = None) -> Dict[str, Any]:
+    """Load the canonical bias feature spec (reference settings/loader.py:146).
+
+    Validates the minimal schema: a ``features`` list where each entry has
+    a registered feature name.
+    """
+    data = _load_path(str(path or _FEATURE_SPEC_PATH))
+    if "features" not in data or not isinstance(data["features"], list):
+        raise KeyError("feature spec must contain a 'features' list")
+    from ..features.base import FEATURE_REGISTRY
+
+    for entry in data["features"]:
+        name = entry.get("name") if isinstance(entry, dict) else entry
+        if str(name).lower() not in FEATURE_REGISTRY:
+            raise ValueError(f"feature spec names unregistered feature {name!r}")
+    return data
+
+
+__all__ = [
+    "load_defaults",
+    "load_feature_spec",
+    "REQUIRED_CONFIG_KEYS",
+    "ENV_CONFIG_FILE",
+]

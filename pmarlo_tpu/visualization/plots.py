@@ -142,6 +142,92 @@ def plot_flux_network(
     return _finish(fig, path)
 
 
+def plot_rates(
+    T: np.ndarray, pi: np.ndarray, path: Optional["str | Path"] = None,
+    top_n: int = 15,
+):
+    """Largest off-diagonal transition rates pi_i T_ij (reference
+    _plots.py rates panel)."""
+    T = np.asarray(T)
+    pi = np.asarray(pi)
+    flux = pi[:, None] * T
+    np.fill_diagonal(flux, 0.0)
+    order = np.dstack(np.unravel_index(np.argsort(-flux, axis=None), flux.shape))[0]
+    fig, ax = plt.subplots(figsize=(7, 3.5))
+    labels, values = [], []
+    for i, j in order[:top_n]:
+        labels.append(f"{i}->{j}")
+        values.append(flux[i, j])
+    ax.bar(range(len(values)), values)
+    ax.set_xticks(range(len(labels)))
+    ax.set_xticklabels(labels, rotation=60, fontsize=7)
+    ax.set_ylabel("pi_i T_ij")
+    return _finish(fig, path)
+
+
+def plot_pathways(tpt, path: Optional["str | Path"] = None, max_paths: int = 8):
+    """Pathway flux decomposition bars (reference conformations
+    visualizations pathway plot)."""
+    fig, ax = plt.subplots(figsize=(7, 3.5))
+    paths = tpt.pathways[:max_paths]
+    if not paths:
+        raise ValueError("TPT result has no pathways")
+    labels = ["-".join(map(str, p)) for p, _ in paths]
+    values = [f for _, f in paths]
+    ax.barh(range(len(values)), values)
+    ax.set_yticks(range(len(labels)))
+    ax.set_yticklabels(labels, fontsize=7)
+    ax.set_xlabel("pathway flux")
+    ax.invert_yaxis()
+    return _finish(fig, path)
+
+
+def plot_tpt_summary(tpt, path: Optional["str | Path"] = None):
+    """Committors + flux network + pathways in one figure (reference
+    conformations/visualizations TPT summary)."""
+    fig, axes = plt.subplots(1, 3, figsize=(14, 4))
+    n = len(tpt.forward_committor)
+    axes[0].bar(np.arange(n) - 0.2, tpt.forward_committor, 0.4, label="q+")
+    axes[0].bar(np.arange(n) + 0.2, tpt.backward_committor, 0.4, label="q-")
+    axes[0].set_title("committors")
+    axes[0].legend(fontsize=7)
+    im = axes[1].imshow(tpt.net_flux, cmap="Reds")
+    fig.colorbar(im, ax=axes[1], fraction=0.046)
+    axes[1].set_title(f"net flux (rate={tpt.rate:.3g})")
+    if tpt.pathways:
+        values = [f for _, f in tpt.pathways[:8]]
+        labels = ["-".join(map(str, p)) for p, _ in tpt.pathways[:8]]
+        axes[2].barh(range(len(values)), values)
+        axes[2].set_yticks(range(len(labels)))
+        axes[2].set_yticklabels(labels, fontsize=6)
+        axes[2].invert_yaxis()
+    axes[2].set_title("pathways")
+    return _finish(fig, path)
+
+
+def plot_pcca_on_fes(
+    fes, centers: np.ndarray, assignments: np.ndarray,
+    path: Optional["str | Path"] = None,
+):
+    """Macrostate assignments of microstate centers over the FES
+    (reference conformations/visualizations PCCA-on-FES plot).
+
+    ``centers`` (n_states, 2) microstate centers in the FES CV plane.
+    """
+    fig, ax = plt.subplots(figsize=(6.5, 5))
+    F = np.ma.masked_invalid(fes.free_energy.T)
+    ax.pcolormesh(fes.xedges, fes.yedges, F, cmap="Greys", shading="auto")
+    centers = np.asarray(centers)
+    ax.scatter(
+        centers[:, 0], centers[:, 1], c=np.asarray(assignments),
+        cmap="tab10", s=60, edgecolors="k", zorder=3,
+    )
+    ax.set_xlabel(fes.cv_names[0])
+    ax.set_ylabel(fes.cv_names[1])
+    ax.set_title("PCCA+ macrostates on FES")
+    return _finish(fig, path)
+
+
 def plot_acceptance_matrix(remd_result, path: Optional["str | Path"] = None):
     """REMD per-pair swap acceptance (sampling-validation diagnostic)."""
     fig, ax = plt.subplots(figsize=(6, 3.5))
