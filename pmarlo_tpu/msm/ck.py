@@ -185,4 +185,37 @@ def decide_ck(
             "pass_fraction": n_pass / max(len(per_factor), 1)}
 
 
-__all__ = ["CKResult", "ck_test", "ck_test_macrostates", "CKConfig", "ck_error", "decide_ck"]
+def run_ck(
+    dtrajs,
+    lag: int,
+    output_dir,
+    factors: Sequence[int] = (2, 3, 4),
+    n_states: Optional[int] = None,
+    config: CKConfig = CKConfig(),
+) -> CKResult:
+    """Standalone CK run with plot + CSV + JSON artifacts
+    (reference ck_runner.py:293 run_ck)."""
+    import csv
+    from pathlib import Path
+
+    from ..utils.json_io import write_json
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    result = ck_test(dtrajs, lag, factors, n_states=n_states)
+    decision = decide_ck(result, config)
+    write_json(output_dir / "ck.json", {**result.to_dict(), "decision": decision})
+    with (output_dir / "ck.csv").open("w", newline="") as fh:
+        writer = csv.writer(fh)
+        writer.writerow(["factor", "mse", "rms"])
+        for k in sorted(result.mse):
+            writer.writerow([k, result.mse[k], result.rms[k]])
+    if result.predicted:
+        from ..visualization.plots import plot_ck
+
+        plot_ck(result, output_dir / "ck.png")
+    return result
+
+
+__all__ = ["CKResult", "ck_test", "ck_test_macrostates", "CKConfig",
+           "ck_error", "decide_ck", "run_ck"]
