@@ -300,8 +300,7 @@ def train_deeptica(
 
     cfg = config
 
-    @jax.jit
-    def train_step(params, opt_state, z0, zt):
+    def _step_math(params, opt_state, z0, zt):
         def loss_fn(p):
             y0 = mlp_apply(p, z0, cfg.activation, cfg.layernorm)
             yt = mlp_apply(p, zt, cfg.activation, cfg.layernorm)
@@ -313,6 +312,27 @@ def train_deeptica(
         params = optax.apply_updates(params, updates)
         metrics["grad_norm"] = grad_norm
         return params, opt_state, loss, metrics
+
+    @jax.jit
+    def epoch_scan(params, opt_state, z0_batches, zt_batches):
+        """One epoch as a lax.scan over pre-shuffled batches — a single
+        device dispatch per epoch instead of one per minibatch (the
+        reference's torch DataLoader loop has no TPU equivalent cost)."""
+
+        def body(carry, batch):
+            params, opt_state = carry
+            z0b, ztb = batch
+            params, opt_state, loss, metrics = _step_math(
+                params, opt_state, z0b, ztb
+            )
+            return (params, opt_state), (
+                loss, metrics["cond_C00"], metrics["grad_norm"]
+            )
+
+        (params, opt_state), (losses, conds, gnorms) = jax.lax.scan(
+            body, (params, opt_state), (z0_batches, zt_batches)
+        )
+        return params, opt_state, losses.mean(), conds[-1], gnorms[-1]
 
     @jax.jit
     def eval_score(params, z0, zt):
@@ -354,27 +374,25 @@ def train_deeptica(
                 f"too few training pairs ({len(z0_all)}) at tau={tau}"
             )
         patience_left = config.early_stopping_patience
+        bs = min(config.batch_size, len(z0_all))
+        n_batches = max(len(z0_all) // bs, 1)
         for epoch in range(config.max_epochs):
-            perm = rng.permutation(len(z0_all))
-            epoch_loss, n_batches = 0.0, 0
-            bs = min(config.batch_size, len(z0_all))
-            for off in range(0, len(perm) - bs + 1, bs):
-                idx = perm[off : off + bs]
-                params, opt_state, loss, metrics = train_step(
-                    params, opt_state, jnp.asarray(z0_all[idx]), jnp.asarray(zt_all[idx])
-                )
-                epoch_loss += float(loss)
-                n_batches += 1
+            perm = rng.permutation(len(z0_all))[: n_batches * bs]
+            z0_b = jnp.asarray(z0_all[perm].reshape(n_batches, bs, -1))
+            zt_b = jnp.asarray(zt_all[perm].reshape(n_batches, bs, -1))
+            params, opt_state, mean_loss, cond, gnorm = epoch_scan(
+                params, opt_state, z0_b, zt_b
+            )
             if has_val:
                 val_score = float(eval_score(params, jnp.asarray(val_z0), jnp.asarray(val_zt)))
             else:
-                val_score = -epoch_loss / max(n_batches, 1)
+                val_score = -float(mean_loss)
             record = {
                 "tau": int(tau), "epoch": int(epoch),
-                "train_loss": epoch_loss / max(n_batches, 1),
+                "train_loss": float(mean_loss),
                 "val_vamp2": val_score,
-                "cond_C00": float(metrics["cond_C00"]),
-                "grad_norm": float(metrics["grad_norm"]),
+                "cond_C00": float(cond),
+                "grad_norm": float(gnorm),
                 "wall_time_s": time.time() - t_start,
             }
             history["epochs"].append(record)
