@@ -63,6 +63,7 @@ class RemdConfig:
     t_min: float = 300.0
     t_max: float = 450.0
     exchange_frequency: int = REMD_DEFAULT_EXCHANGE_FREQUENCY
+    attempts_per_block: int = 10
     dt_ps: float = DEFAULT_TIMESTEP_PS
     friction_per_ps: float = DEFAULT_FRICTION_PER_PS
     heating_steps: int = 0          # linear ramp T_min -> ladder (CHANGELOG:291)
@@ -380,15 +381,34 @@ class ReplicaExchange:
             }
             return (state, replica_ids, key), out
 
-        scan_key = ("run", n_attempts, frames_per_chunk)
-        if scan_key not in self._jit_cache:
-            self._jit_cache[scan_key] = jax.jit(
-                lambda st, ids, key: jax.lax.scan(
-                    body, (st, ids, key), jnp.arange(n_attempts)
+        def block_fn(n_block: int):
+            """Jitted scan over a FIXED number of attempts. Long runs loop
+            blocks in Python so compile cost is one-time and independent of
+            n_steps (a 50k-step run previously compiled an 18-minute
+            500-attempt program; now it reuses one 10-attempt program)."""
+            key = ("run", n_block, frames_per_chunk)
+            if key not in self._jit_cache:
+                self._jit_cache[key] = jax.jit(
+                    lambda st, ids, k, off: jax.lax.scan(
+                        body, (st, ids, k), off + jnp.arange(n_block)
+                    )
                 )
+            return self._jit_cache[key]
+
+        block = min(cfg.attempts_per_block, n_attempts)
+        replica_ids = self.replica_ids
+        key = self._swap_key
+        outs = []
+        done = 0
+        while done < n_attempts:
+            n_block = min(block, n_attempts - done)
+            (state, replica_ids, key), out = block_fn(n_block)(
+                state, replica_ids, key, jnp.asarray(done, jnp.int32)
             )
-        (state, replica_ids, _), out = self._jit_cache[scan_key](
-            state, self.replica_ids, self._swap_key
+            outs.append(jax.tree_util.tree_map(np.asarray, out))
+            done += n_block
+        out = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0), *outs
         )
         self.state = state
         self.replica_ids = replica_ids
