@@ -44,6 +44,9 @@ def bench_remd() -> dict:
         n_replicas=N_REPLICAS, t_min=300.0, t_max=450.0,
         exchange_frequency=EXCHANGE_FREQUENCY,
         report_interval=EXCHANGE_FREQUENCY, dt_ps=DT_PS, seed=0,
+        # one scan block per timed run: the tunneled device pays ~100 ms per
+        # dispatch, so the steady-state number measures the device, not RPC
+        attempts_per_block=N_STEPS // EXCHANGE_FREQUENCY,
     )
     # fused Pallas kernel path (1.8x over XLA); fall back if the platform
     # cannot lower it (e.g. CPU test runs)

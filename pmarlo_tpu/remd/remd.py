@@ -63,7 +63,11 @@ class RemdConfig:
     t_min: float = 300.0
     t_max: float = 450.0
     exchange_frequency: int = REMD_DEFAULT_EXCHANGE_FREQUENCY
-    attempts_per_block: int = 10
+    #: attempts per compiled scan block. Larger blocks amortize the
+    #: per-dispatch latency (significant on tunneled devices) at the cost
+    #: of a longer one-time compile; runs whose attempt count is a multiple
+    #: of the block reuse a single executable regardless of n_steps.
+    attempts_per_block: int = 100
     dt_ps: float = DEFAULT_TIMESTEP_PS
     friction_per_ps: float = DEFAULT_FRICTION_PER_PS
     heating_steps: int = 0          # linear ramp T_min -> ladder (CHANGELOG:291)
@@ -405,10 +409,15 @@ class ReplicaExchange:
             (state, replica_ids, key), out = block_fn(n_block)(
                 state, replica_ids, key, jnp.asarray(done, jnp.int32)
             )
-            outs.append(jax.tree_util.tree_map(np.asarray, out))
+            # keep block outputs on device: converting here would force a
+            # synchronous transfer per block and serialize dispatch (the
+            # axon tunnel round-trip is ~100 ms); async dispatch pipelines
+            # all blocks and one gather at the end pays the latency once
+            outs.append(out)
             done += n_block
         out = jax.tree_util.tree_map(
-            lambda *xs: np.concatenate(xs, axis=0), *outs
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+            *outs,
         )
         self.state = state
         self.replica_ids = replica_ids
