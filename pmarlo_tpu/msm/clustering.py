@@ -134,22 +134,26 @@ def silhouette_score(x, labels, n_states: int, max_samples: int = 2048, seed: in
     else:
         xs, ls = x, labels
     xs_j = jnp.asarray(xs, dtype=jnp.float32)
-    d = jnp.sqrt(_pairwise_sq_dists(xs_j, xs_j) + 1e-12)
-    d = np.asarray(d)
+    d = np.asarray(jnp.sqrt(_pairwise_sq_dists(xs_j, xs_j) + 1e-12))
     n = xs.shape[0]
-    sil = np.zeros(n)
-    for i in range(n):
-        same = ls == ls[i]
-        same[i] = False
-        a = d[i][same].mean() if same.any() else 0.0
-        b = np.inf
-        for c in np.unique(ls):
-            if c == ls[i]:
-                continue
-            mask = ls == c
-            if mask.any():
-                b = min(b, d[i][mask].mean())
-        sil[i] = 0.0 if max(a, b) == 0 or not np.isfinite(b) else (b - a) / max(a, b)
+    clusters = np.unique(ls)
+    onehot = (ls[:, None] == clusters[None, :]).astype(np.float64)  # (n, k)
+    counts = onehot.sum(axis=0)                                     # (k,)
+    # mean distance from each sample to each cluster: (n, k)
+    sums = d @ onehot
+    own = onehot.astype(bool)
+    # a_i: mean to own cluster excluding self; b_i: min mean to other clusters
+    own_counts = counts[np.argmax(own, axis=1)]
+    a = np.where(
+        own_counts > 1,
+        (sums[own].reshape(n)) / np.maximum(own_counts - 1, 1),
+        0.0,
+    )
+    mean_to = sums / np.maximum(counts[None, :], 1)
+    mean_to[own] = np.inf
+    b = mean_to.min(axis=1)
+    denom = np.maximum(a, b)
+    sil = np.where((denom > 0) & np.isfinite(b), (b - a) / denom, 0.0)
     return float(sil.mean())
 
 

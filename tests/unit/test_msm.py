@@ -143,3 +143,18 @@ def test_msm_builder(double_well_dtrajs):
     labels = builder.transform(X[0][:100])
     assert labels.shape == (100,)
     assert (labels >= 0).all() and (labels < 8).all()
+
+
+def test_silhouette_and_auto_k():
+    from pmarlo_tpu.msm.clustering import cluster_microstates, silhouette_score
+
+    rng = np.random.default_rng(0)
+    X = np.concatenate([
+        rng.normal(-5, 0.3, (200, 2)), rng.normal(5, 0.3, (200, 2))
+    ]).astype(np.float32)
+    labels = np.array([0] * 200 + [1] * 200)
+    assert silhouette_score(X, labels, 2) > 0.9
+    assert abs(silhouette_score(X, rng.integers(0, 2, 400), 2)) < 0.1
+    res = cluster_microstates(X, "auto", seed=0, auto_range=range(2, 6))
+    assert res.n_states == 2
+    assert res.silhouette > 0.9
