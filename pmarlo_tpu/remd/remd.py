@@ -238,8 +238,13 @@ class ReplicaExchange:
             new_state, energy = jax.vmap(step_single)(carry, temps)
             return new_state, energy
 
-        state, energies = jax.lax.scan(one_step, state, None, length=n_steps)
-        return state, energies[-1]  # (R,) final potential energies
+        state, _ = jax.lax.scan(one_step, state, None, length=n_steps)
+        # Metropolis needs the potential at the CURRENT (post-chunk)
+        # configurations; langevin_step reports pre-step energies, so
+        # re-evaluate at the final positions (one extra force eval per
+        # exchange window — negligible, and it matches the Pallas path)
+        energies = jax.vmap(lambda x: force_fn(x)[0])(state.positions)
+        return state, energies
 
     def _md_chunk_pallas(self, state: MDState, temps: jax.Array, n_steps: int):
         """Fused-kernel chunk: one pallas_call advances all replicas
