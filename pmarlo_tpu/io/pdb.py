@@ -172,8 +172,6 @@ def write_pdb_trajectory(
     chunks = []
     for m, frame in enumerate(frames, start=1):
         chunks.append(f"MODEL     {m:>4d}")
-        body = write_pdb.__wrapped__ if hasattr(write_pdb, "__wrapped__") else None
-        # inline single-model text (avoid temp files)
         coords = frame * 10.0
         for i in range(coords.shape[0]):
             name = atom_names[i]

@@ -489,8 +489,7 @@ def get_template(
     resname = resname.strip().upper()
     if resname not in TEMPLATES:
         raise KeyError(
-            f"no residue template for {resname!r}; available: "
-            f"{sorted(t for t in TEMPLATES if not t[0] in 'NC' or t in TEMPLATES)}"
+            f"no residue template for {resname!r}; available: {sorted(TEMPLATES)}"
         )
     if is_nterm and TEMPLATES[resname]["head"] is not None:
         return make_terminal_variant(resname, "nterm")

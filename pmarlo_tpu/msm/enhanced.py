@@ -410,6 +410,15 @@ def run_complete_msm_analysis(
     msm.create_state_table()
     if output_dir is not None:
         msm.save_analysis_results()
+        out = Path(output_dir)
+        if msm.fes is not None:
+            msm.plot_free_energy_surface(out / "fes.png")
+        if msm.its is not None:
+            msm.plot_implied_timescales(out / "its.png")
+        if msm.ck is not None and msm.ck.predicted:
+            from ..visualization.plots import plot_ck
+
+            plot_ck(msm.ck, out / "ck.png")
     return msm
 
 
