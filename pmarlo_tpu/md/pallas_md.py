@@ -358,6 +358,158 @@ def _forces_planes(x0, x1, x2, c):
     return fB0 + fP0, fB1 + fP1, fB2 + fP2, energy
 
 
+def _bias_planes(x0, x1, x2, c):
+    """DeepTICA harmonic-expansion bias INSIDE the kernel: energy and
+    analytic forces, per replica plane layout.
+
+    Chain: positions -> phi/psi dihedrals (cos/sin, no transcendentals) ->
+    standardize -> tanh MLP -> optional whitening -> E = k sum(cv^2).
+    The gradient is hand-written backprop (tanh derivative, linear
+    transposes) chained through the analytic dihedral gradient formulas —
+    the same math jax.grad produces on the XLA path, now fused into the
+    multi-step kernel. Returns (f0, f1, f2, e_bias (R, 1)).
+    """
+    _dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    SB = c["bias_S"]                 # (4*M, N) packed quad selectors
+    M = c["bias_n_dihedrals"]
+    g0 = _dot(x0, SB.T)              # (R, 4M)
+    g1 = _dot(x1, SB.T)
+    g2 = _dot(x2, SB.T)
+
+    def q(g, k):
+        return g[:, k * M:(k + 1) * M]
+
+    b1_0 = q(g0, 1) - q(g0, 0)
+    b1_1 = q(g1, 1) - q(g1, 0)
+    b1_2 = q(g2, 1) - q(g2, 0)
+    b2_0 = q(g0, 2) - q(g0, 1)
+    b2_1 = q(g1, 2) - q(g1, 1)
+    b2_2 = q(g2, 2) - q(g2, 1)
+    b3_0 = q(g0, 3) - q(g0, 2)
+    b3_1 = q(g1, 3) - q(g1, 2)
+    b3_2 = q(g2, 3) - q(g2, 2)
+    m0 = b1_1 * b2_2 - b1_2 * b2_1
+    m1 = b1_2 * b2_0 - b1_0 * b2_2
+    m2 = b1_0 * b2_1 - b1_1 * b2_0
+    n0 = b2_1 * b3_2 - b2_2 * b3_1
+    n1 = b2_2 * b3_0 - b2_0 * b3_2
+    n2 = b2_0 * b3_1 - b2_1 * b3_0
+    lb2 = jnp.sqrt(b2_0**2 + b2_1**2 + b2_2**2 + _EPS)
+    m2sq = m0 * m0 + m1 * m1 + m2 * m2 + _EPS
+    n2sq = n0 * n0 + n1 * n1 + n2 * n2 + _EPS
+    inv_lb2 = 1.0 / lb2
+    c0 = (m1 * b2_2 - m2 * b2_1) * inv_lb2
+    c1 = (m2 * b2_0 - m0 * b2_2) * inv_lb2
+    c2_ = (m0 * b2_1 - m1 * b2_0) * inv_lb2
+    yy = c0 * n0 + c1 * n1 + c2_ * n2
+    xx = m0 * n0 + m1 * n1 + m2 * n2
+    norm = jnp.sqrt(xx * xx + yy * yy + _EPS)
+    cph = xx / norm                   # cos(phi)   (R, M)
+    sph = yy / norm                   # sin(phi)
+
+    # features -> standardized input
+    feats = jnp.concatenate([cph, sph], axis=1)           # (R, 2M)
+    z = (feats - c["bias_mu"]) * c["bias_inv_sigma"]
+
+    # tanh MLP forward, keeping activations for backprop
+    hs = [z]
+    h = z
+    n_layers = c["bias_n_layers"]
+    for li in range(n_layers - 1):
+        h = jnp.tanh(_dot(h, c[f"bias_w{li}"]) + c[f"bias_b{li}"])
+        hs.append(h)
+    y = _dot(h, c[f"bias_w{n_layers - 1}"]) + c[f"bias_b{n_layers - 1}"]
+    if c["bias_whiten"]:
+        y = _dot(y - c["bias_wmean"], c["bias_wmat"])
+    e_bias = c["bias_strength"] * jnp.sum(y * y, axis=1, keepdims=True)
+
+    # backprop to features
+    grad = 2.0 * c["bias_strength"] * y
+    if c["bias_whiten"]:
+        grad = _dot(grad, c["bias_wmat"].T)
+    grad = _dot(grad, c[f"bias_w{n_layers - 1}"].T)
+    for li in range(n_layers - 2, -1, -1):
+        grad = grad * (1.0 - hs[li + 1] * hs[li + 1])
+        grad = _dot(grad, c[f"bias_w{li}"].T)
+    grad_feats = grad * c["bias_inv_sigma"]               # (R, 2M)
+    g_cos = grad_feats[:, :M]
+    g_sin = grad_feats[:, M:]
+    # dE/dphi = -sin*g_cos + cos*g_sin
+    dEdphi = -sph * g_cos + cph * g_sin
+
+    # dihedral gradients (same formulas as the torsion force path)
+    lm = lb2 / m2sq
+    ln = lb2 / n2sq
+    d1p0, d1p1, d1p2 = lm * m0, lm * m1, lm * m2
+    d4p0, d4p1, d4p2 = -ln * n0, -ln * n1, -ln * n2
+    s12 = (b1_0 * b2_0 + b1_1 * b2_1 + b1_2 * b2_2) / (lb2 * lb2)
+    s32 = (b3_0 * b2_0 + b3_1 * b2_1 + b3_2 * b2_2) / (lb2 * lb2)
+    d2p0 = -(1.0 + s12) * d1p0 + s32 * d4p0
+    d2p1 = -(1.0 + s12) * d1p1 + s32 * d4p1
+    d2p2 = -(1.0 + s12) * d1p2 + s32 * d4p2
+    d3p0 = s12 * d1p0 - (1.0 + s32) * d4p0
+    d3p1 = s12 * d1p1 - (1.0 + s32) * d4p1
+    d3p2 = s12 * d1p2 - (1.0 + s32) * d4p2
+
+    def scatter(dE, p1, p2, p3, p4):
+        f_all = jnp.concatenate(
+            [-dE * p1, -dE * p2, -dE * p3, -dE * p4], axis=1
+        )
+        return _dot(f_all, SB)
+
+    f0 = scatter(dEdphi, d1p0, d2p0, d3p0, d4p0)
+    f1 = scatter(dEdphi, d1p1, d2p1, d3p1, d4p1)
+    f2 = scatter(dEdphi, d1p2, d2p2, d3p2, d4p2)
+    return f0, f1, f2, e_bias
+
+
+def _bias_consts(model, quads: np.ndarray, strength: float):
+    """Bake a DeepTICAModel + dihedral quads into kernel constants."""
+    cfg = model.config
+    if cfg.activation != "tanh":
+        raise ValueError(
+            f"in-kernel bias supports tanh MLPs, got {cfg.activation!r}"
+        )
+    if cfg.layernorm:
+        raise ValueError("in-kernel bias does not support layernorm")
+    quads = np.asarray(quads, dtype=np.int64)
+    M = quads.shape[0]
+    consts = {}
+    sigma = np.asarray(model.scaler_scale, np.float32)
+    consts["bias_mu"] = np.asarray(model.scaler_mean, np.float32)[None, :]
+    consts["bias_inv_sigma"] = (1.0 / sigma)[None, :]
+    for li, layer in enumerate(model.params):
+        consts[f"bias_w{li}"] = np.asarray(layer["w"], np.float32)
+        consts[f"bias_b{li}"] = np.asarray(layer["b"], np.float32)[None, :]
+    statics = {
+        "bias_n_layers": len(model.params),
+        "bias_n_dihedrals": int(M),
+        "bias_strength": float(strength),
+        "bias_whiten": model.whitening is not None,
+    }
+    if model.whitening is not None:
+        consts["bias_wmean"] = np.asarray(
+            model.whitening["mean"], np.float32
+        )[None, :]
+        consts["bias_wmat"] = np.asarray(
+            model.whitening["transform"], np.float32
+        )
+    return consts, statics, quads
+
+
+def _pack_selectors_for_quads(quads: np.ndarray, n: int) -> np.ndarray:
+    """(4*M, N) one-hot selector: rows [all q1, all q2, all q3, all q4]."""
+    M = quads.shape[0]
+    S = np.zeros((4 * M, n), dtype=np.float32)
+    for k in range(4):
+        S[np.arange(M) + k * M, quads[:, k]] = 1.0
+    return S
+
+
 def _pair_pack_matrices(n: int):
     """One-hot matrices for the packed (R, N*N) pair layout.
 
@@ -522,6 +674,9 @@ def build_pallas_chunk(
     n_replicas: int,
     interpret: bool = False,
     pack_pairs: bool = True,
+    bias_model=None,
+    bias_quads: "np.ndarray | None" = None,
+    bias_strength: float = 1.0,
 ):
     """Compile a fused K-step Langevin chunk.
 
@@ -573,12 +728,22 @@ def build_pallas_chunk(
             "gb_rho_flat_i": flat(np.broadcast_to(rho_col[:, None], (n, n))),
             "gb_sr_flat_j": flat(np.broadcast_to(sr_col[None, :], (n, n))),
         })
-    const_names = list(const_arrays)
     static_consts = {
         "offsets": offsets,
         "gb_pref": float(p.gb_pref),
         "use_gb": system.use_gb,
+        "use_bias": bias_model is not None,
     }
+    if bias_model is not None:
+        if bias_quads is None:
+            raise ValueError("bias_model requires bias_quads (dihedral atom quadruples)")
+        b_consts, b_statics, quads = _bias_consts(
+            bias_model, bias_quads, bias_strength
+        )
+        const_arrays.update(b_consts)
+        const_arrays["bias_S"] = _pack_selectors_for_quads(quads, system.n_atoms)
+        static_consts.update(b_statics)
+    const_names = list(const_arrays)
     c1 = math.exp(-friction * dt)
     c2sq = 1.0 - c1 * c1
     kB = BOLTZMANN_CONSTANT_KJ_PER_MOL
@@ -596,7 +761,15 @@ def build_pallas_chunk(
         kT = kB * temp_ref[...]                        # (R, 1)
         sigma_v = jnp.sqrt(c2sq * kT * inv_m)          # (R, N)
 
-        forces = _forces_planes_packed if pack_pairs else _forces_planes
+        forces_physical = _forces_planes_packed if pack_pairs else _forces_planes
+
+        def forces(x0, x1, x2, consts):
+            f0, f1, f2, e = forces_physical(x0, x1, x2, consts)
+            if consts["use_bias"]:
+                bf0, bf1, bf2, be = _bias_planes(x0, x1, x2, consts)
+                f0, f1, f2 = f0 + bf0, f1 + bf1, f2 + bf2
+                e = e + be
+            return f0, f1, f2, e
 
         def step(_, carry):
             x0, x1, x2, v0, v1, v2 = carry

@@ -149,7 +149,13 @@ class ReplicaExchange:
         minimize: bool = True,
         mesh: Optional[jax.sharding.Mesh] = None,
         use_pallas: bool = False,
+        pallas_bias: Optional[Dict] = None,
     ):
+        """``pallas_bias`` runs a DeepTICA harmonic-expansion CV bias INSIDE
+        the fused kernel: {"model": DeepTICAModel (tanh MLP on cos/sin
+        dihedral features), "quads": (M, 4) dihedral atom indices,
+        "strength": float}. For arbitrary python bias functions use the XLA
+        path (``bias_fn``)."""
         self.system = system
         self.config = config
         self.bias_fn = bias_fn
@@ -162,9 +168,12 @@ class ReplicaExchange:
         self._jit_cache: Dict = {}
         if use_pallas and bias_fn is not None:
             raise ValueError(
-                "use_pallas=True does not support bias_fn yet (the fused "
-                "kernel has no CV-bias hook); run the XLA path for biased MD"
+                "use_pallas=True takes the structured pallas_bias (in-kernel "
+                "DeepTICA bias), not an arbitrary bias_fn; use the XLA path "
+                "for python bias functions"
             )
+        if pallas_bias is not None and not use_pallas:
+            raise ValueError("pallas_bias requires use_pallas=True")
         if use_pallas and mesh is not None:
             raise ValueError("use_pallas=True is single-chip only for now")
         self.use_pallas = use_pallas
@@ -179,6 +188,13 @@ class ReplicaExchange:
                 sizes.add(config.equilibration_steps)
             if config.heating_steps > 0:
                 sizes.add(max(config.heating_steps // 10, 1))
+            bias_kwargs = {}
+            if pallas_bias is not None:
+                bias_kwargs = dict(
+                    bias_model=pallas_bias["model"],
+                    bias_quads=pallas_bias["quads"],
+                    bias_strength=pallas_bias.get("strength", 1.0),
+                )
             for n in sizes:
                 self._jit_cache[("pallas", n)] = build_pallas_chunk(
                     system,
@@ -186,6 +202,7 @@ class ReplicaExchange:
                     friction=config.friction_per_ps,
                     n_steps=n,
                     n_replicas=self.n_replicas,
+                    **bias_kwargs,
                 )
 
         key = jax.random.PRNGKey(config.seed)

@@ -134,3 +134,66 @@ def test_pallas_chunk_on_tpu(alanine_system):
     )
     assert np.isfinite(np.asarray(xo)).all()
     assert np.isfinite(np.asarray(eo)).all()
+
+
+def test_bias_planes_match_xla_autodiff(alanine_system, topology_info):
+    """The in-kernel DeepTICA bias (manual backprop through the MLP chained
+    into analytic dihedral gradients) must equal jax.grad of the XLA
+    composition."""
+    from pmarlo_tpu.bias import HarmonicExpansionBias, make_cv_bias_fn
+    from pmarlo_tpu.bias.harmonic import (
+        make_feature_cv_fn,
+        make_phi_psi_feature_fn,
+    )
+    from pmarlo_tpu.features.builtins import phi_psi_indices
+    from pmarlo_tpu.ml.deeptica import DeepTICAConfig, train_deeptica
+
+    system, pos, topo = alanine_system
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(400, 4)).astype(np.float32)
+    model = train_deeptica(X, DeepTICAConfig(
+        lag=2, n_out=2, hidden=(8,), max_epochs=2, batch_size=64,
+        early_stopping_patience=2, seed=0,
+    ))
+    phi_q, psi_q, _ = phi_psi_indices(
+        topology_info.atom_names, topology_info.residue_ids
+    )
+    quads = np.concatenate([phi_q, psi_q], 0)
+
+    feature_fn = make_phi_psi_feature_fn(
+        topology_info.atom_names, topology_info.residue_ids
+    )
+    cv_fn = make_feature_cv_fn(feature_fn, model.as_function())
+    bias_fn = make_cv_bias_fn(cv_fn, HarmonicExpansionBias(strength=1.5))
+
+    b_consts, b_statics, quads2 = PM._bias_consts(model, quads, 1.5)
+    consts = {k: jnp.asarray(v) for k, v in b_consts.items()}
+    consts.update(b_statics)
+    consts["bias_S"] = jnp.asarray(
+        PM._pack_selectors_for_quads(quads2, system.n_atoms)
+    )
+    R = 3
+    x = jnp.broadcast_to(pos[None], (R,) + pos.shape) + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(1), (R,) + pos.shape
+    )
+    f0, f1, f2, e = PM._bias_planes(x[..., 0], x[..., 1], x[..., 2], consts)
+    f_kernel = np.stack([np.asarray(f0), np.asarray(f1), np.asarray(f2)], -1)
+    e_refs = np.asarray([float(bias_fn(xi)) for xi in x])
+    f_refs = np.stack([-np.asarray(jax.grad(bias_fn)(xi)) for xi in x])
+    scale = max(np.abs(f_refs).max(), 1e-6)
+    assert np.abs(np.asarray(e)[:, 0] - e_refs).max() < 1e-3
+    assert np.abs(f_kernel - f_refs).max() / scale < 1e-4
+
+
+def test_bias_consts_validation():
+    from pmarlo_tpu.ml.deeptica import DeepTICAConfig, DeepTICAModel, init_mlp_params
+
+    params = init_mlp_params(jax.random.PRNGKey(0), 4, (8,), 2)
+    model = DeepTICAModel(
+        config=DeepTICAConfig(activation="gelu"),
+        params=params,
+        scaler_mean=np.zeros(4, np.float32),
+        scaler_scale=np.ones(4, np.float32),
+    )
+    with pytest.raises(ValueError, match="tanh"):
+        PM._bias_consts(model, np.zeros((2, 4), np.int64), 1.0)
