@@ -425,10 +425,29 @@ def _bias_planes(x0, x1, x2, c):
     y = _dot(h, c[f"bias_w{n_layers - 1}"]) + c[f"bias_b{n_layers - 1}"]
     if c["bias_whiten"]:
         y = _dot(y - c["bias_wmean"], c["bias_wmat"])
-    e_bias = c["bias_strength"] * jnp.sum(y * y, axis=1, keepdims=True)
+
+    if c["bias_kind"] == "metadynamics":
+        # hills ledger (runtime inputs): E = sum_h height_h exp(-0.5 d^2),
+        # d = (cv - center_h)/sigma. dE/dcv = -sum_h height_h g_h d/sigma.
+        centers = c["mtd_centers"]            # (H, n_cv)
+        heights = c["mtd_heights"]            # (1, H)
+        inv_sig = c["mtd_inv_sigma"]          # (1, n_cv)
+        H = centers.shape[0]
+        # (R, H, n_cv) deltas via broadcasting over the hills axis
+        d = (y[:, None, :] - centers[None, :, :]) * inv_sig[None, :, :]
+        g = jnp.exp(-0.5 * jnp.sum(d * d, axis=2))        # (R, H)
+        mask = c["mtd_mask"]                  # (1, H): valid-hill prefix
+        wh = heights * mask
+        e_bias = jnp.sum(wh * g, axis=1, keepdims=True)
+        grad_y = -jnp.sum(
+            (wh * g)[:, :, None] * d * inv_sig[None, :, :], axis=1
+        )
+        grad = grad_y
+    else:
+        e_bias = c["bias_strength"] * jnp.sum(y * y, axis=1, keepdims=True)
+        grad = 2.0 * c["bias_strength"] * y
 
     # backprop to features
-    grad = 2.0 * c["bias_strength"] * y
     if c["bias_whiten"]:
         grad = _dot(grad, c["bias_wmat"].T)
     grad = _dot(grad, c[f"bias_w{n_layers - 1}"].T)
@@ -490,6 +509,7 @@ def _bias_consts(model, quads: np.ndarray, strength: float):
         "bias_n_dihedrals": int(M),
         "bias_strength": float(strength),
         "bias_whiten": model.whitening is not None,
+        "bias_kind": "harmonic",   # build_pallas_chunk overrides for metadynamics
     }
     if model.whitening is not None:
         consts["bias_wmean"] = np.asarray(
@@ -677,6 +697,8 @@ def build_pallas_chunk(
     bias_model=None,
     bias_quads: "np.ndarray | None" = None,
     bias_strength: float = 1.0,
+    bias_kind: str = "harmonic",
+    mtd_sigma: "np.ndarray | None" = None,
 ):
     """Compile a fused K-step Langevin chunk.
 
@@ -734,15 +756,28 @@ def build_pallas_chunk(
         "use_gb": system.use_gb,
         "use_bias": bias_model is not None,
     }
+    dynamic_names = []
     if bias_model is not None:
         if bias_quads is None:
             raise ValueError("bias_model requires bias_quads (dihedral atom quadruples)")
+        if bias_kind not in ("harmonic", "metadynamics"):
+            raise ValueError(f"bias_kind must be harmonic|metadynamics, got {bias_kind!r}")
         b_consts, b_statics, quads = _bias_consts(
             bias_model, bias_quads, bias_strength
         )
         const_arrays.update(b_consts)
         const_arrays["bias_S"] = _pack_selectors_for_quads(quads, system.n_atoms)
         static_consts.update(b_statics)
+        static_consts["bias_kind"] = bias_kind
+        if bias_kind == "metadynamics":
+            if mtd_sigma is None:
+                raise ValueError("metadynamics bias requires mtd_sigma (per-CV widths)")
+            const_arrays["mtd_inv_sigma"] = (
+                1.0 / np.asarray(mtd_sigma, np.float32)
+            )[None, :]
+            # hills ledger arrays are RUNTIME inputs (they grow between
+            # chunks without recompilation; capacity fixes the shapes)
+            dynamic_names = ["mtd_centers", "mtd_heights", "mtd_mask"]
     const_names = list(const_arrays)
     c1 = math.exp(-friction * dt)
     c2sq = 1.0 - c1 * c1
@@ -750,11 +785,16 @@ def build_pallas_chunk(
     R, N = n_replicas, system.n_atoms
 
     def kernel(x_ref, v_ref, seed_ref, temp_ref, *rest):
-        const_refs = rest[: len(const_names)]
-        ox_ref, ov_ref, oe_ref = rest[len(const_names):]
+        n_dyn = len(dynamic_names)
+        dyn_refs = rest[:n_dyn]
+        const_refs = rest[n_dyn : n_dyn + len(const_names)]
+        ox_ref, ov_ref, oe_ref = rest[n_dyn + len(const_names):]
         consts = {
-            name: ref[...] for name, ref in zip(const_names, const_refs)
+            name: ref[...] for name, ref in zip(dynamic_names, dyn_refs)
         }
+        consts.update(
+            {name: ref[...] for name, ref in zip(const_names, const_refs)}
+        )
         consts.update(static_consts)
         inv_m = consts["inv_m"]
         pltpu.prng_seed(seed_ref[0])
@@ -802,7 +842,12 @@ def build_pallas_chunk(
     const_values = [jnp.asarray(const_arrays[name]) for name in const_names]
 
     @jax.jit
-    def chunk(x, v, seeds, temps):
+    def chunk(x, v, seeds, temps, *dynamic_args):
+        if len(dynamic_args) != len(dynamic_names):
+            raise TypeError(
+                f"chunk expects {len(dynamic_names)} extra args "
+                f"({dynamic_names}), got {len(dynamic_args)}"
+            )
         # (R, N, 3) -> (3, R, N)
         xp = jnp.transpose(x, (2, 0, 1)).astype(jnp.float32)
         vp = jnp.transpose(v, (2, 0, 1)).astype(jnp.float32)
@@ -819,12 +864,13 @@ def build_pallas_chunk(
                 vmem, vmem,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 vmem,
-            ] + [vmem] * len(const_values),
+            ] + [vmem] * (len(dynamic_args) + len(const_values)),
             out_specs=(vmem, vmem, vmem),
             interpret=interpret,
         )(
             xp, vp, seed_scalar,
             temps.astype(jnp.float32).reshape(R, 1),
+            *[jnp.asarray(a, jnp.float32) for a in dynamic_args],
             *const_values,
         )
         xo, vo, eo = out

@@ -197,3 +197,91 @@ def test_bias_consts_validation():
     )
     with pytest.raises(ValueError, match="tanh"):
         PM._bias_consts(model, np.zeros((2, 4), np.int64), 1.0)
+
+
+def _tiny_model():
+    from pmarlo_tpu.ml.deeptica import DeepTICAConfig, train_deeptica
+
+    rng = np.random.default_rng(0)
+    return train_deeptica(
+        rng.normal(size=(400, 4)).astype(np.float32),
+        DeepTICAConfig(lag=2, n_out=2, hidden=(8,), max_epochs=2,
+                       batch_size=64, early_stopping_patience=2, seed=0),
+    )
+
+
+def test_metadynamics_bias_planes_match_xla(alanine_system, topology_info):
+    from pmarlo_tpu.bias import MetadynamicsBias
+    from pmarlo_tpu.bias.harmonic import (
+        make_feature_cv_fn,
+        make_phi_psi_feature_fn,
+    )
+    from pmarlo_tpu.features.builtins import phi_psi_indices
+
+    system, pos, _ = alanine_system
+    model = _tiny_model()
+    phi_q, psi_q, _ = phi_psi_indices(
+        topology_info.atom_names, topology_info.residue_ids
+    )
+    quads = np.concatenate([phi_q, psi_q], 0)
+    mtd = MetadynamicsBias(sigma=(0.4, 0.4), height=3.0, max_hills=16)
+    hills = mtd.init_state(2)
+    for cc in np.linspace(-0.5, 0.5, 5):
+        hills = mtd.deposit(hills, jnp.asarray([cc, -cc], jnp.float32))
+
+    feature_fn = make_phi_psi_feature_fn(
+        topology_info.atom_names, topology_info.residue_ids
+    )
+    cv_fn = make_feature_cv_fn(feature_fn, model.as_function())
+    bias_fn = mtd.bias_fn(hills, cv_fn)
+
+    b_consts, b_statics, quads2 = PM._bias_consts(model, quads, 1.0)
+    consts = {k: jnp.asarray(v) for k, v in b_consts.items()}
+    consts.update(b_statics)
+    consts["bias_kind"] = "metadynamics"
+    consts["bias_S"] = jnp.asarray(
+        PM._pack_selectors_for_quads(quads2, system.n_atoms)
+    )
+    consts["mtd_inv_sigma"] = jnp.asarray(
+        (1.0 / np.asarray(mtd.sigma, np.float32))[None, :]
+    )
+    consts["mtd_centers"] = hills.centers
+    consts["mtd_heights"] = hills.heights[None, :]
+    consts["mtd_mask"] = (
+        jnp.arange(mtd.max_hills) < hills.n_hills
+    ).astype(jnp.float32)[None, :]
+
+    R = 3
+    x = jnp.broadcast_to(pos[None], (R,) + pos.shape) + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(1), (R,) + pos.shape
+    )
+    f0, f1, f2, e = PM._bias_planes(x[..., 0], x[..., 1], x[..., 2], consts)
+    f_kernel = np.stack([np.asarray(f0), np.asarray(f1), np.asarray(f2)], -1)
+    e_refs = np.asarray([float(bias_fn(xi)) for xi in x])
+    f_refs = np.stack([-np.asarray(jax.grad(bias_fn)(xi)) for xi in x])
+    scale = max(np.abs(f_refs).max(), 1e-6)
+    assert np.abs(np.asarray(e)[:, 0] - e_refs).max() < 1e-3
+    assert np.abs(f_kernel - f_refs).max() / scale < 1e-4
+
+
+def test_fused_metadynamics_on_tpu(alanine_system, topology_info):
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a real TPU for Mosaic lowering")
+    from pmarlo_tpu.bias import MetadynamicsBias
+    from pmarlo_tpu.features.builtins import phi_psi_indices
+    from pmarlo_tpu.md.enhanced_sampling import run_fused_metadynamics
+
+    system, pos, _ = alanine_system
+    model = _tiny_model()
+    phi_q, psi_q, _ = phi_psi_indices(
+        topology_info.atom_names, topology_info.residue_ids
+    )
+    quads = np.concatenate([phi_q, psi_q], 0)
+    mtd = MetadynamicsBias(sigma=(0.4, 0.4), height=2.0, max_hills=64,
+                           bias_factor=8.0)
+    out = run_fused_metadynamics(
+        system, pos, cv_model=model, cv_quads=quads, mtd=mtd,
+        n_steps=1000, deposit_interval=250, n_replicas=2,
+    )
+    assert int(out["hills"].n_hills) == 8  # 4 windows x 2 replicas
+    assert np.isfinite(np.asarray(out["positions"])).all()
