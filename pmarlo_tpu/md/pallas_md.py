@@ -358,6 +358,58 @@ def _forces_planes(x0, x1, x2, c):
     return fB0 + fP0, fB1 + fP1, fB2 + fP2, energy
 
 
+def _cv_forward(x0, x1, x2, c):
+    """positions planes -> DeepTICA CV values y (R, n_cv) (shared by the
+    bias force path and the in-kernel hill-deposit path)."""
+    _dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    SB = c["bias_S"]
+    M = c["bias_n_dihedrals"]
+    g0 = _dot(x0, SB.T)
+    g1 = _dot(x1, SB.T)
+    g2 = _dot(x2, SB.T)
+
+    def q(g, k):
+        return g[:, k * M:(k + 1) * M]
+
+    b1_0 = q(g0, 1) - q(g0, 0)
+    b1_1 = q(g1, 1) - q(g1, 0)
+    b1_2 = q(g2, 1) - q(g2, 0)
+    b2_0 = q(g0, 2) - q(g0, 1)
+    b2_1 = q(g1, 2) - q(g1, 1)
+    b2_2 = q(g2, 2) - q(g2, 1)
+    b3_0 = q(g0, 3) - q(g0, 2)
+    b3_1 = q(g1, 3) - q(g1, 2)
+    b3_2 = q(g2, 3) - q(g2, 2)
+    m0 = b1_1 * b2_2 - b1_2 * b2_1
+    m1 = b1_2 * b2_0 - b1_0 * b2_2
+    m2 = b1_0 * b2_1 - b1_1 * b2_0
+    n0 = b2_1 * b3_2 - b2_2 * b3_1
+    n1 = b2_2 * b3_0 - b2_0 * b3_2
+    n2 = b2_0 * b3_1 - b2_1 * b3_0
+    lb2 = jnp.sqrt(b2_0**2 + b2_1**2 + b2_2**2 + _EPS)
+    inv_lb2 = 1.0 / lb2
+    c0 = (m1 * b2_2 - m2 * b2_1) * inv_lb2
+    c1 = (m2 * b2_0 - m0 * b2_2) * inv_lb2
+    c2_ = (m0 * b2_1 - m1 * b2_0) * inv_lb2
+    yy = c0 * n0 + c1 * n1 + c2_ * n2
+    xx = m0 * n0 + m1 * n1 + m2 * n2
+    norm = jnp.sqrt(xx * xx + yy * yy + _EPS)
+    feats = jnp.concatenate([xx / norm, yy / norm], axis=1)
+    z = (feats - c["bias_mu"]) * c["bias_inv_sigma"]
+    h = z
+    n_layers = c["bias_n_layers"]
+    for li in range(n_layers - 1):
+        h = jnp.tanh(_dot(h, c[f"bias_w{li}"]) + c[f"bias_b{li}"])
+    y = _dot(h, c[f"bias_w{n_layers - 1}"]) + c[f"bias_b{n_layers - 1}"]
+    if c["bias_whiten"]:
+        y = _dot(y - c["bias_wmean"], c["bias_wmat"])
+    return y
+
+
 def _bias_planes(x0, x1, x2, c):
     """DeepTICA harmonic-expansion bias INSIDE the kernel: energy and
     analytic forces, per replica plane layout.
@@ -427,22 +479,29 @@ def _bias_planes(x0, x1, x2, c):
         y = _dot(y - c["bias_wmean"], c["bias_wmat"])
 
     if c["bias_kind"] == "metadynamics":
-        # hills ledger (runtime inputs): E = sum_h height_h exp(-0.5 d^2),
-        # d = (cv - center_h)/sigma. dE/dcv = -sum_h height_h g_h d/sigma.
-        centers = c["mtd_centers"]            # (H, n_cv)
+        # hills ledger (runtime values, TRANSPOSED layout: lanes = hills):
+        # E = sum_h height_h exp(-0.5 |d_h|^2), d_h = (cv - center_h)/sigma
+        centersT = c["mtd_centers_t"]         # (n_cv, H)
         heights = c["mtd_heights"]            # (1, H)
-        inv_sig = c["mtd_inv_sigma"]          # (1, n_cv)
-        H = centers.shape[0]
-        # (R, H, n_cv) deltas via broadcasting over the hills axis
-        d = (y[:, None, :] - centers[None, :, :]) * inv_sig[None, :, :]
-        g = jnp.exp(-0.5 * jnp.sum(d * d, axis=2))        # (R, H)
         mask = c["mtd_mask"]                  # (1, H): valid-hill prefix
+        n_cv = centersT.shape[0]
+        inv_sig = c["mtd_inv_sigma_list"]     # static python list of floats
+        d_ks = []
+        d2 = None
+        for k in range(n_cv):
+            d_k = (y[:, k:k + 1] - centersT[k:k + 1, :]) * inv_sig[k]  # (R, H)
+            d_ks.append(d_k)
+            d2 = d_k * d_k if d2 is None else d2 + d_k * d_k
+        g = jnp.exp(-0.5 * d2)                # (R, H)
         wh = heights * mask
         e_bias = jnp.sum(wh * g, axis=1, keepdims=True)
-        grad_y = -jnp.sum(
-            (wh * g)[:, :, None] * d * inv_sig[None, :, :], axis=1
-        )
-        grad = grad_y
+        grad = jnp.concatenate(
+            [
+                -jnp.sum(wh * g * d_ks[k], axis=1, keepdims=True) * inv_sig[k]
+                for k in range(n_cv)
+            ],
+            axis=1,
+        )                                      # (R, n_cv)
     else:
         e_bias = c["bias_strength"] * jnp.sum(y * y, axis=1, keepdims=True)
         grad = 2.0 * c["bias_strength"] * y
@@ -699,11 +758,25 @@ def build_pallas_chunk(
     bias_strength: float = 1.0,
     bias_kind: str = "harmonic",
     mtd_sigma: "np.ndarray | None" = None,
+    mtd_deposit_interval: "int | None" = None,
+    mtd_height: float = 1.0,
+    mtd_bias_factor: "float | None" = None,
+    mtd_temperature_K: float = 300.0,
 ):
     """Compile a fused K-step Langevin chunk.
 
-    Returns ``chunk(x, v, seeds, temps) -> (x, v, energies)`` with
-    x, v (R, N, 3) float32, seeds (R,) int32, temps (R,) float32.
+    Returns ``chunk(x, v, seeds, temps, *bias_runtime) -> (x, v, energies,
+    *ledger)`` with x, v (R, N, 3) float32, seeds (R,) int32, temps (R,)
+    float32.
+
+    Metadynamics modes:
+    - ledger-input mode (``mtd_deposit_interval=None``): the hills arrays
+      (centers_t (n_cv, H), heights (1, H), mask (1, H)) are runtime
+      inputs; deposits happen outside.
+    - fully-fused mode (``mtd_deposit_interval=K``): the kernel deposits a
+      (well-tempered) hill per replica every K steps INSIDE the launch;
+      runtime inputs are (centers_t, heights, count (1, 1)) and the updated
+      ledger is returned — an entire metadynamics run is one kernel call.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -772,12 +845,25 @@ def build_pallas_chunk(
         if bias_kind == "metadynamics":
             if mtd_sigma is None:
                 raise ValueError("metadynamics bias requires mtd_sigma (per-CV widths)")
-            const_arrays["mtd_inv_sigma"] = (
-                1.0 / np.asarray(mtd_sigma, np.float32)
-            )[None, :]
+            static_consts["mtd_inv_sigma_list"] = [
+                float(v) for v in 1.0 / np.asarray(mtd_sigma, np.float64)
+            ]
             # hills ledger arrays are RUNTIME inputs (they grow between
-            # chunks without recompilation; capacity fixes the shapes)
-            dynamic_names = ["mtd_centers", "mtd_heights", "mtd_mask"]
+            # chunks without recompilation; capacity fixes the shapes).
+            # Transposed layout: lanes = hills.
+            if mtd_deposit_interval is not None:
+                if n_steps % mtd_deposit_interval != 0:
+                    raise ValueError(
+                        "n_steps must be a multiple of mtd_deposit_interval"
+                    )
+                dynamic_names = ["mtd_centers_t", "mtd_heights", "mtd_count"]
+            else:
+                dynamic_names = ["mtd_centers_t", "mtd_heights", "mtd_mask"]
+    fused_mtd = (
+        bias_model is not None
+        and bias_kind == "metadynamics"
+        and mtd_deposit_interval is not None
+    )
     const_names = list(const_arrays)
     c1 = math.exp(-friction * dt)
     c2sq = 1.0 - c1 * c1
@@ -788,7 +874,8 @@ def build_pallas_chunk(
         n_dyn = len(dynamic_names)
         dyn_refs = rest[:n_dyn]
         const_refs = rest[n_dyn : n_dyn + len(const_names)]
-        ox_ref, ov_ref, oe_ref = rest[n_dyn + len(const_names):]
+        out_refs = rest[n_dyn + len(const_names):]
+        ox_ref, ov_ref, oe_ref = out_refs[:3]
         consts = {
             name: ref[...] for name, ref in zip(dynamic_names, dyn_refs)
         }
@@ -811,30 +898,106 @@ def build_pallas_chunk(
                 e = e + be
             return f0, f1, f2, e
 
-        def step(_, carry):
-            x0, x1, x2, v0, v1, v2 = carry
-            f0, f1, f2, _ = forces(x0, x1, x2, consts)
-            half = 0.5 * dt
-            v0 = v0 + half * f0 * inv_m
-            v1 = v1 + half * f1 * inv_m
-            v2 = v2 + half * f2 * inv_m
-            x0 = x0 + half * v0
-            x1 = x1 + half * v1
-            x2 = x2 + half * v2
-            v0 = c1 * v0 + sigma_v * _normal_from_bits((R, N))
-            v1 = c1 * v1 + sigma_v * _normal_from_bits((R, N))
-            v2 = c1 * v2 + sigma_v * _normal_from_bits((R, N))
-            x0 = x0 + half * v0
-            x1 = x1 + half * v1
-            x2 = x2 + half * v2
-            return x0, x1, x2, v0, v1, v2
+        def make_step(consts_w):
+            def step(_, carry):
+                x0, x1, x2, v0, v1, v2 = carry
+                f0, f1, f2, _ = forces(x0, x1, x2, consts_w)
+                half = 0.5 * dt
+                v0 = v0 + half * f0 * inv_m
+                v1 = v1 + half * f1 * inv_m
+                v2 = v2 + half * f2 * inv_m
+                x0 = x0 + half * v0
+                x1 = x1 + half * v1
+                x2 = x2 + half * v2
+                v0 = c1 * v0 + sigma_v * _normal_from_bits((R, N))
+                v1 = c1 * v1 + sigma_v * _normal_from_bits((R, N))
+                v2 = c1 * v2 + sigma_v * _normal_from_bits((R, N))
+                x0 = x0 + half * v0
+                x1 = x1 + half * v1
+                x2 = x2 + half * v2
+                return x0, x1, x2, v0, v1, v2
+            return step
 
         carry = (
             x_ref[0], x_ref[1], x_ref[2],
             v_ref[0], v_ref[1], v_ref[2],
         )
-        x0, x1, x2, v0, v1, v2 = jax.lax.fori_loop(0, n_steps, step, carry)
-        _, _, _, energy = forces(x0, x1, x2, consts)
+
+        if not fused_mtd:
+            x0, x1, x2, v0, v1, v2 = jax.lax.fori_loop(
+                0, n_steps, make_step(consts), carry
+            )
+            _, _, _, energy = forces(x0, x1, x2, consts)
+        else:
+            # --- fully-fused metadynamics: deposits inside the launch -----
+            # The hills ledger lives in VMEM SCRATCH refs and deposits are
+            # predicated (@pl.when) — carrying the ledger through nested
+            # fori loops made every MD step ~30x slower (loop-carried
+            # vector captures defeat Mosaic's invariant hoisting).
+            cT_ref, hts_ref, cnt_ref = out_refs[3:6]
+            cT_ref[...] = consts["mtd_centers_t"]
+            hts_ref[...] = consts["mtd_heights"]
+            cnt_ref[...] = consts["mtd_count"]
+            Hcap = consts["mtd_centers_t"].shape[1]
+            n_cv = consts["mtd_centers_t"].shape[0]
+            inv_sig = static_consts["mtd_inv_sigma_list"]
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, Hcap), 1)
+            kB_dT = (
+                kB * (mtd_bias_factor - 1.0) * mtd_temperature_K
+                if mtd_bias_factor is not None else None
+            )
+
+            def ledger_consts():
+                cw = dict(consts)
+                cw["mtd_centers_t"] = cT_ref[...]
+                cw["mtd_heights"] = hts_ref[...]
+                count = cnt_ref[0, 0].astype(jnp.int32)
+                cw["mtd_mask"] = (lane_ids < count).astype(jnp.float32)
+                return cw, count
+
+            n_windows = n_steps // mtd_deposit_interval
+
+            def window(w, scarry):
+                # ledger loads hoisted ONCE per window: the inner MD loop
+                # sees plain loop-invariant values (per-step ref loads or
+                # loop-carried ledgers both collapsed throughput ~30x)
+                cw, _ = ledger_consts()
+                x0, x1, x2, v0, v1, v2 = jax.lax.fori_loop(
+                    0, mtd_deposit_interval, make_step(cw), scarry
+                )
+                y = _cv_forward(x0, x1, x2, cw)           # (R, n_cv)
+                for r in range(R):
+                    cT = cT_ref[...]
+                    hts = hts_ref[...]
+                    count = cnt_ref[0, 0].astype(jnp.int32)
+                    mask = (lane_ids < count).astype(jnp.float32)
+                    d2 = None
+                    for k in range(n_cv):
+                        dk = (
+                            y[r:r + 1, k:k + 1] - cT[k:k + 1, :]
+                        ) * inv_sig[k]
+                        d2 = dk * dk if d2 is None else d2 + dk * dk
+                    if kB_dT is not None:
+                        vh = jnp.sum(hts * mask * jnp.exp(-0.5 * d2))
+                        h_new = mtd_height * jnp.exp(-vh / kB_dT)
+                    else:
+                        h_new = jnp.asarray(mtd_height, jnp.float32)
+                    # one-hot lane write: the lane equal to `count` takes
+                    # the new hill; a full ledger writes nowhere
+                    write = (lane_ids == count).astype(jnp.float32)
+                    cT_ref[...] = cT * (1.0 - write) + y[r:r + 1, :].T * write
+                    hts_ref[...] = hts * (1.0 - write) + h_new * write
+                    cnt_ref[...] = (
+                        count.astype(jnp.float32) + jnp.sum(write)
+                    ).reshape(1, 1)
+                return x0, x1, x2, v0, v1, v2
+
+            x0, x1, x2, v0, v1, v2 = jax.lax.fori_loop(
+                0, n_windows, window, carry
+            )
+            cw, _ = ledger_consts()
+            _, _, _, energy = forces(x0, x1, x2, cw)
+
         ox_ref[0], ox_ref[1], ox_ref[2] = x0, x1, x2
         ov_ref[0], ov_ref[1], ov_ref[2] = v0, v1, v2
         oe_ref[...] = energy
@@ -853,19 +1016,27 @@ def build_pallas_chunk(
         vp = jnp.transpose(v, (2, 0, 1)).astype(jnp.float32)
         seed_scalar = jnp.sum(seeds.astype(jnp.int32))[None]
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        out_shapes = [
+            jax.ShapeDtypeStruct((3, R, N), jnp.float32),
+            jax.ShapeDtypeStruct((3, R, N), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        ]
+        if fused_mtd:
+            centers_t = dynamic_args[0]
+            out_shapes += [
+                jax.ShapeDtypeStruct(centers_t.shape, jnp.float32),
+                jax.ShapeDtypeStruct(dynamic_args[1].shape, jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ]
         out = pl.pallas_call(
             kernel,
-            out_shape=(
-                jax.ShapeDtypeStruct((3, R, N), jnp.float32),
-                jax.ShapeDtypeStruct((3, R, N), jnp.float32),
-                jax.ShapeDtypeStruct((R, 1), jnp.float32),
-            ),
+            out_shape=tuple(out_shapes),
             in_specs=[
                 vmem, vmem,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 vmem,
             ] + [vmem] * (len(dynamic_args) + len(const_values)),
-            out_specs=(vmem, vmem, vmem),
+            out_specs=tuple([vmem] * len(out_shapes)),
             interpret=interpret,
         )(
             xp, vp, seed_scalar,
@@ -873,12 +1044,15 @@ def build_pallas_chunk(
             *[jnp.asarray(a, jnp.float32) for a in dynamic_args],
             *const_values,
         )
-        xo, vo, eo = out
-        return (
+        xo, vo, eo = out[:3]
+        result = (
             jnp.transpose(xo, (1, 2, 0)),
             jnp.transpose(vo, (1, 2, 0)),
             eo[:, 0],
         )
+        if fused_mtd:
+            result = result + tuple(out[3:])
+        return result
 
     return chunk
 

@@ -242,10 +242,10 @@ def test_metadynamics_bias_planes_match_xla(alanine_system, topology_info):
     consts["bias_S"] = jnp.asarray(
         PM._pack_selectors_for_quads(quads2, system.n_atoms)
     )
-    consts["mtd_inv_sigma"] = jnp.asarray(
-        (1.0 / np.asarray(mtd.sigma, np.float32))[None, :]
-    )
-    consts["mtd_centers"] = hills.centers
+    consts["mtd_inv_sigma_list"] = [
+        float(v) for v in 1.0 / np.asarray(mtd.sigma, np.float64)
+    ]
+    consts["mtd_centers_t"] = hills.centers.T
     consts["mtd_heights"] = hills.heights[None, :]
     consts["mtd_mask"] = (
         jnp.arange(mtd.max_hills) < hills.n_hills
