@@ -36,26 +36,34 @@ def counts_from_dtrajs(
         raise ValueError(f"count_mode must be sliding|strided, got {count_mode!r}")
     if isinstance(dtrajs, np.ndarray) and dtrajs.ndim == 1:
         dtrajs = [dtrajs]
-    total = np.zeros((n_states, n_states), dtype=np.float64)
-    for d in dtrajs:
-        d = np.asarray(d, dtype=np.int64)
-        if d.shape[0] <= lag:
-            continue
-        s, t = d[:-lag], d[lag:]
-        if count_mode == "strided":
-            s, t = s[::lag], t[::lag]
-        valid = (s >= 0) & (t >= 0) & (s < n_states) & (t < n_states)
-        total += _count_pairs_device(s, t, valid, n_states)
-    return total
+    # pad all segments into one (S, T) matrix with -1 sentinels so counting
+    # is ONE device call (a python loop over shards costs one dispatch
+    # each — on latency-heavy links that dwarfed the math)
+    segments = [np.asarray(d, dtype=np.int64) for d in dtrajs if len(d) > lag]
+    if not segments:
+        return np.zeros((n_states, n_states), dtype=np.float64)
+    max_len = max(len(d) for d in segments)
+    padded = np.full((len(segments), max_len), -1, dtype=np.int64)
+    for i, d in enumerate(segments):
+        padded[i, : len(d)] = d
+    s = padded[:, :-lag]
+    t = padded[:, lag:]
+    if count_mode == "strided":
+        s, t = s[:, ::lag], t[:, ::lag]
+    valid = (s >= 0) & (t >= 0) & (s < n_states) & (t < n_states)
+    return _count_pairs_device(
+        s.reshape(-1), t.reshape(-1), valid.reshape(-1), n_states
+    )
 
 
 def _count_pairs_device(
     s: np.ndarray, t: np.ndarray, valid: np.ndarray, n_states: int
 ) -> np.ndarray:
-    flat = jnp.asarray(s * n_states + t)
-    weights = jnp.asarray(valid, dtype=jnp.float32)
     # invalid pairs scatter into bin 0 with weight 0
-    flat = jnp.where(jnp.asarray(valid), flat, 0)
+    flat = jnp.where(
+        jnp.asarray(valid), jnp.asarray(s * n_states + t), 0
+    )
+    weights = jnp.asarray(valid, dtype=jnp.float32)
     counts = jax.ops.segment_sum(weights, flat, num_segments=n_states * n_states)
     return np.asarray(counts, dtype=np.float64).reshape(n_states, n_states)
 
