@@ -156,10 +156,26 @@ class EnhancedMSM:
     # --- estimation (reference _estimation.py:50) ----------------------------
 
     def build_msm(
-        self, lag_time: int = 10, *, reversible: bool = True, count_mode: str = "sliding"
+        self,
+        lag_time: "int | str" = 10,
+        *,
+        reversible: bool = True,
+        count_mode: str = "sliding",
     ) -> "EnhancedMSM":
+        """``lag_time="auto"`` selects the lag by the CK+ITS criterion
+        (reference ck_its_selector.py:462)."""
         if not self.dtrajs:
             raise EstimationError("cluster_features first")
+        if isinstance(lag_time, str):
+            if lag_time != "auto":
+                raise ValueError(f"lag_time must be int or 'auto', got {lag_time!r}")
+            from .ck_its_selector import select_optimal_lag_ck_its
+
+            selection = select_optimal_lag_ck_its(
+                self.dtrajs, n_states=self.clustering.n_states
+            )
+            logger.info("auto lag selection: %s", selection.reason)
+            lag_time = selection.selected_lag
         max_len = max(len(d) for d in self.dtrajs)
         lag = min(int(lag_time), max(max_len // 3, 1))  # lag capping
         if lag != lag_time:

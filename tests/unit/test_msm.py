@@ -158,3 +158,19 @@ def test_silhouette_and_auto_k():
     res = cluster_microstates(X, "auto", seed=0, auto_range=range(2, 6))
     assert res.n_states == 2
     assert res.silhouette > 0.9
+
+
+def test_enhanced_auto_lag(double_well_dtrajs):
+    from pmarlo_tpu.msm.enhanced import EnhancedMSM
+
+    _, xs = double_well_dtrajs
+    feats = [np.stack([x, np.roll(x, 1)], axis=1).astype("float32") for x in xs]
+    msm = EnhancedMSM()
+    msm.load_trajectories(feats)
+    msm.compute_features()  # passthrough for feature matrices
+    msm.cluster_features(8, seed=0)
+    msm.build_msm("auto")
+    assert msm.msm is not None
+    assert msm.msm.lag >= 1
+    with pytest.raises(ValueError, match="auto"):
+        msm.build_msm("best")
