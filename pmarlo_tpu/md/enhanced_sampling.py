@@ -36,6 +36,7 @@ def run_fused_metadynamics(
     friction_per_ps: float = 1.0,
     seed: int = 0,
     hills: Optional[MetaDState] = None,
+    chunk=None,
 ) -> Dict:
     """Run metadynamics with MD, CV, and hill deposition fused into a
     single kernel launch.
@@ -46,7 +47,9 @@ def run_fused_metadynamics(
     """
     if n_steps % deposit_interval != 0:
         raise ValueError("n_steps must be a multiple of deposit_interval")
-    chunk = build_pallas_chunk(
+    # reuse a previously-built chunk (result["chunk"]) — rebuilding means a
+    # full recompile per call
+    chunk = chunk or build_pallas_chunk(
         system,
         dt=dt_ps,
         friction=friction_per_ps,
@@ -92,6 +95,7 @@ def run_fused_metadynamics(
         "potential_energy": energies,
         "hills": final_hills,
         "n_windows": n_steps // deposit_interval,
+        "chunk": chunk,
     }
 
 
