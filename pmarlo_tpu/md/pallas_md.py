@@ -1057,4 +1057,294 @@ def build_pallas_chunk(
     return chunk
 
 
-__all__ = ["build_pallas_chunk"]
+def _parity_matrices(R: int):
+    """Constant swap operators per parity: (partner one-hot P, paired flag,
+    pair-min selector M_lo). Swapping becomes (R, R) matmuls."""
+    out = []
+    for p in (0, 1):
+        P = np.zeros((R, R), np.float32)
+        paired = np.zeros((R, 1), np.float32)
+        Mlo = np.zeros((R, R), np.float32)
+        for r in range(R):
+            if r % 2 == p and r + 1 < R:
+                q = r + 1
+            elif r % 2 != p and r - 1 >= 0 and (r - 1) % 2 == p:
+                q = r - 1
+            else:
+                q = r
+            P[r, q] = 1.0
+            paired[r, 0] = 1.0 if q != r else 0.0
+            Mlo[r, min(r, q)] = 1.0
+        out.append((P, paired, Mlo))
+    return out
+
+
+def _uniform_from_bits(shape) -> jax.Array:
+    from jax.experimental.pallas import tpu as pltpu
+
+    # mask to the low 23 bits: the raw int32 bits are signed, and a negative
+    # uniform makes log() nan (silently rejecting half the swaps); Mosaic
+    # cannot cast uint32->f32, so stay in non-negative int32 space
+    bits = pltpu.prng_random_bits(shape) & 0x7FFFFF
+    return bits.astype(jnp.float32) * (1.0 / 8388608.0) + 1e-7
+
+
+def build_pallas_remd(
+    system: System,
+    ladder: np.ndarray,
+    *,
+    dt: float,
+    friction: float,
+    n_steps: int,
+    exchange_frequency: int,
+    report_interval: int,
+    interpret: bool = False,
+    bias_model=None,
+    bias_quads: "np.ndarray | None" = None,
+    bias_strength: float = 1.0,
+):
+    """Fully-fused REMD: MD + parity-alternating Metropolis swaps + frame
+    capture, all inside ONE kernel launch.
+
+    The swap is pure linear algebra: partner energies/temperatures gather
+    through constant parity permutation one-hot matrices, pair-shared
+    uniforms come from the pair-min selector, and accepted configurations
+    move between rungs via T = (1-a) I + a P applied to every state plane
+    (HIGHEST-precision matmuls). Returns
+    ``remd(x, v, seed) -> (x, v, frames (F,3,R,N), frame_E (F,R),
+    ids_hist (A+1,R), accept (A,R))``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ladder = np.asarray(ladder, np.float64)
+    R = len(ladder)
+    N = system.n_atoms
+    if n_steps % exchange_frequency != 0:
+        raise ValueError("n_steps must divide into exchange windows")
+    if exchange_frequency % report_interval != 0:
+        raise ValueError("report_interval must divide exchange_frequency")
+    A = n_steps // exchange_frequency
+    fpc = exchange_frequency // report_interval
+    F = A * fpc
+    frames_bytes = F * 3 * R * system.n_atoms * 4
+    if frames_bytes > 8 * 1024 * 1024:
+        raise ValueError(
+            f"fused REMD frame buffer ({frames_bytes / 1e6:.1f} MB) exceeds "
+            "the VMEM budget; lower n_steps per launch or raise "
+            "report_interval (loop launches for longer runs)"
+        )
+
+    # reuse the chunk const assembly by building a throwaway chunk's tables
+    # (cheap, host-side) — the kernels share every force constant
+    p = make_dense_params(system)
+    S_all, offsets = _pack_selectors(p)
+    const_arrays = {
+        "S_all": np.asarray(S_all, np.float32),
+        "bond_k": np.asarray(p.bond_k, np.float32)[None, :],
+        "bond_r0": np.asarray(p.bond_r0, np.float32)[None, :],
+        "angle_k": np.asarray(p.angle_k, np.float32)[None, :],
+        "angle_t0": np.asarray(p.angle_t0, np.float32)[None, :],
+        "tor_k": np.asarray(p.tor_k, np.float32)[None, :],
+        "tor_n": np.asarray(p.tor_n, np.float32)[None, :],
+        "tor_nmask": _torsion_n_masks(np.asarray(p.tor_n)),
+        "tor_sign": _torsion_signs(np.asarray(p.tor_phase))[None, :],
+        "qq_full": np.asarray(p.qq_full, np.float32),
+        "q": np.asarray(p.q, np.float32)[None, :],
+        "gb_rho": np.asarray(p.gb_rho, np.float32)[None, :],
+        "gb_sr": np.asarray(p.gb_sr, np.float32)[None, :],
+        "gb_radii": np.asarray(p.gb_radii, np.float32)[None, :],
+        "sa_coef": np.asarray(p.sa_coef, np.float32)[None, :],
+        "inv_m": (1.0 / np.asarray(p.masses, np.float32))[None, :],
+    }
+    n = N
+    RHO, TAU, SUMJ = _pair_pack_matrices(n)
+    flat = lambda m: np.asarray(m, np.float32).reshape(1, n * n)
+    rho_col = np.asarray(p.gb_rho, np.float32)
+    sr_col = np.asarray(p.gb_sr, np.float32)
+    const_arrays.update({
+        "RHO": RHO, "TAU": TAU, "SUMJ": SUMJ, "TAUT": TAU.T.copy(),
+        "lj_a_flat": flat(p.lj_a),
+        "lj_b_flat": flat(p.lj_b),
+        "qq_scaled_flat": flat(p.qq_scaled),
+        "qq_full_flat": flat(p.qq_full),
+        "eye_flat": flat(np.eye(n)),
+        "gb_rho_flat_i": flat(np.broadcast_to(rho_col[:, None], (n, n))),
+        "gb_sr_flat_j": flat(np.broadcast_to(sr_col[None, :], (n, n))),
+    })
+    static_consts = {
+        "offsets": offsets,
+        "gb_pref": float(p.gb_pref),
+        "use_gb": system.use_gb,
+        "use_bias": bias_model is not None,
+        "skip_pairs": False,
+    }
+    if bias_model is not None:
+        b_consts, b_statics, quads = _bias_consts(
+            bias_model, bias_quads, bias_strength
+        )
+        const_arrays.update(b_consts)
+        const_arrays["bias_S"] = _pack_selectors_for_quads(quads, N)
+        static_consts.update(b_statics)
+        static_consts["bias_kind"] = "harmonic"
+
+    # swap constants
+    (P0, paired0, Mlo0), (P1, paired1, Mlo1) = _parity_matrices(R)
+    betas = (1.0 / (BOLTZMANN_CONSTANT_KJ_PER_MOL * ladder)).astype(np.float32)
+    const_arrays.update({
+        "P0": P0, "P1": P1,
+        "paired0": paired0, "paired1": paired1,
+        "Mlo0": Mlo0, "Mlo1": Mlo1,
+        "betas": betas[:, None],
+        "ladder": ladder.astype(np.float32)[:, None],
+        "ids0": np.arange(R, dtype=np.float32)[:, None],
+    })
+    const_names = list(const_arrays)
+    c1 = math.exp(-friction * dt)
+    c2sq = 1.0 - c1 * c1
+    kB = BOLTZMANN_CONSTANT_KJ_PER_MOL
+
+    def _hp_dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def kernel(x_ref, v_ref, seed_ref, *rest):
+        const_refs = rest[: len(const_names)]
+        (ox_ref, ov_ref, frames_ref, fe_ref, ids_ref, acc_ref) = rest[
+            len(const_names):
+        ]
+        consts = {
+            name: ref[...] for name, ref in zip(const_names, const_refs)
+        }
+        consts.update(static_consts)
+        inv_m = consts["inv_m"]
+        pltpu.prng_seed(seed_ref[0])
+        kT = kB * consts["ladder"]                      # (R, 1)
+        sigma_v = jnp.sqrt(c2sq * kT * inv_m)
+
+        def forces(x0, x1, x2):
+            f0, f1, f2, e = _forces_planes_packed(x0, x1, x2, consts)
+            if consts["use_bias"]:
+                bf0, bf1, bf2, be = _bias_planes(x0, x1, x2, consts)
+                f0, f1, f2 = f0 + bf0, f1 + bf1, f2 + bf2
+                e = e + be
+            return f0, f1, f2, e
+
+        def step(_, carry):
+            x0, x1, x2, v0, v1, v2 = carry
+            f0, f1, f2, _ = forces(x0, x1, x2)
+            half = 0.5 * dt
+            v0 = v0 + half * f0 * inv_m
+            v1 = v1 + half * f1 * inv_m
+            v2 = v2 + half * f2 * inv_m
+            x0 = x0 + half * v0
+            x1 = x1 + half * v1
+            x2 = x2 + half * v2
+            v0 = c1 * v0 + sigma_v * _normal_from_bits((R, N))
+            v1 = c1 * v1 + sigma_v * _normal_from_bits((R, N))
+            v2 = c1 * v2 + sigma_v * _normal_from_bits((R, N))
+            x0 = x0 + half * v0
+            x1 = x1 + half * v1
+            x2 = x2 + half * v2
+            return x0, x1, x2, v0, v1, v2
+
+        ids_ref[pl.ds(0, 1)] = consts["ids0"].T
+
+        def attempt(a, carry):
+            x0, x1, x2, v0, v1, v2, ids = carry
+
+            def frame_loop(j, fcarry):
+                x0, x1, x2, v0, v1, v2, last_e = fcarry
+                x0, x1, x2, v0, v1, v2 = jax.lax.fori_loop(
+                    0, report_interval, step, (x0, x1, x2, v0, v1, v2)
+                )
+                _, _, _, e = forces(x0, x1, x2)
+                f = a * fpc + j
+                frames_ref[pl.ds(f, 1)] = jnp.stack([x0, x1, x2])[None]
+                fe_ref[pl.ds(f, 1)] = e.T
+                return x0, x1, x2, v0, v1, v2, e
+
+            x0, x1, x2, v0, v1, v2, energy = jax.lax.fori_loop(
+                0, fpc, frame_loop,
+                (x0, x1, x2, v0, v1, v2, jnp.zeros((R, 1), jnp.float32)),
+            )
+            # --- swap (constant parity operators) -------------------------
+            even = (a % 2) == 0
+            P = jnp.where(even, consts["P0"], consts["P1"])
+            paired = jnp.where(even, consts["paired0"], consts["paired1"])
+            Mlo = jnp.where(even, consts["Mlo0"], consts["Mlo1"])
+            E_part = _hp_dot(P, energy)
+            beta = consts["betas"]
+            beta_part = _hp_dot(P, beta)
+            log_acc = (beta - beta_part) * (energy - E_part)
+            u = _uniform_from_bits((R, 1))
+            u_lo = _hp_dot(Mlo, u)
+            accept = (
+                (jnp.log(u_lo) < log_acc).astype(jnp.float32) * paired
+            )                                            # (R, 1)
+            T = consts["eye_R"] * (1.0 - accept) + P * accept
+            temps_new = _hp_dot(T, consts["ladder"])
+            scale = jnp.sqrt(consts["ladder"] / temps_new)
+            x0 = _hp_dot(T, x0)
+            x1 = _hp_dot(T, x1)
+            x2 = _hp_dot(T, x2)
+            v0 = _hp_dot(T, v0) * scale
+            v1 = _hp_dot(T, v1) * scale
+            v2 = _hp_dot(T, v2) * scale
+            ids = _hp_dot(T, ids)
+            ids_ref[pl.ds(a + 1, 1)] = ids.T
+            acc_ref[pl.ds(a, 1)] = accept.T
+            return x0, x1, x2, v0, v1, v2, ids
+
+        carry = (
+            x_ref[0], x_ref[1], x_ref[2],
+            v_ref[0], v_ref[1], v_ref[2],
+            consts["ids0"],
+        )
+        x0, x1, x2, v0, v1, v2, ids = jax.lax.fori_loop(0, A, attempt, carry)
+        ox_ref[0], ox_ref[1], ox_ref[2] = x0, x1, x2
+        ov_ref[0], ov_ref[1], ov_ref[2] = v0, v1, v2
+
+    const_arrays["eye_R"] = np.eye(R, dtype=np.float32)
+    const_names = list(const_arrays)
+    const_values = [jnp.asarray(const_arrays[name]) for name in const_names]
+
+    @jax.jit
+    def remd(x, v, seed):
+        xp = jnp.transpose(x, (2, 0, 1)).astype(jnp.float32)
+        vp = jnp.transpose(v, (2, 0, 1)).astype(jnp.float32)
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((3, R, N), jnp.float32),
+                jax.ShapeDtypeStruct((3, R, N), jnp.float32),
+                jax.ShapeDtypeStruct((F, 3, R, N), jnp.float32),
+                jax.ShapeDtypeStruct((F, R), jnp.float32),
+                jax.ShapeDtypeStruct((A + 1, R), jnp.float32),
+                jax.ShapeDtypeStruct((A, R), jnp.float32),
+            ),
+            in_specs=[
+                vmem, vmem,
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ] + [vmem] * len(const_values),
+            out_specs=tuple([vmem] * 6),
+            interpret=interpret,
+        )(
+            xp, vp, jnp.asarray(seed, jnp.int32).reshape(1),
+            *const_values,
+        )
+        xo, vo, frames, fe, ids, acc = out
+        return (
+            jnp.transpose(xo, (1, 2, 0)),
+            jnp.transpose(vo, (1, 2, 0)),
+            jnp.transpose(frames, (0, 2, 3, 1)),   # (F, R, N, 3)
+            fe,
+            ids,
+            acc,
+        )
+
+    return remd
+
+
+__all__ = ["build_pallas_chunk", "build_pallas_remd"]

@@ -477,6 +477,68 @@ class ReplicaExchange:
         )
 
 
+    def run_fused(self, n_steps: int) -> RemdResult:
+        """Fully-fused REMD: the ENTIRE run (MD, frame capture, parity
+        Metropolis swaps, identity bookkeeping) is one kernel launch
+        (md/pallas_md.py build_pallas_remd). Single-chip, unbiased or
+        in-kernel-bias configurations; swap randomness comes from the
+        on-core PRNG (a different stream than the XLA path)."""
+        from ..md.pallas_md import build_pallas_remd
+
+        if self.mesh is not None:
+            raise ValueError("run_fused is single-chip; use run() with a mesh")
+        if self.bias_fn is not None:
+            raise ValueError("run_fused supports in-kernel bias only (pallas_bias)")
+        cfg = self.config
+        key = ("fused_remd", n_steps)
+        if key not in self._jit_cache:
+            bias_kwargs = {}
+            pb = getattr(self, "_pallas_bias", None)
+            if pb is not None:
+                bias_kwargs = dict(
+                    bias_model=pb["model"], bias_quads=pb["quads"],
+                    bias_strength=pb.get("strength", 1.0),
+                )
+            self._jit_cache[key] = build_pallas_remd(
+                self.system, np.asarray(self.ladder),
+                dt=cfg.dt_ps, friction=cfg.friction_per_ps,
+                n_steps=n_steps,
+                exchange_frequency=cfg.exchange_frequency,
+                report_interval=cfg.report_interval,
+                **bias_kwargs,
+            )
+        seed = int(np.asarray(self._swap_key).reshape(-1)[0]) & 0x7FFFFFFF
+        x, v, frames, fe, ids, acc = self._jit_cache[key](
+            self.state.positions, self.state.velocities, seed
+        )
+        n_attempts = n_steps // cfg.exchange_frequency
+        self.state = MDState(
+            positions=x, velocities=v,
+            key=self.state.key, step=self.state.step + n_steps,
+        )
+        ids_hist = np.asarray(ids).astype(np.int32)
+        self.replica_ids = jnp.asarray(ids_hist[-1])
+        self._swap_key = jax.random.fold_in(self._swap_key, n_attempts)
+
+        acc_np = np.asarray(acc)
+        pair_acc = np.full(self.n_replicas - 1, np.nan)
+        for pair in range(self.n_replicas - 1):
+            # pair (p, p+1) is attempted on parities where p is "left"
+            attempts = acc_np[pair % 2::2, pair]
+            if attempts.size:
+                pair_acc[pair] = float(attempts.mean())
+        return RemdResult(
+            positions=np.asarray(frames),
+            potential_energy=np.asarray(fe),
+            temperatures=np.asarray(self.ladder),
+            replica_ids=ids_hist,
+            acceptance_matrix=pair_acc,
+            exchange_attempts=n_attempts,
+            n_steps=n_steps,
+            dt_ps=cfg.dt_ps,
+        )
+
+
 def run_replica_exchange(
     pdb_file,
     *,

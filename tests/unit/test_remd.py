@@ -77,3 +77,32 @@ def test_demux_and_replica_views(short_remd):
     assert demux.shape == (20, 22, 3)
     walker = res.replica_trajectory(0)
     assert walker.shape == (20, 22, 3)
+
+
+def test_fused_remd_on_tpu(alanine_system_module):
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("fully-fused REMD needs a real TPU")
+    system, positions, _ = alanine_system_module
+    cfg = RemdConfig(n_replicas=4, t_min=300, t_max=500,
+                     exchange_frequency=50, report_interval=50, seed=5)
+    remd = ReplicaExchange(system, positions, cfg, use_pallas=True,
+                           minimize=False)
+    res = remd.run_fused(n_steps=500)
+    assert res.positions.shape == (10, 4, 22, 3)
+    assert np.isfinite(res.positions).all()
+    for row in res.replica_ids:
+        assert sorted(row.tolist()) == [0, 1, 2, 3]
+
+
+def test_fused_remd_frame_budget(alanine_system_module):
+    from pmarlo_tpu.md.pallas_md import build_pallas_remd
+
+    system, _, _ = alanine_system_module
+    with pytest.raises(ValueError, match="VMEM budget"):
+        build_pallas_remd(
+            system, np.linspace(300, 450, 32),
+            dt=0.002, friction=1.0, n_steps=1_000_000,
+            exchange_frequency=100, report_interval=100,
+        )
