@@ -59,6 +59,15 @@ _EXPORTS = {
     "select_shard_paths": ("pmarlo_tpu.io.shards", "select_shard_paths"),
     # conformations
     "find_conformations": ("pmarlo_tpu.conformations.finder", "find_conformations"),
+    # fused enhanced sampling
+    "run_fused_metadynamics": (
+        "pmarlo_tpu.md.enhanced_sampling", "run_fused_metadynamics"
+    ),
+    "MetadynamicsBias": ("pmarlo_tpu.bias.metadynamics", "MetadynamicsBias"),
+    "train_cv_model": ("pmarlo_tpu.cv", "train_cv_model"),
+    "Pipeline": ("pmarlo_tpu.workflow", "Pipeline"),
+    "save_checkpoint": ("pmarlo_tpu.remd.checkpoint", "save_checkpoint"),
+    "load_checkpoint": ("pmarlo_tpu.remd.checkpoint", "load_checkpoint"),
 }
 
 

@@ -159,6 +159,31 @@ class PhiPsiFeature(Feature):
         return np.ones(self.n_outputs(top), dtype=bool)
 
 
+@register_feature("backbone_torsions")
+class BackboneTorsionsFeature(Feature):
+    """phi + psi + omega dihedrals (reference featurize.py
+    'backbone_torsions' matrix)."""
+
+    name = "backbone_torsions"
+
+    def _quads(self, top: TopologyInfo) -> np.ndarray:
+        phi_q, psi_q, _ = B.phi_psi_indices(top.atom_names, top.residue_ids)
+        omega_q, _ = B.omega_indices(top.atom_names, top.residue_ids)
+        return np.concatenate([phi_q, psi_q, omega_q], axis=0)
+
+    def __call__(self, traj, top: TopologyInfo):
+        quads = self._quads(top)
+        if quads.shape[0] == 0:
+            raise ValueError("system has no backbone torsions")
+        return B.compute_dihedrals(traj, quads)
+
+    def n_outputs(self, top: TopologyInfo) -> int:
+        return self._quads(top).shape[0]
+
+    def periodic(self, top: TopologyInfo) -> np.ndarray:
+        return np.ones(self.n_outputs(top), dtype=bool)
+
+
 @register_feature("chi1")
 class Chi1Feature(Feature):
     name = "chi1"

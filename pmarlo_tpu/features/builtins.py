@@ -61,6 +61,23 @@ def phi_psi_indices(
     )
 
 
+def omega_indices(
+    atom_names: Sequence[str], residue_ids: Sequence[int]
+) -> Tuple[np.ndarray, List[int]]:
+    """omega_i = CA(i-1)-C(i-1)-N(i)-CA(i) peptide-bond dihedrals."""
+    table = _atoms_by_residue(atom_names, residue_ids)
+    rids = sorted(table)
+    quads, labels = [], []
+    for prev, cur in zip(rids[:-1], rids[1:]):
+        a, b = table[prev], table[cur]
+        prev_ca = a.get("CA", a.get("CH3"))
+        cur_ca = b.get("CA", b.get("CH3"))
+        if prev_ca is not None and "C" in a and "N" in b and cur_ca is not None:
+            quads.append((prev_ca, a["C"], b["N"], cur_ca))
+            labels.append(cur)
+    return np.asarray(quads, dtype=np.int32).reshape(-1, 4), labels
+
+
 def chi1_indices(
     atom_names: Sequence[str],
     residue_names: Sequence[str],

@@ -106,3 +106,21 @@ def test_lagged_pairs():
     assert expected_pairs([5, 5], 2) == 6
     diag = diagnose_pairs([5, 2], 2)
     assert diag["too_short_segments"] == [1]
+
+
+def test_backbone_torsions(alanine_system, topology_info):
+    from pmarlo_tpu.features.base import get_feature
+    from pmarlo_tpu.features.builtins import omega_indices
+
+    _, positions, _ = alanine_system
+    traj = np.asarray(positions)[None]
+    # ACE-ALA-NME: 1 phi, 1 psi, 2 omegas (ACE-ALA, ALA-NME)
+    omega_q, labels = omega_indices(
+        topology_info.atom_names, topology_info.residue_ids
+    )
+    assert omega_q.shape == (2, 4)
+    X = get_feature("backbone_torsions")(traj, topology_info)
+    assert X.shape == (1, 4)
+    # peptide bonds are trans: omega ~ +-pi
+    omegas = np.asarray(X[0, 2:])
+    assert (np.abs(np.abs(omegas) - np.pi) < 0.5).all()
