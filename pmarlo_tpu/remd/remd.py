@@ -18,13 +18,16 @@ equilibration phases, demux by temperature), redesigned TPU-first:
   reconstructed — the inverse view of the reference's demux
   (CHANGELOG.md:633).
 - Exchange = parity-alternating neighbor Metropolis over beta-differences,
-  computed as pure array ops (roll + where): on a sharded replica axis XLA
-  lowers the neighbor access to ICI collective-permutes.
+  computed as pure array ops (partner gathers + where): on a sharded
+  replica axis XLA lowers the neighbor access to ICI collective-permutes.
 - Velocities are rescaled by sqrt(T_new/T_old) on accepted swaps
   (CHANGELOG.md:211's numpy-view hot path becomes a fused multiply).
 
-Sharding: ``ReplicaExchange.shard`` places the replica axis on a mesh;
-everything inside the scan is then SPMD over ICI.
+Sharding: pass ``mesh=`` to ``ReplicaExchange`` to place the replica axis
+on a device mesh; everything inside the scan is then SPMD over ICI.
+``use_pallas=True`` swaps the MD chunks for the fused kernel
+(md/pallas_md.py), and ``run_fused`` executes entire runs — including the
+swap logic — in one kernel launch.
 """
 
 from __future__ import annotations
