@@ -146,8 +146,58 @@ def get_reader(path: "str | Path") -> TrajectoryReader:
     return TrajectoryReader(Path(path))
 
 
-def get_writer(path: "str | Path", metadata: Optional[Dict] = None) -> TrajectoryWriter:
-    return TrajectoryWriter(Path(path), metadata=metadata or {})
+@dataclasses.dataclass
+class DCDTrajectoryWriter:
+    """Buffered DCD writer (native C++ codec via io.dcd)."""
+
+    path: Path
+    metadata: Dict = dataclasses.field(default_factory=dict)
+    _frames: list = dataclasses.field(default_factory=list)
+    _closed: bool = False
+
+    def __post_init__(self):
+        self.path = Path(self.path)
+
+    def write_frames(self, frames: np.ndarray) -> None:
+        if self._closed:
+            raise RuntimeError("writer already closed")
+        frames = np.asarray(frames, dtype=np.float32)
+        if frames.ndim == 2:
+            frames = frames[None]
+        self._frames.append(frames)
+
+    def close(self) -> Path:
+        if self._closed:
+            return self.path
+        from .dcd import write_dcd
+
+        coords = (
+            np.concatenate(self._frames, axis=0)
+            if self._frames else np.zeros((0, 0, 3), np.float32)
+        )
+        write_dcd(
+            self.path, coords,
+            dt_ps=float(self.metadata.get("dt_ps", 0.002)),
+            save_interval=int(self.metadata.get("report_interval", 1)),
+        )
+        self._frames = []
+        self._closed = True
+        return self.path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def get_writer(path: "str | Path", metadata: Optional[Dict] = None):
+    """Writer dispatch by extension: .dcd -> native DCD codec, else npz
+    (the backend-registry role of reference io/trajectory_writer.py:123)."""
+    path = Path(path)
+    if path.suffix.lower() == ".dcd":
+        return DCDTrajectoryWriter(path, metadata=metadata or {})
+    return TrajectoryWriter(path, metadata=metadata or {})
 
 
 __all__ = [

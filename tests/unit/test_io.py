@@ -89,3 +89,18 @@ def test_emit_shards(tmp_path):
 def test_shard_requires_payload(tmp_path):
     with pytest.raises(ValueError, match="features and/or coordinates"):
         write_shard(tmp_path, temperature_K=300.0, run_id="x")
+
+
+def test_writer_dispatch_dcd(tmp_path):
+    from pmarlo_tpu.io.trajectory import TrajectoryReader, get_writer
+
+    coords = np.random.rand(3, 7, 3).astype(np.float32)
+    with get_writer(tmp_path / "t.dcd", {"dt_ps": 0.002}) as w:
+        w.write_frames(coords)
+    r = TrajectoryReader(tmp_path / "t.dcd")
+    assert r.probe_length() == 3
+    np.testing.assert_allclose(r.load(), coords, atol=1e-5)
+    # npz dispatch unchanged
+    with get_writer(tmp_path / "t.npz") as w:
+        w.write_frames(coords)
+    assert TrajectoryReader(tmp_path / "t.npz").probe_length() == 3
