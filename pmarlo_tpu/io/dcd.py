@@ -10,9 +10,12 @@ Coordinates are nm on the Python side, Angstrom on disk (DCD convention).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
+import os
 import struct
 import subprocess
+import tempfile
 from pathlib import Path
 from typing import Optional, Tuple
 
@@ -21,25 +24,52 @@ import numpy as np
 logger = logging.getLogger("pmarlo_tpu")
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
-_SO_PATH = _NATIVE_DIR / "libpmarlo_dcd.so"
 _lib: Optional[ctypes.CDLL] = None
 _native_failed = False
 
 
+def _cache_dir() -> Path:
+    base = os.environ.get("PMARLO_CACHE_DIR") or os.environ.get(
+        "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+    )
+    return Path(base) / "pmarlo_tpu"
+
+
 def _load_native() -> Optional[ctypes.CDLL]:
+    """Compile native/dcd.cpp on demand into a user cache dir.
+
+    The binary is keyed by a content hash of the source, so stale builds
+    can never shadow an edited source (mtimes are unreliable after git
+    checkout) and the package directory is never written to (works on
+    read-only installs). No prebuilt binaries ship in the repo.
+    """
     global _lib, _native_failed
     if _lib is not None or _native_failed:
         return _lib
     src = _NATIVE_DIR / "dcd.cpp"
     try:
-        if not _SO_PATH.exists() or (
-            src.exists() and src.stat().st_mtime > _SO_PATH.stat().st_mtime
-        ):
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", str(_SO_PATH), str(src)],
-                check=True, capture_output=True, timeout=120,
+        if not src.exists():
+            raise OSError(f"native source missing: {src}")
+        digest = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+        so_path = _cache_dir() / f"libpmarlo_dcd-{digest}.so"
+        if not so_path.exists():
+            so_path.parent.mkdir(parents=True, exist_ok=True)
+            # build to a temp name + atomic rename: concurrent importers
+            # never load a half-written .so
+            fd, tmp = tempfile.mkstemp(
+                suffix=".so", dir=str(so_path.parent)
             )
-        lib = ctypes.CDLL(str(_SO_PATH))
+            os.close(fd)
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, str(src)],
+                    check=True, capture_output=True, timeout=120,
+                )
+                os.replace(tmp, so_path)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+        lib = ctypes.CDLL(str(so_path))
         lib.pmarlo_dcd_write.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.c_int64, ctypes.c_double, ctypes.c_int64,

@@ -117,12 +117,15 @@ def langevin_step(
     g-BAOAB-style: SHAKE after each position half-step, RATTLE after each
     velocity update — matching OpenMM's HBonds protocol.
 
-    B: v += dt/2 f/m ; A: x += dt/2 v ; O: OU noise ; A ; B — one force
-    evaluation per step (the second B reuses the force at the new x, so we
-    evaluate grad once at the post-A position like OpenMM's middle scheme:
-    here implemented as force at start-of-step plus force at end shared with
-    the next step would need carrying; for simplicity and exactness of the
-    BAOAB splitting we evaluate the force once per step at the current x).
+    Leapfrog (folded) form of BAOAB, identical to OpenMM's
+    ``LangevinMiddleIntegrator``: the trailing B(dt/2) of one step and the
+    leading B(dt/2) of the next both evaluate the force at the same x, so
+    they merge into ONE full-dt kick — B(dt): v += dt*f/m ; A(dt/2) ; O ;
+    A(dt/2) — one force evaluation per step. The kick MUST be the full dt
+    (a dt/2 kick here would integrate F/2 and sample exp(-U/2kT): the
+    configurational temperature doubles — regression-tested via the
+    harmonic-oscillator variance check in tests/unit/test_integrator_stats.py).
+    Reported velocities are offset by half a kick, as in OpenMM middle.
     """
     kT = BOLTZMANN_CONSTANT_KJ_PER_MOL * temperature_K
     m = system.masses[:, None]
@@ -135,7 +138,7 @@ def langevin_step(
         )(state.positions)
         f = -grad
 
-    v = state.velocities + 0.5 * dt * f / m
+    v = state.velocities + dt * f / m
     x = state.positions + 0.5 * dt * v
     if constraints is not None:
         from .constraints import rattle, shake

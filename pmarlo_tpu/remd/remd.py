@@ -107,6 +107,11 @@ class RemdResult:
     exchange_attempts: int
     n_steps: int
     dt_ps: float
+    #: frames recorded per exchange attempt — exact, set by the producing
+    #: run (RemdConfig enforces report_interval | exchange_frequency, so
+    #: this is a constant). 0 means "unknown" (legacy results): fall back
+    #: to the n_frames // n_attempts estimate.
+    frames_per_attempt: int = 0
 
     @property
     def mean_acceptance(self) -> float:
@@ -120,10 +125,12 @@ class RemdResult:
     def replica_trajectory(self, replica: int) -> np.ndarray:
         """Continuous-configuration trajectory of one walker, reconstructed
         from the identity history (the reference's pre-demux view)."""
-        frames = []
         n_attempts = self.replica_ids.shape[0] - 1
         n_frames = self.positions.shape[0]
-        fpc = max(n_frames // max(n_attempts, 1), 1)
+        fpc = self.frames_per_attempt
+        if fpc <= 0:  # legacy fallback
+            fpc = max(n_frames // max(n_attempts, 1), 1)
+        frames = []
         for f in range(n_frames):
             # frames of attempt-chunk a are recorded BEFORE that chunk's
             # closing swap, so the identity map is replica_ids[a]
@@ -180,6 +187,11 @@ class ReplicaExchange:
         if use_pallas and mesh is not None:
             raise ValueError("use_pallas=True is single-chip only for now")
         self.use_pallas = use_pallas
+        # run_fused() reads this to wire the in-kernel CV bias; it MUST be
+        # assigned whenever pallas_bias is given (round-1 regression: the
+        # ctor only fed build_pallas_chunk, so biased run_fused silently
+        # produced unbiased trajectories)
+        self._pallas_bias = pallas_bias
         if use_pallas:
             # chunks must be BUILT eagerly: construction converts system
             # parameter arrays with numpy, which is illegal inside the
@@ -477,6 +489,9 @@ class ReplicaExchange:
             exchange_attempts=n_attempts,
             n_steps=n_steps,
             dt_ps=cfg.dt_ps,
+            frames_per_attempt=max(
+                cfg.exchange_frequency // cfg.report_interval, 1
+            ),
         )
 
 
@@ -539,6 +554,9 @@ class ReplicaExchange:
             exchange_attempts=n_attempts,
             n_steps=n_steps,
             dt_ps=cfg.dt_ps,
+            frames_per_attempt=max(
+                cfg.exchange_frequency // cfg.report_interval, 1
+            ),
         )
 
 

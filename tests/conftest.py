@@ -1,30 +1,41 @@
 """Test configuration: force the CPU backend with 8 virtual devices.
 
-The real TPU (axon tunnel) takes minutes per first compile; tests must run
-on CPU (reference pattern: tests stub out heavy backends,
+The real TPU (axon tunnel) takes minutes per first compile; tests default
+to CPU (reference pattern: tests stub out heavy backends,
 tests/conftest.py:18-120 in the reference repo). The 8-device host platform
 exercises the multi-chip sharding paths without hardware.
+
+Opt-in real-chip mode: ``PMARLO_TPU_TESTS=1`` leaves the axon platform
+active so the ``*_on_tpu`` tests (fused REMD / metadynamics / pallas chunk
+Mosaic lowering) actually run instead of being permanently skipped. Run
+them selectively, e.g.::
+
+    PMARLO_TPU_TESTS=1 python -m pytest tests/ -k on_tpu -q
 """
 
 import os
 
-# The axon sitecustomize imports jax at interpreter start with
-# JAX_PLATFORMS=axon, so env-var pinning here is too late. jax.config can
-# still be updated until the first backend use, and XLA_FLAGS is read at
-# client creation — both still pending when conftest runs.
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+RUN_ON_TPU = os.environ.get("PMARLO_TPU_TESTS", "") == "1"
+
+if not RUN_ON_TPU:
+    # The axon sitecustomize imports jax at interpreter start with
+    # JAX_PLATFORMS=axon, so env-var pinning here is too late. jax.config
+    # can still be updated until the first backend use, and XLA_FLAGS is
+    # read at client creation — both still pending when conftest runs.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu", (
-    "tests must run on the CPU backend; axon plugin won the platform race"
-)
-assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+if not RUN_ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", (
+        "tests must run on the CPU backend; axon plugin won the platform race"
+    )
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 import numpy as np
 import pytest

@@ -106,3 +106,83 @@ def test_fused_remd_frame_budget(alanine_system_module):
             dt=0.002, friction=1.0, n_steps=1_000_000,
             exchange_frequency=100, report_interval=100,
         )
+
+
+def test_biased_run_fused_wires_bias_into_kernel(alanine_system_module, monkeypatch):
+    """Round-1 regression: ReplicaExchange(..., use_pallas=True,
+    pallas_bias=...) followed by run_fused() must pass the bias model into
+    build_pallas_remd (it used to read an attribute that was never
+    assigned, silently producing UNBIASED trajectories)."""
+    import jax.numpy as jnp
+
+    from pmarlo_tpu.md import pallas_md as PM
+
+    system, positions, _ = alanine_system_module
+    R, N = 4, system.n_atoms
+    bias = {"model": object(), "quads": np.zeros((2, 4), np.int32),
+            "strength": 3.5}
+    captured = {}
+
+    def fake_chunk(system_, **kw):
+        captured["chunk"] = kw
+        return lambda x, v, seeds, temps: (x, v, jnp.zeros((R,)))
+
+    def fake_remd(system_, ladder, **kw):
+        captured["remd"] = kw
+        A = kw["n_steps"] // kw["exchange_frequency"]
+        F = kw["n_steps"] // kw["report_interval"]
+
+        def run(x, v, seed):
+            frames = jnp.zeros((F, 3, R, N))
+            fe = jnp.zeros((F, R))
+            ids = jnp.tile(jnp.arange(R, dtype=jnp.int32), (A + 1, 1))
+            acc = jnp.zeros((A, R))
+            return x, v, frames, fe, ids, acc
+
+        return run
+
+    monkeypatch.setattr(PM, "build_pallas_chunk", fake_chunk)
+    monkeypatch.setattr(PM, "build_pallas_remd", fake_remd)
+
+    cfg = RemdConfig(n_replicas=R, t_min=300, t_max=500,
+                     exchange_frequency=50, report_interval=50, seed=5)
+    remd = ReplicaExchange(system, positions, cfg, use_pallas=True,
+                           pallas_bias=bias, minimize=False)
+    assert captured["chunk"]["bias_model"] is bias["model"]
+    res = remd.run_fused(n_steps=100)
+    assert "bias_model" in captured["remd"], (
+        "run_fused dropped the pallas_bias: build_pallas_remd was called "
+        "without bias kwargs"
+    )
+    assert captured["remd"]["bias_model"] is bias["model"]
+    assert captured["remd"]["bias_strength"] == 3.5
+    assert res.frames_per_attempt == 1
+
+
+def test_replica_trajectory_exact_mapping():
+    """frames_per_attempt makes the frame->attempt map exact even when the
+    frame count is not divisible by the attempt count (e.g. a result
+    truncated mid-run or produced by multiple blocks)."""
+    from pmarlo_tpu.remd.remd import RemdResult
+
+    R, fpc = 2, 3
+    # 3 attempts * 3 frames, then truncated to 7 frames: the legacy
+    # n_frames // n_attempts estimate (7 // 3 = 2) would misassign frame 6
+    ids = np.array([[0, 1], [1, 0], [1, 0], [0, 1]], np.int32)  # (A+1, R)
+    F = 7
+    pos = np.zeros((F, R, 1, 3), np.float32)
+    for f in range(F):
+        for r in range(R):
+            pos[f, r, 0, 0] = 10 * f + r
+    res = RemdResult(
+        positions=pos, potential_energy=np.zeros((F, R)),
+        temperatures=np.array([300.0, 400.0]), replica_ids=ids,
+        acceptance_matrix=np.array([0.5]), exchange_attempts=3,
+        n_steps=900, dt_ps=0.002, frames_per_attempt=fpc,
+    )
+    walker0 = res.replica_trajectory(0)
+    # attempts: frames 0-2 -> ids[0]=[0,1] (walker0 at rung 0),
+    # frames 3-5 -> ids[1]=[1,0] (rung 1), frame 6 -> ids[2]=[1,0] (rung 1)
+    expected_rung = [0, 0, 0, 1, 1, 1, 1]
+    for f, rr in enumerate(expected_rung):
+        assert walker0[f, 0, 0] == 10 * f + rr
