@@ -753,6 +753,7 @@ def build_pallas_chunk(
     n_replicas: int,
     interpret: bool = False,
     pack_pairs: bool = True,
+    replica_block: "int | None" = None,
     bias_model=None,
     bias_quads: "np.ndarray | None" = None,
     bias_strength: float = 1.0,
@@ -769,6 +770,15 @@ def build_pallas_chunk(
     *ledger)`` with x, v (R, N, 3) float32, seeds (R,) int32, temps (R,)
     float32.
 
+    Medium-N systems (chignolin-scale, N > 64): the packed (R, N*N) pair
+    layout auto-disables (its one-hot pack matrices are O(N^3) bytes) and
+    the launch runs a GRID over replica blocks of ``replica_block``
+    replicas — each grid step holds only one block's (RB, N, N) pair
+    temporaries in VMEM, so total state no longer scales with n_replicas.
+    TPU grid steps execute sequentially per core, so noise streams stay
+    independent via per-block PRNG seeding. ``replica_block=None``
+    auto-sizes the block to the VMEM budget.
+
     Metadynamics modes:
     - ledger-input mode (``mtd_deposit_interval=None``): the hills arrays
       (centers_t (n_cv, H), heights (1, H), mask (1, H)) are runtime
@@ -780,6 +790,12 @@ def build_pallas_chunk(
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if pack_pairs and system.n_atoms > 64:
+        # the packed layout's win is lane utilization at tiny N; past N=64
+        # the (N, N) tiles are well-utilized anyway and the O(N^3) one-hot
+        # pack matrices would dominate VMEM
+        pack_pairs = False
 
     p = make_dense_params(system)
     S_all, offsets = _pack_selectors(p)
@@ -868,7 +884,45 @@ def build_pallas_chunk(
     c1 = math.exp(-friction * dt)
     c2sq = 1.0 - c1 * c1
     kB = BOLTZMANN_CONSTANT_KJ_PER_MOL
-    R, N = n_replicas, system.n_atoms
+    Rtot, N = n_replicas, system.n_atoms
+
+    # --- replica-block sizing (VMEM budget for the pair stage) ---------------
+    # v5e VMEM is 128 MiB; XLA's default scoped limit is 16 MiB, so all
+    # medium-N launches raise vmem_limit_bytes and budget against the
+    # MEASURED footprint of the GB chain (N=138: 25.5 MiB at RB=2, 32.2 MiB
+    # at RB=4 -> ~24 live padded (1, N, N) f32 temporaries per replica over
+    # a ~19 MiB base; Mosaic keeps both GB sweeps' intermediates live).
+    _VMEM_BYTES = 100 * 2**20
+    if replica_block is None:
+        if pack_pairs:
+            replica_block = Rtot  # tiny-N packed path: whole batch fits
+        else:
+            pad_s = -(-N // 8) * 8
+            pad_l = -(-N // 128) * 128
+            per_replica = 24 * pad_s * pad_l * 4
+            budget = int(0.8 * _VMEM_BYTES) - 20 * 2**20
+            if per_replica > budget:
+                raise ValueError(
+                    f"N={N} exceeds the fused kernel's dense pair-stage VMEM "
+                    f"budget even at replica_block=1 (needs ~{per_replica >> 20} "
+                    "MiB); use the XLA path (use_pallas=False) for this system"
+                )
+            fit = int(budget // per_replica)
+            replica_block = max(
+                d for d in range(1, Rtot + 1) if Rtot % d == 0 and d <= fit
+            )
+    if Rtot % replica_block != 0:
+        raise ValueError(
+            f"replica_block {replica_block} must divide n_replicas {Rtot}"
+        )
+    R = int(replica_block)
+    GRID = Rtot // R
+    if GRID > 1 and fused_mtd:
+        raise ValueError(
+            "fully-fused metadynamics shares one hills ledger across all "
+            "replicas; replica_block must equal n_replicas (grid steps would "
+            "reorder deposits)"
+        )
 
     def kernel(x_ref, v_ref, seed_ref, temp_ref, *rest):
         n_dyn = len(dynamic_names)
@@ -884,8 +938,16 @@ def build_pallas_chunk(
         )
         consts.update(static_consts)
         inv_m = consts["inv_m"]
-        pltpu.prng_seed(seed_ref[0])
-        kT = kB * temp_ref[...]                        # (R, 1)
+        if GRID > 1:
+            # per-grid-step seed offset keeps the blocks' noise independent
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            # blocked layout: state travels (RB, 3, N) — only the LEADING
+            # (untiled) axis may carry a partial block on TPU; temps are
+            # (RB, 1, 1) for the same reason
+            kT = kB * temp_ref[...][:, 0, :]           # (R, 1)
+        else:
+            pltpu.prng_seed(seed_ref[0])
+            kT = kB * temp_ref[...]                    # (R, 1)
         sigma_v = jnp.sqrt(c2sq * kT * inv_m)          # (R, N)
 
         forces_physical = _forces_planes_packed if pack_pairs else _forces_planes
@@ -902,10 +964,14 @@ def build_pallas_chunk(
             def step(_, carry):
                 x0, x1, x2, v0, v1, v2 = carry
                 f0, f1, f2, _ = forces(x0, x1, x2, consts_w)
+                # Full-dt kick (folded BAOAB / OpenMM LangevinMiddle): the
+                # trailing and next leading half-kicks share the same x, so
+                # they merge into one dt kick. A half-dt kick here would
+                # sample exp(-U/2kT) (configurational T doubled).
                 half = 0.5 * dt
-                v0 = v0 + half * f0 * inv_m
-                v1 = v1 + half * f1 * inv_m
-                v2 = v2 + half * f2 * inv_m
+                v0 = v0 + dt * f0 * inv_m
+                v1 = v1 + dt * f1 * inv_m
+                v2 = v2 + dt * f2 * inv_m
                 x0 = x0 + half * v0
                 x1 = x1 + half * v1
                 x2 = x2 + half * v2
@@ -918,10 +984,18 @@ def build_pallas_chunk(
                 return x0, x1, x2, v0, v1, v2
             return step
 
-        carry = (
-            x_ref[0], x_ref[1], x_ref[2],
-            v_ref[0], v_ref[1], v_ref[2],
-        )
+        if GRID > 1:
+            xv = x_ref[...]                            # (R, 3, N)
+            vv = v_ref[...]
+            carry = (
+                xv[:, 0, :], xv[:, 1, :], xv[:, 2, :],
+                vv[:, 0, :], vv[:, 1, :], vv[:, 2, :],
+            )
+        else:
+            carry = (
+                x_ref[0], x_ref[1], x_ref[2],
+                v_ref[0], v_ref[1], v_ref[2],
+            )
 
         if not fused_mtd:
             x0, x1, x2, v0, v1, v2 = jax.lax.fori_loop(
@@ -998,9 +1072,14 @@ def build_pallas_chunk(
             cw, _ = ledger_consts()
             _, _, _, energy = forces(x0, x1, x2, cw)
 
-        ox_ref[0], ox_ref[1], ox_ref[2] = x0, x1, x2
-        ov_ref[0], ov_ref[1], ov_ref[2] = v0, v1, v2
-        oe_ref[...] = energy
+        if GRID > 1:
+            ox_ref[:, 0, :], ox_ref[:, 1, :], ox_ref[:, 2, :] = x0, x1, x2
+            ov_ref[:, 0, :], ov_ref[:, 1, :], ov_ref[:, 2, :] = v0, v1, v2
+            oe_ref[...] = energy[:, :, None]
+        else:
+            ox_ref[0], ox_ref[1], ox_ref[2] = x0, x1, x2
+            ov_ref[0], ov_ref[1], ov_ref[2] = v0, v1, v2
+            oe_ref[...] = energy
 
     const_values = [jnp.asarray(const_arrays[name]) for name in const_names]
 
@@ -1011,15 +1090,70 @@ def build_pallas_chunk(
                 f"chunk expects {len(dynamic_names)} extra args "
                 f"({dynamic_names}), got {len(dynamic_args)}"
             )
-        # (R, N, 3) -> (3, R, N)
+        seed_scalar = jnp.sum(seeds.astype(jnp.int32))[None]
+        dyn_vals = [jnp.asarray(a, jnp.float32) for a in dynamic_args]
+
+        if GRID > 1:
+            # Blocked layout: only the LEADING axis of a TPU block may be a
+            # partial dimension (the last two must equal the array dims), so
+            # state travels (Rtot, 3, N) sliced to (RB, 3, N) per grid step
+            # and temps/energies travel (Rtot, 1, 1).
+            xp = jnp.transpose(x, (0, 2, 1)).astype(jnp.float32)
+            vp = jnp.transpose(v, (0, 2, 1)).astype(jnp.float32)
+
+            def bcast(shape):
+                nd = len(shape)
+                return pl.BlockSpec(
+                    shape, (lambda *_: (0,) * nd), memory_space=pltpu.VMEM
+                )
+
+            state_spec = pl.BlockSpec(
+                (R, 3, N), (lambda i: (i, 0, 0)), memory_space=pltpu.VMEM
+            )
+            rung_spec = pl.BlockSpec(
+                (R, 1, 1), (lambda i: (i, 0, 0)), memory_space=pltpu.VMEM
+            )
+            out = pl.pallas_call(
+                kernel,
+                grid=(GRID,),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=_VMEM_BYTES,
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((Rtot, 3, N), jnp.float32),
+                    jax.ShapeDtypeStruct((Rtot, 3, N), jnp.float32),
+                    jax.ShapeDtypeStruct((Rtot, 1, 1), jnp.float32),
+                ),
+                in_specs=[
+                    state_spec, state_spec,
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    rung_spec,
+                ]
+                + [bcast(a.shape) for a in dyn_vals]
+                + [bcast(c.shape) for c in const_values],
+                out_specs=(state_spec, state_spec, rung_spec),
+                interpret=interpret,
+            )(
+                xp, vp, seed_scalar,
+                temps.astype(jnp.float32).reshape(Rtot, 1, 1),
+                *dyn_vals,
+                *const_values,
+            )
+            xo, vo, eo = out
+            return (
+                jnp.transpose(xo, (0, 2, 1)),
+                jnp.transpose(vo, (0, 2, 1)),
+                eo[:, 0, 0],
+            )
+
+        # single-block (legacy) layout: (3, R, N) planes, whole arrays
         xp = jnp.transpose(x, (2, 0, 1)).astype(jnp.float32)
         vp = jnp.transpose(v, (2, 0, 1)).astype(jnp.float32)
-        seed_scalar = jnp.sum(seeds.astype(jnp.int32))[None]
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         out_shapes = [
-            jax.ShapeDtypeStruct((3, R, N), jnp.float32),
-            jax.ShapeDtypeStruct((3, R, N), jnp.float32),
-            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((3, Rtot, N), jnp.float32),
+            jax.ShapeDtypeStruct((3, Rtot, N), jnp.float32),
+            jax.ShapeDtypeStruct((Rtot, 1), jnp.float32),
         ]
         if fused_mtd:
             centers_t = dynamic_args[0]
@@ -1031,17 +1165,20 @@ def build_pallas_chunk(
         out = pl.pallas_call(
             kernel,
             out_shape=tuple(out_shapes),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_BYTES,
+            ),
             in_specs=[
                 vmem, vmem,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 vmem,
-            ] + [vmem] * (len(dynamic_args) + len(const_values)),
+            ] + [vmem] * (len(dyn_vals) + len(const_values)),
             out_specs=tuple([vmem] * len(out_shapes)),
             interpret=interpret,
         )(
             xp, vp, seed_scalar,
-            temps.astype(jnp.float32).reshape(R, 1),
-            *[jnp.asarray(a, jnp.float32) for a in dynamic_args],
+            temps.astype(jnp.float32).reshape(Rtot, 1),
+            *dyn_vals,
             *const_values,
         )
         xo, vo, eo = out[:3]
@@ -1233,10 +1370,12 @@ def build_pallas_remd(
         def step(_, carry):
             x0, x1, x2, v0, v1, v2 = carry
             f0, f1, f2, _ = forces(x0, x1, x2)
+            # Full-dt kick (folded BAOAB) — see make_step() in
+            # build_pallas_chunk and md/integrate.py langevin_step.
             half = 0.5 * dt
-            v0 = v0 + half * f0 * inv_m
-            v1 = v1 + half * f1 * inv_m
-            v2 = v2 + half * f2 * inv_m
+            v0 = v0 + dt * f0 * inv_m
+            v1 = v1 + dt * f1 * inv_m
+            v2 = v2 + dt * f2 * inv_m
             x0 = x0 + half * v0
             x1 = x1 + half * v1
             x2 = x2 + half * v2
