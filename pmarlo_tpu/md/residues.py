@@ -366,6 +366,59 @@ TEMPLATES["ARG"] = _t(
                              ("CZ", "NH2"), ("NH2", "HH21"), ("NH2", "HH22")],
 )
 
+# --- protonation variants (amber all_amino94.lib family) --------------------
+# Charges transcribed from the published amber tables; every set closes to
+# its integer total charge exactly (regression-tested in
+# tests/unit/test_protein_hydrogens.py::test_variant_charge_closure).
+
+TEMPLATES["ASH"] = _t(  # protonated ASP (neutral), pH < pKa
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", 0.0341),
+        "HA": ("H1", 0.0864), "CB": ("CT", -0.0316),
+        "HB2": ("HC", 0.0488), "HB3": ("HC", 0.0488),
+        "CG": ("C", 0.6462), "OD1": ("O", -0.5554),
+        "OD2": ("OH", -0.6376), "HD2": ("HO", 0.4747),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "CG"), ("CG", "OD1"), ("CG", "OD2"),
+                             ("OD2", "HD2")],
+)
+
+TEMPLATES["GLH"] = _t(  # protonated GLU (neutral)
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", 0.0145),
+        "HA": ("H1", 0.0779), "CB": ("CT", -0.0071),
+        "HB2": ("HC", 0.0256), "HB3": ("HC", 0.0256),
+        "CG": ("CT", -0.0174), "HG2": ("HC", 0.0430), "HG3": ("HC", 0.0430),
+        "CD": ("C", 0.6801), "OE1": ("O", -0.5838),
+        "OE2": ("OH", -0.6511), "HE2": ("HO", 0.4641),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "CG"), ("CG", "HG2"), ("CG", "HG3"),
+                             ("CG", "CD"), ("CD", "OE1"), ("CD", "OE2"),
+                             ("OE2", "HE2")],
+)
+
+TEMPLATES["LYN"] = _t(  # neutral LYS, pH > pKa
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.07206),
+        "HA": ("H1", 0.0994), "CB": ("CT", -0.04845),
+        "HB2": ("HC", 0.0340), "HB3": ("HC", 0.0340),
+        "CG": ("CT", 0.06612), "HG2": ("HC", 0.01041), "HG3": ("HC", 0.01041),
+        "CD": ("CT", -0.03768), "HD2": ("HC", 0.01155), "HD3": ("HC", 0.01155),
+        "CE": ("CT", 0.32604), "HE2": ("HP", -0.03358), "HE3": ("HP", -0.03358),
+        "NZ": ("N3", -1.03581), "HZ2": ("H", 0.38604), "HZ3": ("H", 0.38604),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "CG"), ("CG", "HG2"), ("CG", "HG3"),
+                             ("CG", "CD"), ("CD", "HD2"), ("CD", "HD3"),
+                             ("CD", "CE"), ("CE", "HE2"), ("CE", "HE3"),
+                             ("CE", "NZ"), ("NZ", "HZ2"), ("NZ", "HZ3")],
+)
+
 # Histidine: neutral epsilon tautomer (HIE), the amber default for "HIS"
 _HIS_ATOMS = {
     "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.0581),
@@ -384,6 +437,43 @@ _HIS_BONDS = _BACKBONE_BONDS + [
 ]
 TEMPLATES["HIS"] = _t(atoms=_HIS_ATOMS, bonds=_HIS_BONDS)
 TEMPLATES["HIE"] = TEMPLATES["HIS"]
+
+TEMPLATES["HID"] = _t(  # neutral delta tautomer
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", 0.0188),
+        "HA": ("H1", 0.0881), "CB": ("CT", -0.0462),
+        "HB2": ("HC", 0.0402), "HB3": ("HC", 0.0402),
+        "CG": ("CC", -0.0266), "ND1": ("NA", -0.3811), "HD1": ("H", 0.3649),
+        "CE1": ("CR", 0.2057), "HE1": ("H5", 0.1392),
+        "NE2": ("NB", -0.5727),
+        "CD2": ("CV", 0.1292), "HD2": ("H4", 0.1147),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [
+        ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"), ("CB", "CG"),
+        ("CG", "ND1"), ("ND1", "HD1"), ("ND1", "CE1"), ("CE1", "HE1"),
+        ("CE1", "NE2"), ("NE2", "CD2"), ("CD2", "HD2"), ("CD2", "CG"),
+    ],
+)
+
+TEMPLATES["HIP"] = _t(  # doubly-protonated (+1), pH < ~6
+    atoms={
+        "N": ("N", -0.3479), "H": ("H", 0.2747), "CA": ("CT", -0.1354),
+        "HA": ("H1", 0.1212), "CB": ("CT", -0.0414),
+        "HB2": ("HC", 0.0810), "HB3": ("HC", 0.0810),
+        "CG": ("CC", -0.0012), "ND1": ("NA", -0.1513), "HD1": ("H", 0.3866),
+        "CE1": ("CR", -0.0170), "HE1": ("H5", 0.2681),
+        "NE2": ("NA", -0.1718), "HE2": ("H", 0.3911),
+        "CD2": ("CW", -0.1141), "HD2": ("H4", 0.2317),
+        "C": ("C", 0.7341), "O": ("O", -0.5894),
+    },
+    bonds=_BACKBONE_BONDS + [
+        ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"), ("CB", "CG"),
+        ("CG", "ND1"), ("ND1", "HD1"), ("ND1", "CE1"), ("CE1", "HE1"),
+        ("CE1", "NE2"), ("NE2", "HE2"), ("NE2", "CD2"), ("CD2", "HD2"),
+        ("CD2", "CG"),
+    ],
+)
 
 # --- terminal variants ------------------------------------------------------
 # Protonated N-terminus (NH3+) and deprotonated C-terminus (COO-). Charges
@@ -443,6 +533,15 @@ def make_terminal_variant(resname: str, kind: str) -> ResidueTemplate:
         for name, (t, q) in list(atoms.items()):
             if name.startswith("HA"):
                 atoms[name] = ("HP", q + 0.02)
+        # absorb the residual onto CA so the total is exactly interior+1
+        # (otherwise every chain leaves a fractional net charge and
+        # build_system rejects the system)
+        interior_total = sum(
+            q for (_, q) in TEMPLATES[resname]["atoms"].values()  # type: ignore[index]
+        )
+        current = sum(q for (_, q) in atoms.values())
+        ca_type, ca_q = atoms["CA"]
+        atoms["CA"] = (ca_type, ca_q + (interior_total + 1.0) - current)
         tmpl["bonds"] = bonds
         tmpl["head"] = None
     elif kind == "cterm":

@@ -4,14 +4,16 @@ Rebuild of src/pmarlo/protein/protein.py:70 (Protein), :288 (prepare), :506
 (_compute_protein_metrics — sequence-based charge/pI via bisection), :628
 (get_properties), :733 (create_system). The PDBFixer/RDKit dependencies are
 replaced by first-party implementations of exactly the used surface:
-heterogen/water removal, terminal-variant detection, sequence-derived
-physico-chemical metrics (MW, charge vs pH from pKa tables, isoelectric
-point by bisection), and force-field System creation via md.forcefield.
+heterogen/water removal, hydrogen addition + pH protonation (reference
+protein.py:334-373 via PDBFixer addMissingHydrogens), terminal-variant
+detection, sequence-derived physico-chemical metrics (MW, charge vs pH
+from pKa tables, isoelectric point by bisection), and force-field System
+creation via md.forcefield.
 
-Hydrogen reconstruction for structures lacking hydrogens is intentionally
-NOT silently approximated: ``prepare`` raises with the list of missing
-atoms (the framework's fail-fast policy); supply an H-complete model (e.g.
-an NMR structure or an externally protonated PDB).
+Hydrogens missing from the input (the normal case for X-ray structures)
+are reconstructed geometrically by protein.hydrogens.add_hydrogens with
+protonation states chosen for the requested pH. Missing HEAVY atoms still
+raise TopologyError (side-chain repair is out of scope; fail fast).
 """
 
 from __future__ import annotations
@@ -110,28 +112,40 @@ class Protein:
         remove_heterogens: bool = True,
         keep_waters: bool = False,
         model: int = 1,
+        add_missing_hydrogens: bool = True,
+        his_variant: str = "HIE",
     ) -> "Protein":
-        """Load + clean + template-match (reference protein.py:288).
+        """Load + clean + protonate + template-match (reference :288).
 
-        Raises TopologyError listing missing atoms if the structure lacks
-        hydrogens or side-chain atoms — no silent reconstruction.
+        ``add_missing_hydrogens`` reconstructs template hydrogens (and
+        C-terminal OXT) geometrically and picks protonation variants for
+        ``self.ph`` (reference protein.py:334-373). Missing HEAVY atoms
+        raise TopologyError — no silent side-chain reconstruction.
         """
         if isinstance(self.source, PDBStructure):
             structure = self.source
         else:
             structure = read_pdb(self.source, model=model)
         if remove_heterogens:
+            from ..md.residues import TEMPLATES
+
             structure = PDBStructure(
                 residues=[
                     r for r in structure.residues
                     if (r.name in _RESIDUE_MASS or r.name in _ONE_LETTER
-                        or r.name in ("ACE", "NME"))
+                        or r.name in TEMPLATES or r.name in ("ACE", "NME"))
                     or (keep_waters and r.name in _WATER_NAMES)
                 ],
                 n_models=structure.n_models,
             )
         if not structure.residues:
             raise TopologyError("no protein residues after cleanup")
+        if add_missing_hydrogens:
+            from .hydrogens import add_hydrogens
+
+            structure = add_hydrogens(
+                structure, ph=self.ph, his_variant=his_variant
+            )
         self.structure = structure
         self.topology = build_topology(structure, keep_waters=keep_waters)
         self._prepared = True
