@@ -10,11 +10,13 @@ wall-clock over 35 shards / ~13k frames (the reference's largest exercised
 analysis workload, README.md:125-126) is included in the JSON.
 
 Baseline denominator: the reference publishes no throughput numbers
-(BASELINE.json "published": {}). OpenMM's CPU platform on a 22-atom
-implicit-solvent system sustains roughly 5k steps/s/core at 2 fs — about
-864 ns/day aggregate for the 32-replica workload on a workstation-class
-CPU. That documented estimate is the >10x north-star denominator until a
-real OpenMM measurement can be taken on matching hardware.
+(BASELINE.json "published": {}) and OpenMM is not installed in this image,
+so the denominator cannot be measured here. 864 ns/day aggregate (27
+ns/day/replica, ~15.6k steps/s single-replica CPU) is a documented
+estimate for a workstation CPU; ``benchmark_openmm_baseline.py`` at the
+repo root reproduces the reference's exact MD configuration and prints a
+measured replacement for any environment that has OpenMM — the JSON below
+carries ``baseline_provenance`` so consumers know which kind they got.
 """
 
 from __future__ import annotations
@@ -39,7 +41,10 @@ def bench_remd() -> dict:
     from pmarlo_tpu.md.forcefield import build_system
     from pmarlo_tpu.remd.remd import RemdConfig, ReplicaExchange
 
-    system, positions = build_system(alanine_dipeptide_structure())
+    # gbn2: the reference's solvent model (simulation/__init__.py:64-71)
+    system, positions = build_system(
+        alanine_dipeptide_structure(), gb_model="gbn2"
+    )
     cfg = RemdConfig(
         n_replicas=N_REPLICAS, t_min=300.0, t_max=450.0,
         exchange_frequency=EXCHANGE_FREQUENCY,
@@ -72,6 +77,7 @@ def bench_remd() -> dict:
         "remd_wall_s": wall,
         "mean_swap_acceptance": float(result.mean_acceptance),
         "md_path": md_path,
+        "gb_model": "gbn2",
     }
 
 
@@ -117,6 +123,8 @@ def main() -> None:
         "value": round(value, 1),
         "unit": "ns/day",
         "vs_baseline": round(value / OPENMM_CPU_BASELINE_NS_PER_DAY, 2),
+        "baseline_provenance": "documented estimate (864 ns/day aggregate); "
+                               "measure via benchmark_openmm_baseline.py",
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in remd.items()},
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in msm.items()},
     }

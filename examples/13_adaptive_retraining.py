@@ -95,6 +95,22 @@ def main():
     best = min(rows, key=lambda r: r["kl_ref_est"])
     print("best condition:", best["condition"], "KL:", round(best["kl_ref_est"], 3))
 
+    # calibration against the reference anchors (BASELINE.md row 7;
+    # VERDICT round-1 item 7)
+    from pmarlo_tpu.benchmark import compare_to_anchor
+
+    comparison = compare_to_anchor(
+        "adaptive_retraining",
+        {
+            "kl_ref_est": best["kl_ref_est"],
+            "coverage": best["coverage"],
+            "retrain_count": best["n_retrains"],
+        },
+    )
+    print(json.dumps(comparison, indent=2))
+    with (out_dir / "reference_comparison.json").open("w") as fh:
+        json.dump(comparison, fh, indent=2)
+
 
 if __name__ == "__main__":
     main()

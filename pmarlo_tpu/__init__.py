@@ -36,6 +36,9 @@ _EXPORTS = {
     "RemdConfig": ("pmarlo_tpu.remd.remd", "RemdConfig"),
     "ReplicaExchange": ("pmarlo_tpu.remd.remd", "ReplicaExchange"),
     "run_replica_exchange": ("pmarlo_tpu.remd.remd", "run_replica_exchange"),
+    # dashboard (reference pmarlo_webapp)
+    "export_dashboard": ("pmarlo_tpu.webapp", "export_static"),
+    "serve_dashboard": ("pmarlo_tpu.webapp", "serve"),
     # features
     "FEATURE_REGISTRY": ("pmarlo_tpu.features.base", "FEATURE_REGISTRY"),
     "get_feature": ("pmarlo_tpu.features.base", "get_feature"),

@@ -56,4 +56,71 @@ def run_benchmark(
     }
 
 
-__all__ = ["run_benchmark", "coverage_2d", "sign_change_transitions"]
+
+#: reference KPI anchors (BASELINE.md rows 6-7, measured by the reference
+#: on CPU Colab runs of example_programs 13/14; see
+#: programs_outputs/muller_brown_active_bias_colab/
+#: muller_brown_active_bias_summary.csv:2 and
+#: adaptive_retraining_colab/adaptive_retraining_replay_summary.csv:2)
+REFERENCE_ANCHORS: Dict[str, Dict] = {
+    "muller_brown_active_bias": {
+        "condition": "Fixed-T / Window-W / Fixed-50ep",
+        "kl_ref_reweighted": {"mean": 4.486, "std": 0.027, "better": "lower"},
+        "xy_coverage": {"mean": 0.0398, "std": 0.0009, "better": "higher"},
+        "test_vamp2": {"mean": 0.968, "std": 0.003, "better": "higher"},
+    },
+    "adaptive_retraining": {
+        "condition": "Fixed-T / Reweighted-Window / Fixed-50ep",
+        "kl_ref_est": {"mean": 0.332, "std": 0.327, "better": "lower"},
+        "coverage": {"mean": 0.325, "std": 0.030, "better": "higher"},
+        "retrain_count": {"mean": 4.0, "std": 0.0, "better": None},
+    },
+}
+
+
+def compare_to_anchor(
+    experiment: str, measured: Dict[str, float], *, rel_tol: float = 1.0
+) -> Dict:
+    """Compare measured KPIs against the reference anchors.
+
+    The rebuilt examples are not byte-identical replays of the reference
+    Colab runs (different RNG streams, segment budgets, trainer), so
+    "agree" means the measured value lies within ``max(rel_tol * |anchor|,
+    3 * anchor_std)`` of the anchor — an order-of-magnitude calibration
+    check, per KPI. Returns {kpi: {anchor, anchor_std, measured, abs_diff,
+    agree}} plus an overall verdict.
+    """
+    anchors = REFERENCE_ANCHORS[experiment]
+    out: Dict = {"experiment": experiment, "condition": anchors["condition"]}
+    ok_all = True
+    for kpi, ref in anchors.items():
+        if not isinstance(ref, dict):
+            continue
+        if kpi not in measured or measured[kpi] is None:
+            continue
+        m = float(measured[kpi])
+        band = max(rel_tol * abs(ref["mean"]), 3.0 * ref["std"])
+        within = abs(m - ref["mean"]) <= band
+        better = ref.get("better")
+        beats = (
+            (better == "lower" and m < ref["mean"])
+            or (better == "higher" and m > ref["mean"])
+        )
+        status = "agree" if within else ("beats" if beats else "worse")
+        ok_all = ok_all and status in ("agree", "beats")
+        out[kpi] = {
+            "reference_anchor": ref["mean"],
+            "reference_std": ref["std"],
+            "measured": round(m, 5),
+            "abs_diff": round(abs(m - ref["mean"]), 5),
+            "tolerance_band": round(band, 5),
+            "status": status,
+        }
+    out["verdict"] = "agree_or_beats" if ok_all else "disagree"
+    return out
+
+
+__all__ = [
+    "run_benchmark", "coverage_2d", "sign_change_transitions",
+    "REFERENCE_ANCHORS", "compare_to_anchor",
+]

@@ -111,8 +111,27 @@ class MetadynamicsBias:
         old_to_new_cv: Callable[[jax.Array], jax.Array],
     ) -> MetaDState:
         """Map hill centers through a new CV model after retraining
-        (reference 14_muller_brown_active_bias.py reprojection step)."""
+        (reference 14_muller_brown_active_bias.py reprojection step).
+
+        NOTE: valid only when the stored centers live in the function's
+        INPUT space. When centers were deposited in a previous CV space,
+        reproject from the hills' configuration-space anchors instead
+        (``set_centers`` with centers recomputed as new_cv(anchor)).
+        """
         new_centers = jax.vmap(old_to_new_cv)(state.centers)
+        return self.set_centers(state, new_centers)
+
+    def set_centers(self, state: MetaDState, new_centers) -> MetaDState:
+        """Replace hill centers (heights/count preserved) — the anchor-based
+        reprojection path: centers recomputed as new_cv(deposit anchors)."""
+        new_centers = jnp.asarray(new_centers)
+        if new_centers.shape != state.centers.shape[:new_centers.ndim] and (
+            new_centers.shape[0] != state.centers.shape[0]
+        ):
+            raise ValueError(
+                f"need centers for all {state.centers.shape[0]} ledger slots, "
+                f"got {new_centers.shape}"
+            )
         return MetaDState(
             centers=new_centers.astype(state.centers.dtype),
             heights=state.heights,

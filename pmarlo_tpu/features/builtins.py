@@ -119,8 +119,12 @@ def _dihedral_one_frame(frame: jax.Array, quads: jax.Array) -> jax.Array:
     n1 = jnp.cross(b0, b1)
     n2 = jnp.cross(b1, b2)
     b1n = b1 / jnp.sqrt(jnp.sum(b1 * b1, axis=-1, keepdims=True) + _EPS)
-    m1 = jnp.cross(n1, b1n)
-    return jnp.arctan2(jnp.sum(m1 * n2, axis=-1), jnp.sum(n1 * n2, axis=-1))
+    # IUPAC/mdtraj sign: sin(phi) ~ (n1 x n2) . b1_hat. Note
+    # (n1 x b1n) . n2 == -(n1 x n2) . b1n — the round-1 code used that
+    # form and reported MIRRORED angles (regression: test_features.py::
+    # test_dihedral_iupac_sign_convention).
+    y = jnp.sum(jnp.cross(n1, n2) * b1n, axis=-1)
+    return jnp.arctan2(y, jnp.sum(n1 * n2, axis=-1))
 
 
 def compute_dihedrals(traj: jax.Array, quads: "jax.Array | np.ndarray") -> jax.Array:

@@ -51,6 +51,9 @@ class DenseParams:
     gb_radii: jax.Array       # (N,)
     gb_pref: jax.Array        # scalar: -0.5 ke (1/eps_in - 1/eps_out)
     sa_coef: jax.Array        # (N,) surface_tension * (R+probe)^2 * R^6
+    gb_alpha: jax.Array       # (N,) tanh-rescale coefficients (OBC2 consts
+    gb_beta: jax.Array        # broadcast, or GBn2 per-element values)
+    gb_gamma: jax.Array
     # bonded: one-hot selectors and parameters
     bond_s1: jax.Array        # (NB, N)
     bond_s2: jax.Array
@@ -69,7 +72,11 @@ class DenseParams:
     tor_n: jax.Array
     tor_phase: jax.Array
     masses: jax.Array         # (N,)
+    #: GBn2 neck-correction lookup (None when neck_scale == 0)
+    neck_d0: "jax.Array | None" = None   # (N, N)
+    neck_m0: "jax.Array | None" = None   # (N, N)
     use_gb: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    neck_scale: float = dataclasses.field(metadata=dict(static=True), default=0.0)
 
 
 def _one_hot(idx: np.ndarray, n: int, dtype) -> np.ndarray:
@@ -102,8 +109,17 @@ def make_dense_params(system: System, dtype=jnp.float32) -> DenseParams:
         * (1.0 / system.solute_dielectric - 1.0 / system.solvent_dielectric)
     )
     radii = np.asarray(system.gb_radii, dtype=np.float64)
-    rho = radii - GB_DIELECTRIC_OFFSET
+    rho = radii - system.gb_offset
     sr = np.asarray(system.gb_screen, dtype=np.float64) * rho
+    n_at = len(radii)
+    if system.gb_alpha is not None:
+        gb_alpha = np.asarray(system.gb_alpha, dtype=np.float64)
+        gb_beta = np.asarray(system.gb_beta, dtype=np.float64)
+        gb_gamma = np.asarray(system.gb_gamma, dtype=np.float64)
+    else:
+        gb_alpha = np.full(n_at, OBC2_ALPHA)
+        gb_beta = np.full(n_at, OBC2_BETA)
+        gb_gamma = np.full(n_at, OBC2_GAMMA)
     probe = 0.14
     sa_coef = system.surface_tension * (radii + probe) ** 2 * radii**6
 
@@ -120,6 +136,13 @@ def make_dense_params(system: System, dtype=jnp.float32) -> DenseParams:
         gb_sr=jnp.asarray(sr, dtype),
         gb_radii=jnp.asarray(radii, dtype),
         gb_pref=jnp.asarray(gb_pref, dtype),
+        gb_alpha=jnp.asarray(gb_alpha, dtype),
+        gb_beta=jnp.asarray(gb_beta, dtype),
+        gb_gamma=jnp.asarray(gb_gamma, dtype),
+        neck_d0=(None if system.gb_neck_d0 is None
+                 else jnp.asarray(system.gb_neck_d0, dtype)),
+        neck_m0=(None if system.gb_neck_m0 is None
+                 else jnp.asarray(system.gb_neck_m0, dtype)),
         sa_coef=jnp.asarray(sa_coef, dtype),
         bond_s1=jnp.asarray(_one_hot(b_idx[:, 0], n, npdt)),
         bond_s2=jnp.asarray(_one_hot(b_idx[:, 1], n, npdt)),
@@ -139,6 +162,7 @@ def make_dense_params(system: System, dtype=jnp.float32) -> DenseParams:
         tor_phase=jnp.asarray(system.torsion_phase, dtype),
         masses=jnp.asarray(system.masses, dtype),
         use_gb=system.use_gb,
+        neck_scale=float(system.gb_neck_scale),
     )
 
 
@@ -259,7 +283,11 @@ def _gb_energy_pair_coef(p: DenseParams, r, inv_r, eye):
     sr_j = p.gb_sr[None, :]
 
     # --- stage 1: Born radii ------------------------------------------------
-    U = r + sr_j
+    U_raw = r + sr_j
+    # negative GBn2 sulfur screening can push U <= 0 at close range; those
+    # pairs are masked, but NaNs from log(U<=0) would leak through 0*NaN
+    inactive = U_raw <= rho_i
+    U = jnp.where(inactive, rho_i + 1.0, U_raw)
     absd = jnp.abs(r - sr_j)
     sgn = jnp.sign(r - sr_j)
     use_rho = absd < rho_i
@@ -276,7 +304,7 @@ def _gb_energy_pair_coef(p: DenseParams, r, inv_r, eye):
     )
     engulfed = (sr_j - r) > rho_i
     H = H + jnp.where(engulfed, 2.0 * (1.0 / rho_i - inv_L), 0.0)
-    active = (U > rho_i).astype(r.dtype) * one
+    active = (~inactive).astype(r.dtype) * one
     I = 0.5 * jnp.sum(H * active, axis=1)
 
     # dH/dr (same masks; step functions have zero derivative a.e.)
@@ -292,13 +320,20 @@ def _gb_energy_pair_coef(p: DenseParams, r, inv_r, eye):
     dH = dH + jnp.where(engulfed, 2.0 * dL * inv_L * inv_L, 0.0)
     dIdr = 0.5 * dH * active                    # (i, j): dI_i/dr_ij
 
+    if p.neck_scale != 0.0 and p.neck_m0 is not None:
+        from .gbn2 import neck_value_and_derivative
+
+        nv, dnv = neck_value_and_derivative(r, p.neck_d0, p.neck_m0)
+        I = I + p.neck_scale * jnp.sum(nv * one, axis=1)
+        dIdr = dIdr + p.neck_scale * dnv * one
+
     psi = I * p.gb_rho
-    g = OBC2_ALPHA * psi - OBC2_BETA * psi**2 + OBC2_GAMMA * psi**3
+    g = p.gb_alpha * psi - p.gb_beta * psi**2 + p.gb_gamma * psi**3
     t = jnp.tanh(g)
     inv_B = 1.0 / p.gb_rho - t / p.gb_radii
     inv_B = jnp.maximum(inv_B, 1e-3)
     B = 1.0 / inv_B
-    gprime = OBC2_ALPHA - 2.0 * OBC2_BETA * psi + 3.0 * OBC2_GAMMA * psi**2
+    gprime = p.gb_alpha - 2.0 * p.gb_beta * psi + 3.0 * p.gb_gamma * psi**2
     dB_dpsi = B * B * (1.0 - t * t) * gprime / p.gb_radii
 
     # --- stage 2: GB energy ---------------------------------------------------

@@ -139,11 +139,20 @@ def _nonbonded_arrays(topology: Topology):
     return sigma, eps, scale_e, scale_l
 
 
-def _gb_arrays(topology: Topology):
+def _gb_arrays(topology: Topology, gb_model: str = "obc2"):
+    """Per-atom GB radii + screening, plus GBn2 extras.
+
+    obc2: mbondi2 radii + HCT element screening.
+    gbn2: mbondi3 radii (mbondi2 with carboxylate O at 1.4 A and ARG
+    guanidinium H at 1.17 A), GBn2-optimized screening, per-element
+    alpha/beta/gamma, and the pairwise neck d0/m0 lookup (md/gbn2.py).
+    """
     n = topology.n_atoms
     radii = np.zeros(n)
     screen = np.zeros(n)
     neighbors = topology.neighbor_sets()
+    carboxylate_o = {"OD1", "OD2", "OE1", "OE2", "OXT"}
+    arg_h = {"HE", "HH11", "HH12", "HH21", "HH22"}
     for i in range(n):
         elem = topology.elements[i]
         if elem not in ff.GB_RADII_BY_ELEMENT:
@@ -154,9 +163,42 @@ def _gb_arrays(topology: Topology):
             heavy = next(iter(neighbors[i]), None)
             if heavy is not None and topology.elements[heavy] == "N":
                 r = ff.GB_RADIUS_H_ON_N
+        if gb_model == "gbn2":
+            name = topology.atom_names[i]
+            resn = topology.residue_names[i]
+            if elem == "O" and name in carboxylate_o and resn in (
+                "ASP", "GLU", "CASP", "CGLU",
+            ) or (elem == "O" and name == "OXT"):
+                r = 1.40  # mbondi3
+            if elem == "H" and resn == "ARG" and name in arg_h:
+                r = 1.17  # mbondi3
         radii[i] = r * _ANG_TO_NM
-        screen[i] = ff.GB_SCREEN_BY_ELEMENT[elem]
-    return radii, screen
+        if gb_model == "gbn2":
+            from .gbn2 import GBN2_SCREEN, GBN2_SCREEN_DEFAULT
+
+            screen[i] = GBN2_SCREEN.get(elem, GBN2_SCREEN_DEFAULT)
+        else:
+            screen[i] = ff.GB_SCREEN_BY_ELEMENT[elem]
+    if gb_model != "gbn2":
+        return radii, screen, None
+    from .gbn2 import (
+        GBN2_ABG_DEFAULT,
+        GBN2_ALPHA_BETA_GAMMA,
+        GBN2_OFFSET,
+        lookup_neck,
+    )
+
+    abg = np.array([
+        GBN2_ALPHA_BETA_GAMMA.get(e, GBN2_ABG_DEFAULT)
+        for e in topology.elements
+    ])
+    rho = radii - GBN2_OFFSET  # neck tables are indexed by offset radii
+    d0, m0 = lookup_neck(rho[:, None].repeat(n, 1), rho[None, :].repeat(n, 0))
+    extras = {
+        "alpha": abg[:, 0], "beta": abg[:, 1], "gamma": abg[:, 2],
+        "neck_d0": d0, "neck_m0": m0,
+    }
+    return radii, screen, extras
 
 
 def build_system(
@@ -164,13 +206,18 @@ def build_system(
     *,
     hydrogen_mass: Optional[float] = 3.0,
     implicit_solvent: bool = True,
+    gb_model: str = "obc2",
     dtype=jnp.float32,
 ) -> Tuple[System, jnp.ndarray]:
     """Build a ``System`` and initial positions from a PDB path/structure.
 
     Returns ``(system, positions_nm)``. ``hydrogen_mass`` enables HMR
-    (None disables).
+    (None disables). ``gb_model`` selects the implicit solvent:
+    "obc2" (default) or "gbn2" (the reference's amber14 + implicit/gbn2,
+    src/pmarlo/simulation/__init__.py:64-71; see md/gbn2.py).
     """
+    if gb_model not in ("obc2", "gbn2"):
+        raise ValueError(f"gb_model must be obc2|gbn2, got {gb_model!r}")
     if isinstance(source, Topology):
         topology = source
     else:
@@ -181,7 +228,7 @@ def build_system(
     angle_idx, angle_k, angle_t0 = _angle_arrays(topology)
     torsion_idx, torsion_k, torsion_n, torsion_phase = _torsion_arrays(topology)
     sigma, eps, scale_e, scale_l = _nonbonded_arrays(topology)
-    gb_radii, gb_screen = _gb_arrays(topology)
+    gb_radii, gb_screen, gb_extras = _gb_arrays(topology, gb_model=gb_model)
 
     masses = np.asarray([ff.TYPE_MASSES[t] for t in topology.atom_types])
     if hydrogen_mass is not None:
@@ -212,11 +259,24 @@ def build_system(
         scale_lj=jnp.asarray(scale_l, dtype=dtype),
         gb_radii=jnp.asarray(gb_radii, dtype=dtype),
         gb_screen=jnp.asarray(gb_screen, dtype=dtype),
+        gb_alpha=(None if gb_extras is None
+                  else jnp.asarray(gb_extras["alpha"], dtype=dtype)),
+        gb_beta=(None if gb_extras is None
+                 else jnp.asarray(gb_extras["beta"], dtype=dtype)),
+        gb_gamma=(None if gb_extras is None
+                  else jnp.asarray(gb_extras["gamma"], dtype=dtype)),
+        gb_neck_d0=(None if gb_extras is None
+                    else jnp.asarray(gb_extras["neck_d0"], dtype=dtype)),
+        gb_neck_m0=(None if gb_extras is None
+                    else jnp.asarray(gb_extras["neck_m0"], dtype=dtype)),
         atom_names=tuple(topology.atom_names),
         atom_types=tuple(topology.atom_types),
         residue_names=tuple(topology.residue_names),
         residue_ids=tuple(topology.residue_ids),
         use_gb=implicit_solvent,
+        gb_model=gb_model,
+        gb_offset=(0.009 if gb_model == "obc2" else 0.0195141),
+        gb_neck_scale=(0.0 if gb_model == "obc2" else 0.826836),
     )
     positions = jnp.asarray(topology.positions, dtype=dtype)
     return system, positions

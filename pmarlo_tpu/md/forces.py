@@ -8,10 +8,10 @@ NoCutoff). Everything is dense and statically shaped:
 - nonbonded: full (N, N) pairwise matrices (the reference runs NoCutoff for
   implicit-solvent systems, so dense is both exact and the fastest mapping
   onto the TPU's vector units for N up to a few thousand)
-- GB: OBC2-family Born radii (HCT pair integral + tanh rescale) and the
-  ACE surface-area term, matching OpenMM's GBSAOBCForce functional form.
-  (The reference uses GBn2; OBC2 is the same family with different rescale
-  coefficients — a documented substitution, see ff_params.py.)
+- GB: OBC2 or GBn2 Born radii (HCT pair integral + GBn2 neck correction +
+  tanh rescale with global or per-element coefficients) and the ACE
+  surface-area term. GBn2 matches the reference's implicit/gbn2.xml
+  (see md/gbn2.py for the neck-table construction).
 
 Forces are ``jax.grad`` of this function; bias potentials (DeepTICA CVs,
 metadynamics) fuse by adding their energy to the same scalar before grad.
@@ -66,9 +66,11 @@ def dihedral_angles(positions: jax.Array, idx: jax.Array) -> jax.Array:
     n1 = jnp.cross(b0, b1)
     n2 = jnp.cross(b1, b2)
     b1n = b1 / jnp.sqrt(jnp.sum(b1 * b1, axis=-1, keepdims=True) + _EPS)
-    m1 = jnp.cross(n1, b1n)
     x = jnp.sum(n1 * n2, axis=-1)
-    y = jnp.sum(m1 * n2, axis=-1)
+    # IUPAC/mdtraj sign (see features/builtins.py); amber phases are all
+    # 0 or pi so torsion ENERGY is even in phi — this choice matters for
+    # reported angles and CV features, not for the dynamics
+    y = jnp.sum(jnp.cross(n1, n2) * b1n, axis=-1)
     return jnp.arctan2(y, x)
 
 
@@ -108,16 +110,23 @@ def nonbonded_energy(system: System, positions: jax.Array) -> jax.Array:
 
 
 def born_radii(system: System, positions: jax.Array) -> jax.Array:
-    """OBC Born radii: HCT pairwise descreening integral + tanh rescale."""
+    """OBC/GBn2 Born radii: HCT pairwise descreening integral (+ GBn2 neck
+    correction) followed by the tanh rescale with global (OBC2) or
+    per-atom (GBn2) coefficients."""
     r = _pairwise_distances(positions)
     n = r.shape[0]
-    offset = GB_DIELECTRIC_OFFSET
+    offset = system.gb_offset
     rho = system.gb_radii - offset                       # (N,)
     sr = system.gb_screen * rho                          # (N,) scaled of j
     rho_i = rho[:, None]
     sr_j = sr[None, :]
 
-    U = r + sr_j
+    U_raw = r + sr_j
+    # GBn2 sulfur screening is NEGATIVE, so U can be <= 0 at close range;
+    # such pairs are masked out below, but 0 * log(U<=0) is still NaN —
+    # sanitize U wherever the pair is inactive
+    inactive = U_raw <= rho_i
+    U = jnp.where(inactive, rho_i + 1.0, U_raw)
     L = jnp.maximum(jnp.abs(r - sr_j), rho_i)
     inv_L = 1.0 / L
     inv_U = 1.0 / U
@@ -131,13 +140,29 @@ def born_radii(system: System, positions: jax.Array) -> jax.Array:
     corr = 2.0 * (1.0 / rho_i - inv_L)
     term = term + jnp.where(sr_j - r > rho_i, corr, 0.0)
     # only pairs where the descreening sphere reaches atom i
-    active = (U > rho_i).astype(positions.dtype)
+    active = (~inactive).astype(positions.dtype)
     mask = (1.0 - jnp.eye(n, dtype=positions.dtype)) * active
     I = 0.5 * jnp.sum(term * mask, axis=1)
 
+    if system.gb_neck_scale != 0.0 and system.gb_neck_m0 is not None:
+        from .gbn2 import neck_value_and_derivative
+
+        nv, _ = neck_value_and_derivative(
+            r, system.gb_neck_d0, system.gb_neck_m0, np_mod=jnp
+        )
+        diag = 1.0 - jnp.eye(n, dtype=positions.dtype)
+        I = I + system.gb_neck_scale * jnp.sum(nv * diag, axis=1)
+
     psi = I * rho
     psi2 = psi * psi
-    tanh_arg = OBC2_ALPHA * psi - OBC2_BETA * psi2 + OBC2_GAMMA * psi2 * psi
+    if system.gb_alpha is not None:
+        tanh_arg = (
+            system.gb_alpha * psi
+            - system.gb_beta * psi2
+            + system.gb_gamma * psi2 * psi
+        )
+    else:
+        tanh_arg = OBC2_ALPHA * psi - OBC2_BETA * psi2 + OBC2_GAMMA * psi2 * psi
     inv_B = 1.0 / rho - jnp.tanh(tanh_arg) / system.gb_radii
     return 1.0 / jnp.maximum(inv_B, 1e-3)
 

@@ -194,7 +194,10 @@ def _forces_planes(x0, x1, x2, c):
     c0 = (m1 * b2_2 - m2 * b2_1) * inv_lb2
     c1 = (m2 * b2_0 - m0 * b2_2) * inv_lb2
     c2_ = (m0 * b2_1 - m1 * b2_0) * inv_lb2
-    yy = c0 * n0 + c1 * n1 + c2_ * n2
+    # IUPAC sign: (m x b2hat).n == -(m x n).b2hat, so negate (matches
+    # features/builtins.py; the paired lm/ln negation below keeps forces
+    # bit-identical — energies are even in phi for amber phases)
+    yy = -(c0 * n0 + c1 * n1 + c2_ * n2)
     xx = m0 * n0 + m1 * n1 + m2 * n2
     # E = k (1 + cos(n phi - gamma)) with integer n in 1..4 and gamma in
     # {0, pi}: expand cos(n phi) / sin(n phi) by multiple-angle recurrences
@@ -222,8 +225,8 @@ def _forces_planes(x0, x1, x2, c):
         c["tor_k"] * (1.0 + sign * cos_n), axis=1, keepdims=True
     )
     dEt = -c["tor_k"] * c["tor_n"] * sign * sin_n
-    lm = lb2 / m2sq
-    ln = lb2 / n2sq
+    lm = -lb2 / m2sq   # IUPAC phi gradients (negated with yy above)
+    ln = -lb2 / n2sq
     d1p0, d1p1, d1p2 = lm * m0, lm * m1, lm * m2
     d4p0, d4p1, d4p2 = -ln * n0, -ln * n1, -ln * n2
     s12 = (b1_0 * b2_0 + b1_1 * b2_1 + b1_2 * b2_2) / (lb2 * lb2)
@@ -280,7 +283,11 @@ def _forces_planes(x0, x1, x2, c):
     if c["use_gb"]:
         rho_i = c["gb_rho"][:, :, None]                # (1, N, 1)
         sr_j = c["gb_sr"][:, None, :]                  # (1, 1, N)
-        U = rp + sr_j
+        U_raw = rp + sr_j
+        # GBn2 sulfur screening is negative: sanitize U<=rho_i pairs
+        # (masked below) so log() cannot produce NaN
+        inactive_gb = U_raw <= rho_i
+        U = jnp.where(inactive_gb, rho_i + 1.0, U_raw)
         absd = jnp.abs(rp - sr_j)
         sgn = jnp.sign(rp - sr_j)
         use_rho = absd < rho_i
@@ -297,7 +304,7 @@ def _forces_planes(x0, x1, x2, c):
         )
         engulfed = (sr_j - rp) > rho_i
         H = H + jnp.where(engulfed, 2.0 * (1.0 / rho_i - inv_L), 0.0)
-        active = (U > rho_i).astype(jnp.float32) * (1.0 - eye)[None, :, :]
+        active = (1.0 - inactive_gb.astype(jnp.float32)) * (1.0 - eye)[None, :, :]
         I = 0.5 * jnp.sum(H * active, axis=2)          # (R, N)
         dquad = 1.0 + sr_j * sr_j * inv_r2
         dH = (
@@ -311,13 +318,29 @@ def _forces_planes(x0, x1, x2, c):
         dH = dH + jnp.where(engulfed, 2.0 * dL * inv_L * inv_L, 0.0)
         dIdr = 0.5 * dH * active
 
+        if c.get("use_neck"):
+            # GBn2 neck correction (md/gbn2.py): I += s * m0/(1+100 u^2 +
+            # 0.3e6 u^6) with u = r - d0; derivative folds into dIdr
+            d0 = c["neck_d0"]                          # (1, N, N)
+            m0s = c["neck_m0"]                         # pre-scaled by s
+            u_nk = rp - d0
+            u2 = u_nk * u_nk
+            denom = 1.0 + 100.0 * u2 + 0.3e6 * u2 * u2 * u2
+            nv = m0s / denom
+            one3 = (1.0 - eye)[None, :, :]
+            I = I + jnp.sum(nv * one3, axis=2)
+            dIdr = dIdr - (nv / denom) * (
+                200.0 * u_nk + 1.8e6 * u2 * u2 * u_nk
+            ) * one3
+
         psi = I * c["gb_rho"]                          # (R, N) * (1, N)
-        g = OBC2_ALPHA * psi - OBC2_BETA * psi**2 + OBC2_GAMMA * psi**3
+        al, be, ga = c["gb_alpha"], c["gb_beta"], c["gb_gamma"]
+        g = al * psi - be * psi**2 + ga * psi**3
         t = jnp.tanh(g)
         inv_B = 1.0 / c["gb_rho"] - t / c["gb_radii"]
         inv_B = jnp.maximum(inv_B, 1e-3)
         B = 1.0 / inv_B
-        gprime = OBC2_ALPHA - 2.0 * OBC2_BETA * psi + 3.0 * OBC2_GAMMA * psi**2
+        gprime = al - 2.0 * be * psi + 3.0 * ga * psi**2
         dB_dpsi = B * B * (1.0 - t * t) * gprime / c["gb_radii"]
 
         BB = B[:, :, None] * B[:, None, :]
@@ -395,7 +418,7 @@ def _cv_forward(x0, x1, x2, c):
     c0 = (m1 * b2_2 - m2 * b2_1) * inv_lb2
     c1 = (m2 * b2_0 - m0 * b2_2) * inv_lb2
     c2_ = (m0 * b2_1 - m1 * b2_0) * inv_lb2
-    yy = c0 * n0 + c1 * n1 + c2_ * n2
+    yy = -(c0 * n0 + c1 * n1 + c2_ * n2)   # IUPAC sign (builtins.py)
     xx = m0 * n0 + m1 * n1 + m2 * n2
     norm = jnp.sqrt(xx * xx + yy * yy + _EPS)
     feats = jnp.concatenate([xx / norm, yy / norm], axis=1)
@@ -457,7 +480,7 @@ def _bias_planes(x0, x1, x2, c):
     c0 = (m1 * b2_2 - m2 * b2_1) * inv_lb2
     c1 = (m2 * b2_0 - m0 * b2_2) * inv_lb2
     c2_ = (m0 * b2_1 - m1 * b2_0) * inv_lb2
-    yy = c0 * n0 + c1 * n1 + c2_ * n2
+    yy = -(c0 * n0 + c1 * n1 + c2_ * n2)   # IUPAC sign (builtins.py)
     xx = m0 * n0 + m1 * n1 + m2 * n2
     norm = jnp.sqrt(xx * xx + yy * yy + _EPS)
     cph = xx / norm                   # cos(phi)   (R, M)
@@ -519,9 +542,10 @@ def _bias_planes(x0, x1, x2, c):
     # dE/dphi = -sin*g_cos + cos*g_sin
     dEdphi = -sph * g_cos + cph * g_sin
 
-    # dihedral gradients (same formulas as the torsion force path)
-    lm = lb2 / m2sq
-    ln = lb2 / n2sq
+    # dihedral gradients (same formulas as the torsion force path;
+    # negated with yy for the IUPAC convention)
+    lm = -lb2 / m2sq
+    ln = -lb2 / n2sq
     d1p0, d1p1, d1p2 = lm * m0, lm * m1, lm * m2
     d4p0, d4p1, d4p2 = -ln * n0, -ln * n1, -ln * n2
     s12 = (b1_0 * b2_0 + b1_1 * b2_1 + b1_2 * b2_2) / (lb2 * lb2)
@@ -663,7 +687,11 @@ def _forces_planes_packed(x0, x1, x2, c):
     if c["use_gb"]:
         rho_i = c["gb_rho_flat_i"]             # (1, P) rho broadcast by i
         sr_j = c["gb_sr_flat_j"]               # (1, P) sr broadcast by j
-        U = rp + sr_j
+        U_raw = rp + sr_j
+        # GBn2 sulfur screening is negative: sanitize U<=rho_i pairs
+        # (masked below) so log() cannot produce NaN
+        inactive_gb = U_raw <= rho_i
+        U = jnp.where(inactive_gb, rho_i + 1.0, U_raw)
         absd = jnp.abs(rp - sr_j)
         sgn = jnp.sign(rp - sr_j)
         use_rho = absd < rho_i
@@ -680,7 +708,7 @@ def _forces_planes_packed(x0, x1, x2, c):
         )
         engulfed = (sr_j - rp) > rho_i
         H = H + jnp.where(engulfed, 2.0 * (1.0 / rho_i - inv_L), 0.0)
-        active = (U > rho_i).astype(jnp.float32) * one_f
+        active = (1.0 - inactive_gb.astype(jnp.float32)) * one_f
         I = 0.5 * _dot(H * active, SUMJ)       # (R, N)
         dquad = 1.0 + sr_j * sr_j * inv_r2
         dH = (
@@ -694,13 +722,28 @@ def _forces_planes_packed(x0, x1, x2, c):
         dH = dH + jnp.where(engulfed, 2.0 * dL * inv_L * inv_L, 0.0)
         dIdr = 0.5 * dH * active
 
+        if c.get("use_neck"):
+            d0 = c["neck_d0_flat"]                 # (1, P)
+            m0s = c["neck_m0_flat"]                # pre-scaled by s
+            u_nk = rp - d0
+            u2 = u_nk * u_nk
+            denom = 1.0 + 100.0 * u2 + 0.3e6 * u2 * u2 * u2
+            nv = m0s / denom
+            I = I + _dot(nv * one_f, SUMJ)
+            dIdr_nk = -(nv / denom) * (
+                200.0 * u_nk + 1.8e6 * u2 * u2 * u_nk
+            ) * one_f
+        else:
+            dIdr_nk = None
+
         psi = I * c["gb_rho"]
-        g = OBC2_ALPHA * psi - OBC2_BETA * psi**2 + OBC2_GAMMA * psi**3
+        al, be, ga = c["gb_alpha"], c["gb_beta"], c["gb_gamma"]
+        g = al * psi - be * psi**2 + ga * psi**3
         t = jnp.tanh(g)
         inv_B = 1.0 / c["gb_rho"] - t / c["gb_radii"]
         inv_B = jnp.maximum(inv_B, 1e-3)
         B = 1.0 / inv_B
-        gprime = OBC2_ALPHA - 2.0 * OBC2_BETA * psi + 3.0 * OBC2_GAMMA * psi**2
+        gprime = al - 2.0 * be * psi + 3.0 * ga * psi**2
         dB_dpsi = B * B * (1.0 - t * t) * gprime / c["gb_radii"]
 
         BiP, BjP = toI(B), toJ(B)
@@ -725,7 +768,8 @@ def _forces_planes_packed(x0, x1, x2, c):
             - c["gb_pref"] * q2 * inv_B * inv_B
             - 6.0 * c["sa_coef"] * inv_B**7
         )
-        chain = toI(dEdB * dB_dpsi * c["gb_rho"]) * dIdr
+        dIdr_tot = dIdr if dIdr_nk is None else dIdr + dIdr_nk
+        chain = toI(dEdB * dB_dpsi * c["gb_rho"]) * dIdr_tot
         G = G + G_direct + chain
 
     # Pair-transpose-free force assembly. With u_ij = (x_i - x_j)/r_ij and
@@ -819,6 +863,9 @@ def build_pallas_chunk(
         "gb_rho": np.asarray(p.gb_rho, np.float32)[None, :],
         "gb_sr": np.asarray(p.gb_sr, np.float32)[None, :],
         "gb_radii": np.asarray(p.gb_radii, np.float32)[None, :],
+        "gb_alpha": np.asarray(p.gb_alpha, np.float32)[None, :],
+        "gb_beta": np.asarray(p.gb_beta, np.float32)[None, :],
+        "gb_gamma": np.asarray(p.gb_gamma, np.float32)[None, :],
         "sa_coef": np.asarray(p.sa_coef, np.float32)[None, :],
         "eye": np.eye(system.n_atoms, dtype=np.float32),
         "inv_m": (1.0 / np.asarray(p.masses, np.float32))[None, :],
@@ -839,10 +886,25 @@ def build_pallas_chunk(
             "gb_rho_flat_i": flat(np.broadcast_to(rho_col[:, None], (n, n))),
             "gb_sr_flat_j": flat(np.broadcast_to(sr_col[None, :], (n, n))),
         })
+    use_neck = system.use_gb and p.neck_scale != 0.0 and p.neck_m0 is not None
+    if use_neck:
+        const_arrays["neck_d0"] = np.asarray(p.neck_d0, np.float32)[None]
+        const_arrays["neck_m0"] = (
+            float(p.neck_scale) * np.asarray(p.neck_m0, np.float32)
+        )[None]
+        if pack_pairs:
+            n_ = system.n_atoms
+            const_arrays["neck_d0_flat"] = np.asarray(
+                p.neck_d0, np.float32
+            ).reshape(1, n_ * n_)
+            const_arrays["neck_m0_flat"] = (
+                float(p.neck_scale) * np.asarray(p.neck_m0, np.float32)
+            ).reshape(1, n_ * n_)
     static_consts = {
         "offsets": offsets,
         "gb_pref": float(p.gb_pref),
         "use_gb": system.use_gb,
+        "use_neck": use_neck,
         "use_bias": bias_model is not None,
     }
     dynamic_names = []
@@ -1291,6 +1353,9 @@ def build_pallas_remd(
         "gb_rho": np.asarray(p.gb_rho, np.float32)[None, :],
         "gb_sr": np.asarray(p.gb_sr, np.float32)[None, :],
         "gb_radii": np.asarray(p.gb_radii, np.float32)[None, :],
+        "gb_alpha": np.asarray(p.gb_alpha, np.float32)[None, :],
+        "gb_beta": np.asarray(p.gb_beta, np.float32)[None, :],
+        "gb_gamma": np.asarray(p.gb_gamma, np.float32)[None, :],
         "sa_coef": np.asarray(p.sa_coef, np.float32)[None, :],
         "inv_m": (1.0 / np.asarray(p.masses, np.float32))[None, :],
     }
@@ -1309,10 +1374,26 @@ def build_pallas_remd(
         "gb_rho_flat_i": flat(np.broadcast_to(rho_col[:, None], (n, n))),
         "gb_sr_flat_j": flat(np.broadcast_to(sr_col[None, :], (n, n))),
     })
+    pack_pairs = True  # the fused-REMD kernel always packs pairs
+    use_neck = system.use_gb and p.neck_scale != 0.0 and p.neck_m0 is not None
+    if use_neck:
+        const_arrays["neck_d0"] = np.asarray(p.neck_d0, np.float32)[None]
+        const_arrays["neck_m0"] = (
+            float(p.neck_scale) * np.asarray(p.neck_m0, np.float32)
+        )[None]
+        if pack_pairs:
+            n_ = system.n_atoms
+            const_arrays["neck_d0_flat"] = np.asarray(
+                p.neck_d0, np.float32
+            ).reshape(1, n_ * n_)
+            const_arrays["neck_m0_flat"] = (
+                float(p.neck_scale) * np.asarray(p.neck_m0, np.float32)
+            ).reshape(1, n_ * n_)
     static_consts = {
         "offsets": offsets,
         "gb_pref": float(p.gb_pref),
         "use_gb": system.use_gb,
+        "use_neck": use_neck,
         "use_bias": bias_model is not None,
         "skip_pairs": False,
     }

@@ -40,15 +40,19 @@ def run_segment(
     output_file: Optional["str | Path"] = None,
     bias_fn: Optional[Callable] = None,
     implicit_solvent: bool = True,
+    gb_model: str = "gbn2",
 ) -> Dict:
     """Run one Langevin segment. Returns a dict with device-resident
     trajectory arrays and summary scalars.
 
     Reference behavior mirrored: minimize -> set velocities to T ->
     step(n_steps) with frames every ``report_interval``
-    (simulation/__init__.py:91-109).
+    (simulation/__init__.py:91-109). ``gb_model`` defaults to "gbn2" — the
+    reference's amber14 + implicit/gbn2.xml (simulation/__init__.py:64-71).
     """
-    system, positions = build_system(pdb_file, implicit_solvent=implicit_solvent)
+    system, positions = build_system(
+        pdb_file, implicit_solvent=implicit_solvent, gb_model=gb_model
+    )
     key = jax.random.PRNGKey(seed)
 
     x_min, e_min = minimize_energy(

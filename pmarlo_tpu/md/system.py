@@ -51,9 +51,18 @@ class System:
     lj_eps: jax.Array            # (N,) kJ/mol
     scale_elec: jax.Array        # (N, N) 0 for excluded, 1/1.2 for 1-4, 1 otherwise
     scale_lj: jax.Array          # (N, N) 0 for excluded, 1/2 for 1-4, 1 otherwise
-    # --- GB implicit solvent (OBC-family) ---
+    # --- GB implicit solvent (OBC/GBn2 family) ---
     gb_radii: jax.Array          # (N,) nm intrinsic Born radii (offset NOT applied)
-    gb_screen: jax.Array         # (N,) HCT screening factors
+    gb_screen: jax.Array         # (N,) HCT/GBn2 screening factors
+    #: per-atom tanh-rescale coefficients. None -> global OBC2 constants.
+    #: GBn2 (reference implicit/gbn2.xml) uses per-element values
+    #: (md/gbn2.py GBN2_ALPHA_BETA_GAMMA).
+    gb_alpha: Optional[jax.Array] = None   # (N,)
+    gb_beta: Optional[jax.Array] = None    # (N,)
+    gb_gamma: Optional[jax.Array] = None   # (N,)
+    #: GBn2 neck-correction lookup per pair (None -> no neck term)
+    gb_neck_d0: Optional[jax.Array] = None  # (N, N) nm
+    gb_neck_m0: Optional[jax.Array] = None  # (N, N) 1/nm
     # --- static metadata (aux_data, not traced) ---
     atom_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True), default=())
     atom_types: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True), default=())
@@ -62,6 +71,12 @@ class System:
     solvent_dielectric: float = dataclasses.field(metadata=dict(static=True), default=78.5)
     solute_dielectric: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     use_gb: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    #: "obc2" or "gbn2" (reference runs gbn2: simulation/__init__.py:64-71)
+    gb_model: str = dataclasses.field(metadata=dict(static=True), default="obc2")
+    #: dielectric offset (nm): 0.009 for OBC2, 0.0195141 for GBn2
+    gb_offset: float = dataclasses.field(metadata=dict(static=True), default=0.009)
+    #: neck-integral scale (GBn2: 0.826836; 0 disables)
+    gb_neck_scale: float = dataclasses.field(metadata=dict(static=True), default=0.0)
     surface_tension: float = dataclasses.field(
         metadata=dict(static=True), default=28.3919551
     )  # kJ/mol/nm^2 (ACE SA prefactor, OpenMM GBSAOBCForce default)

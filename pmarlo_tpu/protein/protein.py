@@ -28,6 +28,7 @@ from ..io.pdb import PDBStructure, read_pdb, write_pdb
 from ..md.forcefield import build_system
 from ..md.topology import Topology, build_topology
 from ..utils.errors import TopologyError
+from .descriptors import compute_descriptors
 
 # --- sequence property tables -------------------------------------------------
 
@@ -58,6 +59,16 @@ _ONE_LETTER = {
 }
 
 _WATER_NAMES = {"HOH", "WAT", "TIP3", "SOL"}
+
+#: protonation variants -> canonical residue (sequence/property reporting)
+_CANONICAL = {
+    "ASH": "ASP", "GLH": "GLU", "LYN": "LYS",
+    "HID": "HIS", "HIE": "HIS", "HIP": "HIS",
+}
+
+
+def _canonical(resname: str) -> str:
+    return _CANONICAL.get(resname, resname)
 
 
 def charge_at_pH(sequence: List[str], pH: float) -> float:
@@ -159,7 +170,10 @@ class Protein:
 
     def sequence(self) -> List[str]:
         self._require_prepared()
-        return [r for r in self.structure.sequence() if r in _RESIDUE_MASS]
+        return [
+            _canonical(r) for r in self.structure.sequence()
+            if _canonical(r) in _RESIDUE_MASS
+        ]
 
     def sequence_one_letter(self) -> str:
         return "".join(_ONE_LETTER.get(r, "X") for r in self.sequence()
@@ -186,6 +200,10 @@ class Protein:
                 sum(r in _AROMATIC for r in seq) / max(len(seq), 1), 3
             ),
             "formal_charge": int(round(float(self.topology.charges.sum()))),
+            # structural descriptor subset (reference protein.py:605-617
+            # via RDKit; first-party from the topology graph — see
+            # protein/descriptors.py for the MolLogP->GRAVY substitution)
+            **compute_descriptors(self.topology),
         }
 
     # --- system creation (reference :733) ---------------------------------------
@@ -195,13 +213,19 @@ class Protein:
         *,
         hydrogen_mass: Optional[float] = 3.0,
         implicit_solvent: bool = True,
+        gb_model: str = "gbn2",
     ):
-        """Build the MD System + positions from the prepared topology."""
+        """Build the MD System + positions from the prepared topology.
+
+        ``gb_model`` defaults to "gbn2", matching the reference's
+        amber14 + implicit/gbn2.xml (simulation/__init__.py:64-71).
+        """
         self._require_prepared()
         return build_system(
             self.topology,
             hydrogen_mass=hydrogen_mass,
             implicit_solvent=implicit_solvent,
+            gb_model=gb_model,
         )
 
     def save_prepared(self, path: "str | Path") -> Path:

@@ -568,12 +568,15 @@ def run_replica_exchange(
     bias_fn: Optional[Callable] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
     implicit_solvent: bool = True,
+    gb_model: str = "gbn2",
 ) -> Tuple[RemdResult, System]:
     """One-call REMD (reference CHANGELOG.md:22 run_replica_exchange)."""
     from ..md.forcefield import build_system
 
     config = config or RemdConfig()
-    system, positions = build_system(pdb_file, implicit_solvent=implicit_solvent)
+    system, positions = build_system(
+        pdb_file, implicit_solvent=implicit_solvent, gb_model=gb_model
+    )
     remd = ReplicaExchange(system, positions, config, bias_fn=bias_fn, mesh=mesh)
     return remd.run(n_steps), system
 

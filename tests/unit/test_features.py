@@ -124,3 +124,26 @@ def test_backbone_torsions(alanine_system, topology_info):
     # peptide bonds are trans: omega ~ +-pi
     omegas = np.asarray(X[0, 2:])
     assert (np.abs(np.abs(omegas) - np.pi) < 0.5).all()
+
+
+def test_dihedral_iupac_sign_convention():
+    """Hand-constructed +60 degree dihedral (IUPAC/mdtraj sign): looking
+    along the central bond, the far bond is rotated clockwise by 60 deg.
+    Round-1 regression: the old formula returned the NEGATED angle, so
+    every reported phi/psi and CV feature was mirrored."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pmarlo_tpu.features.builtins import compute_dihedrals
+    from pmarlo_tpu.md.forces import dihedral_angles
+
+    pts = np.array(
+        [[1, 0, 0], [0, 0, 0], [0, 0, 1], [0.5, np.sqrt(3) / 2, 1]],
+        np.float32,
+    )
+    quad = np.array([[0, 1, 2, 3]])
+    got_f = float(np.degrees(np.asarray(compute_dihedrals(pts[None], quad))))
+    got_m = float(np.degrees(np.asarray(
+        dihedral_angles(jnp.asarray(pts), jnp.asarray(quad)))))
+    assert got_f == pytest.approx(60.0, abs=1e-3)
+    assert got_m == pytest.approx(60.0, abs=1e-3)

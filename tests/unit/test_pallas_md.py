@@ -29,6 +29,11 @@ def _packed_consts(system, p):
         "eye_flat": flat(np.eye(n)),
         "gb_rho_flat_i": flat(np.broadcast_to(rho_col[:, None], (n, n))),
         "gb_sr_flat_j": flat(np.broadcast_to(sr_col[None, :], (n, n))),
+        "gb_rho": jnp.asarray(p.gb_rho)[None, :],
+        "gb_alpha": jnp.asarray(p.gb_alpha)[None, :],
+        "gb_beta": jnp.asarray(p.gb_beta)[None, :],
+        "gb_gamma": jnp.asarray(p.gb_gamma)[None, :],
+        "use_neck": False,
     }
 
 
@@ -52,6 +57,10 @@ def _consts(system, p):
         "gb_rho": jnp.asarray(p.gb_rho)[None, :],
         "gb_sr": jnp.asarray(p.gb_sr)[None, :],
         "gb_radii": jnp.asarray(p.gb_radii)[None, :],
+        "gb_alpha": jnp.asarray(p.gb_alpha)[None, :],
+        "gb_beta": jnp.asarray(p.gb_beta)[None, :],
+        "gb_gamma": jnp.asarray(p.gb_gamma)[None, :],
+        "use_neck": False,
         "sa_coef": jnp.asarray(p.sa_coef)[None, :],
         "eye": jnp.eye(system.n_atoms, dtype=jnp.float32),
         "inv_m": (1.0 / jnp.asarray(p.masses))[None, :],

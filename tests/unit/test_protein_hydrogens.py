@@ -134,3 +134,24 @@ def test_3gd8_prepare_end_to_end():
     # net charge is an integer (template bookkeeping closes)
     q = float(np.asarray(system.charges).sum())
     assert abs(q - round(q)) < 1e-3
+
+
+def test_structural_descriptors_alanine():
+    """RDKit-subset descriptors from the topology graph
+    (reference protein.py:605-617): HBD/HBA counts are exact structural
+    facts for alanine dipeptide (ACE-ALA-NME)."""
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.md.topology import build_topology
+    from pmarlo_tpu.protein.descriptors import compute_descriptors
+
+    topo = build_topology(alanine_dipeptide_structure())
+    d = compute_descriptors(topo)
+    # two amide N-H donors (ALA N-H, NME N-H)
+    assert d["h_bond_donors"] == 2
+    assert d["h_bond_donor_atoms"] == 2
+    # acceptors: 2 N + 2 O
+    assert d["h_bond_acceptors"] == 4
+    # TPSA: 2 amide NH (12.03) + 2 carbonyl O (17.07) = 58.20
+    assert d["tpsa"] == pytest.approx(2 * 12.03 + 2 * 17.07, abs=0.01)
+    # GRAVY of a single ALA
+    assert d["gravy"] == pytest.approx(1.8)
