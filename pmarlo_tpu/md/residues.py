@@ -204,6 +204,22 @@ TEMPLATES["CYS"] = _t(
                              ("CB", "SG"), ("SG", "HG")],
 )
 
+TEMPLATES["CYX"] = _t(  # disulfide-bonded cystine half
+    # Derived from CYS by removing HG and folding its charge onto SG
+    # (total stays exactly 0) — a documented charge-conserving
+    # approximation of the amber CYX set; the S-S bond is added at
+    # topology-build time when two SG atoms sit within 2.5 A.
+    atoms={
+        "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", 0.0213),
+        "HA": ("H1", 0.1124), "CB": ("CT", -0.1231),
+        "HB2": ("H1", 0.1112), "HB3": ("H1", 0.1112),
+        "SG": ("S", -0.1186),
+        "C": ("C", 0.5973), "O": ("O", -0.5679),
+    },
+    bonds=_BACKBONE_BONDS + [("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"),
+                             ("CB", "SG")],
+)
+
 TEMPLATES["MET"] = _t(
     atoms={
         "N": ("N", -0.4157), "H": ("H", 0.2719), "CA": ("CT", -0.0237),

@@ -207,6 +207,28 @@ def build_topology(
                 )
             bonds.append((tail, head))
 
+    # disulfide bridges: bond CYX SG pairs within 2.5 A (the renaming to
+    # CYX happens during prep, protein/hydrogens.py)
+    sg_idx = [
+        i for i, (n, rn) in enumerate(zip(atom_names, res_names))
+        if n == "SG" and rn == "CYX"
+    ]
+    pos_arr = np.asarray(positions)
+    bonded_sg: set = set()
+    for a_i in range(len(sg_idx)):
+        for b_i in range(a_i + 1, len(sg_idx)):
+            i, j = sg_idx[a_i], sg_idx[b_i]
+            if np.linalg.norm(pos_arr[i] - pos_arr[j]) < 0.25:
+                bonds.append((i, j))
+                bonded_sg.update((i, j))
+    unpaired = [i for i in sg_idx if i not in bonded_sg]
+    if unpaired:
+        raise TopologyError(
+            "CYX residues without a disulfide partner within 2.5 A: atoms "
+            f"{[(res_ids[i], atom_names[i]) for i in unpaired]}; rename them "
+            "back to CYS or fix the geometry"
+        )
+
     return Topology(
         atom_names=atom_names,
         atom_types=atom_types,

@@ -173,6 +173,38 @@ def _place_on_parent(
     )
 
 
+def _assign_disulfides(structure: PDBStructure) -> PDBStructure:
+    """Rename CYS -> CYX when two SG atoms sit within 2.5 A (the
+    PDBFixer/amber convention); the SG-SG bond itself is added by
+    md.topology.build_topology. Any HG on a bridged cysteine is dropped."""
+    sgs = []
+    for ri, res in enumerate(structure.residues):
+        if res.name == "CYS":
+            for a in res.atoms:
+                if a.name.strip() == "SG":
+                    sgs.append((ri, np.asarray(a.xyz)))
+    bridged = set()
+    for i in range(len(sgs)):
+        for j in range(i + 1, len(sgs)):
+            if np.linalg.norm(sgs[i][1] - sgs[j][1]) < 0.25:
+                bridged.add(sgs[i][0])
+                bridged.add(sgs[j][0])
+    if not bridged:
+        return structure
+    out = []
+    for ri, res in enumerate(structure.residues):
+        if ri in bridged:
+            res = PDBResidue(
+                name="CYX", resid=res.resid, chain=res.chain,
+                atoms=[
+                    PDBAtom(a.name, "CYX", a.resid, a.chain, a.xyz, a.element)
+                    for a in res.atoms if a.name.strip() != "HG"
+                ],
+            )
+        out.append(res)
+    return PDBStructure(residues=out, n_models=structure.n_models)
+
+
 def add_hydrogens(
     structure: PDBStructure,
     *,
@@ -189,6 +221,7 @@ def add_hydrogens(
     scope; fix the model upstream.
     """
     structure = assign_protonation_states(structure, ph=ph, his_variant=his_variant)
+    structure = _assign_disulfides(structure)
     chains: Dict[str, List[PDBResidue]] = {}
     for res in structure.residues:
         if res.name in TEMPLATES:

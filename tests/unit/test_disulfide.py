@@ -1,0 +1,108 @@
+"""Disulfide (CYX) support: detection, renaming, SG-SG bond, system build.
+
+Reference behavior: PDBFixer/amber name bridged cysteines CYX and bond
+their SG atoms; the round-1 rebuild had no disulfide path at all.
+"""
+
+import numpy as np
+import pytest
+
+from pmarlo_tpu.io.pdb import PDBAtom, PDBResidue, PDBStructure
+
+
+def _cys_peptide(chain: str, offset: np.ndarray, sg_pos: np.ndarray) -> list:
+    """ACE-CYS-NME with heavy atoms from the alanine dipeptide geometry,
+    CB's methyl turned into a thiolate S at ``sg_pos``."""
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+
+    src = alanine_dipeptide_structure()
+    residues = []
+    for res in src.residues:
+        name = "CYS" if res.name == "ALA" else res.name
+        atoms = []
+        for a in res.atoms:
+            if a.element == "H":
+                continue  # strip hydrogens: prepare() rebuilds them
+            xyz = tuple(np.asarray(a.xyz) + offset)
+            atoms.append(PDBAtom(a.name, name, a.resid, chain, xyz, a.element))
+        if name == "CYS":
+            atoms.append(PDBAtom("SG", name, res.resid, chain,
+                                 tuple(sg_pos), "S"))
+        residues.append(PDBResidue(name=name, resid=res.resid, chain=chain,
+                                   atoms=atoms))
+    return residues
+
+
+@pytest.fixture()
+def disulfide_structure():
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+
+    src = alanine_dipeptide_structure()
+    cb = next(
+        np.asarray(a.xyz) for r in src.residues for a in r.atoms
+        if r.name == "ALA" and a.name == "CB"
+    )
+    ca = next(
+        np.asarray(a.xyz) for r in src.residues for a in r.atoms
+        if r.name == "ALA" and a.name == "CA"
+    )
+    # SG at 1.81 A from CB, tilted off the CA-CB axis (a collinear
+    # CA-CB-SG frame would degenerate the HB2/HB3 construction)
+    u0 = (cb - ca) / np.linalg.norm(cb - ca)
+    perp = np.cross(u0, [0.0, 0.0, 1.0])
+    perp /= np.linalg.norm(perp)
+    u = u0 * np.cos(np.radians(70)) + perp * np.sin(np.radians(70))
+    sg_a = cb + 0.181 * u
+    # chain B: translate so its SG sits 2.05 A beyond SG_A along u
+    sg_b = sg_a + 0.205 * u
+    offset_b = (sg_b + 0.181 * u + 0.4 * np.array([0.0, 1.0, 0.0])) - cb
+    # place chain B's CB so ITS SG (cb_B + 0.181*(-u')) lands at sg_b:
+    # simpler: mirror chain B through the midpoint plane
+    mid = 0.5 * (sg_a + sg_b)
+    res_a = _cys_peptide("A", np.zeros(3), sg_a)
+    res_b = []
+    for res in _cys_peptide("B", np.zeros(3), sg_a):
+        atoms = [
+            PDBAtom(a.name, a.resname, a.resid, "B",
+                    tuple(2 * mid - np.asarray(a.xyz)), a.element)
+            for a in res.atoms
+        ]
+        res_b.append(PDBResidue(res.name, res.resid, "B", atoms))
+    return PDBStructure(residues=res_a + res_b)
+
+
+def test_disulfide_detection_and_build(disulfide_structure):
+    from pmarlo_tpu.protein.protein import Protein
+
+    p = Protein(disulfide_structure).prepare()
+    names = set(p.topology.residue_sequence)
+    assert "CYX" in names and "CYS" not in names
+    # the SG-SG bond exists
+    sg = [i for i, n in enumerate(p.topology.atom_names) if n == "SG"]
+    assert len(sg) == 2
+    bonds = {tuple(sorted(b)) for b in p.topology.bonds.tolist()}
+    assert tuple(sorted(sg)) in bonds
+    # no HG on bridged cysteines
+    assert "HG" not in p.topology.atom_names
+    system, positions = p.create_system()
+    from pmarlo_tpu.md.forces import potential_energy
+
+    assert np.isfinite(float(potential_energy(system, positions)))
+    q = float(np.asarray(system.charges).sum())
+    assert abs(q - round(q)) < 1e-3
+
+
+def test_free_cysteines_stay_cys():
+    """SG atoms far apart remain CYS (with HG added)."""
+    from pmarlo_tpu.protein.hydrogens import _assign_disulfides
+
+    def one(chain, shift):
+        return PDBResidue(
+            name="CYS", resid=1, chain=chain,
+            atoms=[PDBAtom("SG", "CYS", 1, chain,
+                           (shift, 0.0, 0.0), "S")],
+        )
+
+    s = PDBStructure(residues=[one("A", 0.0), one("B", 1.0)])
+    out = _assign_disulfides(s)
+    assert [r.name for r in out.residues] == ["CYS", "CYS"]
