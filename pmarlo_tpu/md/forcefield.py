@@ -234,6 +234,10 @@ def build_system(
     if hydrogen_mass is not None:
         masses = hydrogen_mass_repartition(masses, topology.bonds, hydrogen_mass)
 
+    excl, pairs14 = topology.exclusion_maps()
+    excl12_idx = np.asarray(sorted(excl), dtype=np.int32).reshape(-1, 2)
+    pair14_idx = np.asarray(sorted(pairs14), dtype=np.int32).reshape(-1, 2)
+
     net_charge = float(topology.charges.sum())
     if abs(net_charge - round(net_charge)) > 5e-3:
         raise ForceFieldError(
@@ -269,6 +273,8 @@ def build_system(
                     else jnp.asarray(gb_extras["neck_d0"], dtype=dtype)),
         gb_neck_m0=(None if gb_extras is None
                     else jnp.asarray(gb_extras["neck_m0"], dtype=dtype)),
+        excl12_idx=jnp.asarray(excl12_idx, dtype=jnp.int32),
+        pair14_idx=jnp.asarray(pair14_idx, dtype=jnp.int32),
         atom_names=tuple(topology.atom_names),
         atom_types=tuple(topology.atom_types),
         residue_names=tuple(topology.residue_names),

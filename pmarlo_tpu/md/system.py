@@ -63,6 +63,10 @@ class System:
     #: GBn2 neck-correction lookup per pair (None -> no neck term)
     gb_neck_d0: Optional[jax.Array] = None  # (N, N) nm
     gb_neck_m0: Optional[jax.Array] = None  # (N, N) 1/nm
+    #: exclusion index lists for the neighbor-list path (md/nblist.py):
+    #: 1-2/1-3 pairs (full exclusion) and 1-4 pairs (scee/scnb scaling)
+    excl12_idx: Optional[jax.Array] = None  # (P1, 2) int32
+    pair14_idx: Optional[jax.Array] = None  # (P2, 2) int32
     # --- static metadata (aux_data, not traced) ---
     atom_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True), default=())
     atom_types: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True), default=())
