@@ -1,0 +1,474 @@
+"""Tiled Pallas pair-stage kernel: protein-scale dense nonbonded + GB.
+
+The small-system fused kernel (md/pallas_md.py) holds whole (R, N, N)
+pair tensors in VMEM — impossible past N ~ 350. The XLA dense path works
+at any N but materializes ~dozens of (N, N) f32 temporaries in HBM every
+step (3gd8, N=3350: 23.6 ms/step, ~7 ns/day). Gather-based neighbor lists
+are 40x WORSE on TPU (md/nblist.py caveat).
+
+This kernel computes the same dense NoCutoff physics in ROW TILES: a grid
+step owns TI atoms, loads the full coordinate/parameter rows (tiny: O(N)),
+and computes its (TI, N) pair block entirely in VMEM — pair quantities are
+recomputed, never stored to HBM. Three sweeps per force evaluation:
+
+  1. Born descreening integral I_i (HCT + GBn2 neck),
+  2. pair energy row-sums + the pairwise part of dE/dB_i,
+  3. forces: F_i = -sum_j W_ij (x_i - x_j)/r with
+     W = d(LJ+Coulomb+GB_direct)/dr + c_i dI_i/dr_ij + c_j dI_j/dr_ji,
+
+with the tiny XLA glue (tanh rescale, self/SA terms, chain coefficients)
+between sweeps. Per-step HBM traffic is O(N) plus the streamed exclusion
+scale tiles (the only O(N^2) data; ~90 MB/step at N=3350, ~0.1 ms).
+
+GBn2 neck d0/m0 lookups become MXU matmuls: intrinsic radii take only a
+handful of distinct values, so d0_ij = onehot_i @ D0_class @ onehot_j^T
+with a (C, C) class matrix — no (N, N) neck tables in the kernel.
+
+Validation: energies/forces vs the dense XLA path (tests/unit/
+test_pallas_pair.py on CPU math via the shared formulas is not possible —
+Mosaic-only PRNG is not used here, so ``interpret=True`` works on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import COULOMB_CONSTANT_KJ_NM_PER_MOL_E2
+from .ff_params import OBC2_ALPHA, OBC2_BETA, OBC2_GAMMA
+from .system import System
+
+_EPS = 1e-12
+
+
+def _radius_classes(rho: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(class_values (C,), onehot (N, C)) for the distinct offset radii."""
+    vals, inv = np.unique(np.round(rho, 9), return_inverse=True)
+    onehot = np.zeros((len(rho), len(vals)), dtype=np.float32)
+    onehot[np.arange(len(rho)), inv] = 1.0
+    return vals, onehot
+
+
+def build_pair_force_fn(
+    system: System,
+    *,
+    tile: int = 256,
+    interpret: bool = False,
+) -> Callable:
+    """Jitted ``fn(x (N,3)) -> (energy, forces (N,3))`` for the FULL
+    potential: tiled-kernel pair stage + XLA bonded terms.
+
+    ``tile`` must be a multiple of 8 (sublane) — atoms are zero-padded to
+    a multiple of it. The dense exclusion scale matrices are streamed in
+    row tiles, so memory residency is the matrices themselves (usable to
+    N ~ 15k on a 16 GB HBM chip).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if tile % 128 != 0:
+        raise ValueError("tile must be a multiple of 128 (lane blocking)")
+
+    n_real = system.n_atoms
+    N = ((n_real + tile - 1) // tile) * tile
+    GRID = N // tile
+    pad = N - n_real
+
+    def padded(a, fill=0.0):
+        a = np.asarray(a, np.float32)
+        return np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                      constant_values=fill)
+
+    # --- per-atom parameter rows (host-side, padded) -----------------------
+    q = padded(system.charges)
+    sig = padded(system.lj_sigma)
+    eps = padded(system.lj_eps)
+    rho = padded(np.asarray(system.gb_radii) - system.gb_offset, fill=0.1)
+    sr = padded(np.asarray(system.gb_screen) * (np.asarray(system.gb_radii)
+                                                - system.gb_offset), fill=0.0)
+    radii = padded(system.gb_radii, fill=0.11)
+    mask = np.zeros(N, np.float32)
+    mask[:n_real] = 1.0
+
+    ke = COULOMB_CONSTANT_KJ_NM_PER_MOL_E2 / system.solute_dielectric
+    gb_pref = (
+        -0.5 * COULOMB_CONSTANT_KJ_NM_PER_MOL_E2
+        * (1.0 / system.solute_dielectric - 1.0 / system.solvent_dielectric)
+    )
+    probe = 0.14
+    sa_coef = padded(
+        system.surface_tension
+        * (np.asarray(system.gb_radii) + probe) ** 2
+        * np.asarray(system.gb_radii) ** 6,
+        fill=0.0,
+    )
+    if system.gb_alpha is not None:
+        ab = padded(system.gb_alpha, fill=1.0)
+        bb = padded(system.gb_beta)
+        gb = padded(system.gb_gamma)
+    else:
+        ab = np.full(N, OBC2_ALPHA, np.float32)
+        bb = np.full(N, OBC2_BETA, np.float32)
+        gb = np.full(N, OBC2_GAMMA, np.float32)
+
+    use_neck = system.gb_neck_scale != 0.0 and system.gb_neck_m0 is not None
+    if use_neck:
+        from .gbn2 import lookup_neck
+
+        cls_vals, onehot = _radius_classes(rho[:n_real])
+        C = len(cls_vals)
+        D0c, M0c = lookup_neck(
+            np.repeat(cls_vals[:, None], C, 1), np.repeat(cls_vals[None, :], C, 0)
+        )
+        M0c = M0c * float(system.gb_neck_scale)
+        oh = np.zeros((N, C), np.float32)
+        oh[:n_real] = onehot
+    else:
+        C = 1
+        D0c = np.zeros((1, 1)); M0c = np.zeros((1, 1))
+        oh = np.zeros((N, C), np.float32)
+
+    # dense exclusion scale tiles (streamed): rebuild padded from System
+    se_full = np.ones((N, N), np.float32)
+    sl_full = np.ones((N, N), np.float32)
+    se_full[:n_real, :n_real] = np.asarray(system.scale_elec, np.float32)
+    sl_full[:n_real, :n_real] = np.asarray(system.scale_lj, np.float32)
+
+    use_gb = bool(system.use_gb)
+
+    # --- kernel helpers ----------------------------------------------------
+    _dot = functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    def pair_geometry(xi_ref, xf_ref):
+        """(dd0..2, r, not_self) for the (TI, N) block. Self/coincident
+        slots are pushed to r = 1 nm BEFORE any 1/r^k math — (sigma/r)^12
+        at r ~ 0 is inf and inf * 0 poisons masked sums with NaN."""
+        xi = xi_ref[...]                      # (TI, 3)
+        xf = xf_ref[...]                      # (3, N)
+        dd0 = xi[:, 0:1] - xf[0:1, :]         # (TI, N)
+        dd1 = xi[:, 1:2] - xf[1:2, :]
+        dd2 = xi[:, 2:3] - xf[2:3, :]
+        r2 = dd0 * dd0 + dd1 * dd1 + dd2 * dd2
+        not_self = (r2 > 1e-8).astype(xi.dtype)
+        r = jnp.where(r2 > 1e-8, jnp.sqrt(r2 + _EPS), 1.0)
+        return dd0, dd1, dd2, r, not_self
+
+    def row(ref):
+        return ref[...]                        # (TI, 1)
+
+    def col(ref):
+        return ref[...]                        # (1, N)
+
+    def hct_terms(r, inv_r, rho_a, sr_b):
+        """HCT integrand H(r; rho_a, sr_b) and dH/dr, masked-safe.
+
+        rho_a: the integrating atom's offset radius (any broadcastable
+        shape); sr_b: the descreener's scaled radius.
+        """
+        U_raw = r + sr_b
+        inactive = U_raw <= rho_a
+        U = jnp.where(inactive, rho_a + 1.0, U_raw)
+        absd = jnp.abs(r - sr_b)
+        sgn = jnp.sign(r - sr_b)
+        use_rho = absd < rho_a
+        L = jnp.where(use_rho, rho_a, absd)
+        dL = jnp.where(use_rho, 0.0, sgn)
+        inv_L = 1.0 / L
+        inv_U = 1.0 / U
+        log_LU = jnp.log(L * inv_U)
+        quad = r - sr_b * sr_b * inv_r
+        H = (inv_L - inv_U
+             + 0.25 * quad * (inv_U * inv_U - inv_L * inv_L)
+             + 0.5 * log_LU * inv_r)
+        engulfed = (sr_b - r) > rho_a
+        H = H + jnp.where(engulfed, 2.0 * (1.0 / rho_a - inv_L), 0.0)
+        dquad = 1.0 + sr_b * sr_b * inv_r * inv_r
+        dH = (-dL * inv_L * inv_L
+              + inv_U * inv_U
+              + 0.25 * dquad * (inv_U * inv_U - inv_L * inv_L)
+              + 0.25 * quad * (-2.0 * inv_U**3 + 2.0 * dL * inv_L**3)
+              - 0.5 * log_LU * inv_r * inv_r
+              + 0.5 * inv_r * (dL * inv_L - inv_U))
+        dH = dH + jnp.where(engulfed, 2.0 * dL * inv_L * inv_L, 0.0)
+        act = (~inactive).astype(r.dtype)
+        return H * act, dH * act
+
+    def neck_tile(oh_i_ref, oh_all_ref, d0c_ref, m0c_ref, r):
+        """(nv * scale, d(nv*scale)/dr) via class matmuls."""
+        ohi = oh_i_ref[...]                    # (TI, C)
+        ohN = oh_all_ref[...]                  # (C, N)
+        d0 = _dot(_dot(ohi, d0c_ref[...]), ohN)     # (TI, N)
+        m0s = _dot(_dot(ohi, m0c_ref[...]), ohN)
+        u = r - d0
+        u2 = u * u
+        denom = 1.0 + 100.0 * u2 + 0.3e6 * u2 * u2 * u2
+        nv = m0s / denom
+        dnv = -(nv / denom) * (200.0 * u + 1.8e6 * u2 * u2 * u)
+        return nv, dnv
+
+    def self_mask(not_self, mask_i, mask_j):
+        """1 for genuine pairs: both real atoms, not the self slot."""
+        return mask_i * mask_j * not_self
+
+    # ---- sweep 1: Born integral -------------------------------------------
+    def born_kernel(xi_ref, xf_ref, rho_i_ref, mask_i_ref, sr_j_ref,
+                    mask_j_ref, oh_i_ref, oh_all_ref, d0c_ref, m0c_ref,
+                    I_ref):
+        _, _, _, r, not_self = pair_geometry(xi_ref, xf_ref)
+        one = self_mask(not_self, row(mask_i_ref), col(mask_j_ref))
+        inv_r = 1.0 / r
+        H, _ = hct_terms(r, inv_r, row(rho_i_ref), col(sr_j_ref))
+        I = 0.5 * jnp.sum(H * one, axis=1, keepdims=True)
+        if use_neck:
+            nv, _ = neck_tile(oh_i_ref, oh_all_ref, d0c_ref, m0c_ref, r)
+            I = I + jnp.sum(nv * one, axis=1, keepdims=True)
+        I_ref[...] = I
+
+    # ---- sweep 2: pair energy + dEdB pair sum -----------------------------
+    def energy_kernel(xi_ref, xf_ref, q_i_ref, q_j_ref, sig_i_ref,
+                      sig_j_ref, eps_i_ref, eps_j_ref, se_ref, sl_ref,
+                      B_i_ref, B_j_ref, mask_i_ref, mask_j_ref,
+                      e_ref, dEdB_ref):
+        _, _, _, r, not_self = pair_geometry(xi_ref, xf_ref)
+        one = self_mask(not_self, row(mask_i_ref), col(mask_j_ref))
+        inv_r = 1.0 / r
+        sig_ij = 0.5 * (row(sig_i_ref) + col(sig_j_ref))
+        eps_ij = jnp.sqrt(row(eps_i_ref) * col(eps_j_ref) + _EPS)
+        sr6 = (sig_ij * inv_r) ** 6
+        e_lj = 4.0 * eps_ij * (sr6 * sr6 - sr6) * sl_ref[...]
+        qq = row(q_i_ref) * col(q_j_ref)
+        e_el = ke * qq * inv_r * se_ref[...]
+        e_row = 0.5 * jnp.sum((e_lj + e_el) * one, axis=1, keepdims=True)
+        # (r is pushed to 1 nm at self/coincident slots, so e_lj is finite
+        # everywhere and the mask multiply above is NaN-safe)
+        if use_gb:
+            Bi = row(B_i_ref)
+            Bj = col(B_j_ref)
+            BB = Bi * Bj
+            expu = jnp.exp(-(r * r) / (4.0 * BB))
+            f2 = r * r + BB * expu
+            f = jnp.sqrt(f2)
+            inv_f = 1.0 / f
+            qq_gb = gb_pref * qq           # ordered-pair GB prefactor
+            # cross energy: sum over BOTH ordered directions = 2x unordered,
+            # and the 0.5 row factor restores per-ordered-pair counting
+            e_row = e_row + jnp.sum(qq_gb * inv_f * one, axis=1,
+                                    keepdims=True)
+            dEdf = -qq_gb * inv_f * inv_f * one
+            dfdBi = expu * (Bj + r * r / (4.0 * Bi)) * (0.5 * inv_f)
+            dEdB_ref[...] = jnp.sum(dEdf * dfdBi, axis=1, keepdims=True)
+        else:
+            dEdB_ref[...] = jnp.zeros_like(e_row)
+        e_ref[...] = e_row
+
+    # ---- sweep 3: forces ---------------------------------------------------
+    def force_kernel(xi_ref, xf_ref, q_i_ref, q_j_ref, sig_i_ref, sig_j_ref,
+                     eps_i_ref, eps_j_ref, se_ref, sl_ref, B_i_ref, B_j_ref,
+                     c_i_ref, c_j_ref, rho_i_ref, rho_j_ref, sr_i_ref,
+                     sr_j_ref, mask_i_ref, mask_j_ref, oh_i_ref, oh_all_ref,
+                     d0c_ref, m0c_ref, F_ref):
+        dd0, dd1, dd2, r, not_self = pair_geometry(xi_ref, xf_ref)
+        one = self_mask(not_self, row(mask_i_ref), col(mask_j_ref))
+        inv_r = 1.0 / r
+        inv_r2 = inv_r * inv_r
+        sig_ij = 0.5 * (row(sig_i_ref) + col(sig_j_ref))
+        eps_ij = jnp.sqrt(row(eps_i_ref) * col(eps_j_ref) + _EPS)
+        sr6 = (sig_ij * inv_r) ** 6
+        # d(LJ)/dr + d(Coulomb)/dr (full unordered pair)
+        W = (4.0 * eps_ij * (-12.0 * sr6 * sr6 + 6.0 * sr6) * inv_r
+             * sl_ref[...])
+        qq = row(q_i_ref) * col(q_j_ref)
+        W = W - ke * qq * inv_r2 * se_ref[...]
+        if use_gb:
+            Bi = row(B_i_ref)
+            Bj = col(B_j_ref)
+            BB = Bi * Bj
+            expu = jnp.exp(-(r * r) / (4.0 * BB))
+            f = jnp.sqrt(r * r + BB * expu)
+            inv_f = 1.0 / f
+            qq_gb = gb_pref * 2.0 * qq
+            dEdf = -qq_gb * inv_f * inv_f
+            dfdr = r * (1.0 - 0.25 * expu) * inv_f
+            W = W + dEdf * dfdr
+            # chain terms: c_i dI_i/dr_ij + c_j dI_j/dr_ji
+            _, dH_ij = hct_terms(r, inv_r, row(rho_i_ref), col(sr_j_ref))
+            _, dH_ji = hct_terms(r, inv_r, col(rho_j_ref), row(sr_i_ref))
+            dIdr_ij = 0.5 * dH_ij
+            dIdr_ji = 0.5 * dH_ji
+            if use_neck:
+                nv, dnv = neck_tile(oh_i_ref, oh_all_ref, d0c_ref, m0c_ref, r)
+                dIdr_ij = dIdr_ij + dnv   # neck symmetric in (i, j)
+                dIdr_ji = dIdr_ji + dnv
+            W = W + row(c_i_ref) * dIdr_ij + col(c_j_ref) * dIdr_ji
+        W = W * one * inv_r
+        f0 = -jnp.sum(W * dd0, axis=1, keepdims=True)
+        f1 = -jnp.sum(W * dd1, axis=1, keepdims=True)
+        f2_ = -jnp.sum(W * dd2, axis=1, keepdims=True)
+        F_ref[...] = jnp.concatenate([f0, f1, f2_], axis=1)
+
+    # --- pallas_call plumbing ----------------------------------------------
+    vmem = pltpu.VMEM
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
+    def row_spec(width):
+        return pl.BlockSpec((tile, width), (lambda i: (i, 0)),
+                            memory_space=vmem)
+
+    def bcast_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, (lambda *_: (0,) * nd), memory_space=vmem)
+
+    col_arrays = {
+        "q": q[None, :], "sig": sig[None, :], "eps": eps[None, :],
+        "rho": rho[None, :], "sr": sr[None, :], "mask": mask[None, :],
+    }
+    row_arrays = {k: v[0][:, None] for k, v in col_arrays.items()}
+    oh_rows = oh                               # (N, C)
+    oh_cols = oh.T.copy()                      # (C, N)
+
+    xf_np = None  # placeholder to emphasize x comes in at call time
+
+    def sweep1(xT, xf):
+        ins = [
+            jnp.asarray(xT), jnp.asarray(xf),
+            jnp.asarray(row_arrays["rho"]), jnp.asarray(row_arrays["mask"]),
+            jnp.asarray(col_arrays["sr"]), jnp.asarray(col_arrays["mask"]),
+            jnp.asarray(oh_rows), jnp.asarray(oh_cols),
+            jnp.asarray(D0c, jnp.float32), jnp.asarray(M0c, jnp.float32),
+        ]
+        specs = [
+            row_spec(3), bcast_spec((3, N)),
+            row_spec(1), row_spec(1),
+            bcast_spec((1, N)), bcast_spec((1, N)),
+            row_spec(C), bcast_spec((C, N)),
+            bcast_spec(D0c.shape), bcast_spec(M0c.shape),
+        ]
+        return pl.pallas_call(
+            born_kernel, grid=(GRID,), compiler_params=params,
+            out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            in_specs=specs, out_specs=row_spec(1), interpret=interpret,
+        )(*ins)
+
+    def sweep2(xT, xf, B):
+        ins = [
+            jnp.asarray(xT), jnp.asarray(xf),
+            jnp.asarray(row_arrays["q"]), jnp.asarray(col_arrays["q"]),
+            jnp.asarray(row_arrays["sig"]), jnp.asarray(col_arrays["sig"]),
+            jnp.asarray(row_arrays["eps"]), jnp.asarray(col_arrays["eps"]),
+            jnp.asarray(se_full), jnp.asarray(sl_full),
+            B[:, None], B[None, :],
+            jnp.asarray(row_arrays["mask"]), jnp.asarray(col_arrays["mask"]),
+        ]
+        specs = [
+            row_spec(3), bcast_spec((3, N)),
+            row_spec(1), bcast_spec((1, N)),
+            row_spec(1), bcast_spec((1, N)),
+            row_spec(1), bcast_spec((1, N)),
+            row_spec(N), row_spec(N),
+            row_spec(1), bcast_spec((1, N)),
+            row_spec(1), bcast_spec((1, N)),
+        ]
+        return pl.pallas_call(
+            energy_kernel, grid=(GRID,), compiler_params=params,
+            out_shape=(jax.ShapeDtypeStruct((N, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((N, 1), jnp.float32)),
+            in_specs=specs, out_specs=(row_spec(1), row_spec(1)),
+            interpret=interpret,
+        )(*ins)
+
+    def sweep3(xT, xf, B, c_chain):
+        ins = [
+            jnp.asarray(xT), jnp.asarray(xf),
+            jnp.asarray(row_arrays["q"]), jnp.asarray(col_arrays["q"]),
+            jnp.asarray(row_arrays["sig"]), jnp.asarray(col_arrays["sig"]),
+            jnp.asarray(row_arrays["eps"]), jnp.asarray(col_arrays["eps"]),
+            jnp.asarray(se_full), jnp.asarray(sl_full),
+            B[:, None], B[None, :],
+            c_chain[:, None], c_chain[None, :],
+            jnp.asarray(row_arrays["rho"]), jnp.asarray(col_arrays["rho"]),
+            jnp.asarray(row_arrays["sr"]), jnp.asarray(col_arrays["sr"]),
+            jnp.asarray(row_arrays["mask"]), jnp.asarray(col_arrays["mask"]),
+            jnp.asarray(oh_rows), jnp.asarray(oh_cols),
+            jnp.asarray(D0c, jnp.float32), jnp.asarray(M0c, jnp.float32),
+        ]
+        specs = [
+            row_spec(3), bcast_spec((3, N)),
+            row_spec(1), bcast_spec((1, N)),
+            row_spec(1), bcast_spec((1, N)),
+            row_spec(1), bcast_spec((1, N)),
+            row_spec(N), row_spec(N),
+            row_spec(1), bcast_spec((1, N)),
+            row_spec(1), bcast_spec((1, N)),
+            row_spec(1), bcast_spec((1, N)),
+            row_spec(1), bcast_spec((1, N)),
+            row_spec(1), bcast_spec((1, N)),
+            row_spec(C), bcast_spec((C, N)),
+            bcast_spec(D0c.shape), bcast_spec(M0c.shape),
+        ]
+        return pl.pallas_call(
+            force_kernel, grid=(GRID,), compiler_params=params,
+            out_shape=jax.ShapeDtypeStruct((N, 3), jnp.float32),
+            in_specs=specs, out_specs=row_spec(3), interpret=interpret,
+        )(*ins)
+
+    rho_j = jnp.asarray(rho)
+    radii_j = jnp.asarray(radii)
+    q_j = jnp.asarray(q)
+    sa_j = jnp.asarray(sa_coef)
+    ab_j, bb_j, gb_j = jnp.asarray(ab), jnp.asarray(bb), jnp.asarray(gb)
+    mask_j = jnp.asarray(mask)
+
+    from .forces import angle_energy, bond_energy, torsion_energy
+
+    def bonded_energy(x):
+        return (bond_energy(system, x) + angle_energy(system, x)
+                + torsion_energy(system, x))
+
+    @jax.jit
+    def force_fn(x):
+        xp = jnp.zeros((N, 3), jnp.float32).at[:n_real].set(
+            x.astype(jnp.float32))
+        xf = xp.T                                       # (3, N)
+        if use_gb:
+            I = sweep1(xp, xf)[:, 0]
+            psi = I * rho_j
+            g = ab_j * psi - bb_j * psi * psi + gb_j * psi**3
+            t = jnp.tanh(g)
+            inv_B = 1.0 / rho_j - t / radii_j
+            inv_B = jnp.maximum(inv_B, 1e-3)
+            B = 1.0 / inv_B
+            gprime = ab_j - 2.0 * bb_j * psi + 3.0 * gb_j * psi * psi
+            dB_dpsi = B * B * (1.0 - t * t) * gprime / radii_j
+        else:
+            B = jnp.ones((N,), jnp.float32)
+            dB_dpsi = jnp.zeros((N,), jnp.float32)
+        e_rows, dEdB_pair = sweep2(xp, xf, B)
+        e_pair = jnp.sum(e_rows)
+        if use_gb:
+            e_self = jnp.sum(gb_pref * q_j * q_j * (1.0 / B) * mask_j)
+            e_sa = jnp.sum(sa_j * (1.0 / B) ** 6 * mask_j)
+            dEdB = (
+                2.0 * dEdB_pair[:, 0]
+                - gb_pref * q_j * q_j / (B * B)
+                - 6.0 * sa_j / B**7
+            ) * mask_j
+            c_chain = dEdB * dB_dpsi * rho_j
+        else:
+            e_self = e_sa = jnp.zeros(())
+            c_chain = jnp.zeros((N,), jnp.float32)
+        F_pair = sweep3(xp, xf, B, c_chain)[:n_real]
+        e_b, g_b = jax.value_and_grad(bonded_energy)(x)
+        energy = e_pair + e_self + e_sa + e_b
+        return energy, F_pair - g_b
+
+    return force_fn
+
+
+__all__ = ["build_pair_force_fn"]
