@@ -114,9 +114,54 @@ def bench_msm() -> dict:
     }
 
 
+def bench_protein() -> dict:
+    """3gd8 (3,350 atoms) MD via the tiled pair kernel — the protein-scale
+    throughput story (skipped when the reference asset isn't mounted)."""
+    import os
+
+    pdb = "/root/reference/tests/_assets/3gd8.pdb"
+    if not os.path.exists(pdb):
+        return {}
+    import jax
+    import jax.numpy as jnp
+
+    from pmarlo_tpu.md.integrate import langevin_step, thermalize
+    from pmarlo_tpu.md.minimize import minimize_energy
+    from pmarlo_tpu.md.pallas_pair import build_pair_force_fn
+    from pmarlo_tpu.protein.protein import Protein
+
+    p = Protein(pdb, ph=7.0).prepare()
+    system, x0 = p.create_system()
+    fn = build_pair_force_fn(system, tile=256)
+    xmin, _ = minimize_energy(system, x0)
+    st = thermalize(system, xmin, jax.random.PRNGKey(0), 300.0)
+
+    def body(s, _):
+        s2, e = langevin_step(system, s, dt=0.002, friction=1.0,
+                              temperature_K=300.0, force_fn=fn)
+        return s2, e
+
+    @jax.jit
+    def run500(s):
+        return jax.lax.scan(body, s, None, length=500)
+
+    out = run500(st)
+    jax.block_until_ready(out[0].positions)  # compile
+    t0 = time.perf_counter()
+    out = run500(out[0])
+    jax.block_until_ready(out[0].positions)
+    wall = time.perf_counter() - t0
+    return {
+        "protein_n_atoms": system.n_atoms,
+        "protein_ns_per_day": 500 * DT_PS * 1e-3 / wall * 86_400.0,
+        "protein_ms_per_step": wall / 500 * 1e3,
+    }
+
+
 def main() -> None:
     remd = bench_remd()
     msm = bench_msm()
+    protein = bench_protein()
     value = remd["ns_per_day_aggregate"]
     out = {
         "metric": "REMD aggregate ns/day (alanine, 32 replicas, 2 fs)",
@@ -127,6 +172,7 @@ def main() -> None:
                                "measure via benchmark_openmm_baseline.py",
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in remd.items()},
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in msm.items()},
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in protein.items()},
     }
     print(json.dumps(out))
 

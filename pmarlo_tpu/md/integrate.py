@@ -172,6 +172,13 @@ def langevin_step(
     return new_state, energy
 
 
+#: jitted-scan cache for run_md: building the scan closures fresh on every
+#: call RETRACES AND RECOMPILES the whole program (an 80 s recompile per
+#: call for the tiled pair kernel masqueraded as 160 ms/step "steady
+#: state"). Keyed by the identities/statics that change the program.
+_RUN_MD_CACHE: dict = {}
+
+
 def run_md(
     system: System,
     state: MDState,
@@ -191,6 +198,10 @@ def run_md(
     ``report_interval`` steps, the outer scan emits one frame per chunk.
     Returns (final_state, report) where report has device arrays:
     positions (F, N, 3), potential_energy (F,), temperature (F,).
+
+    Repeat calls with the same ``force_fn`` object (or the same system
+    when force_fn is None) and the same statics reuse one compiled
+    executable; temperature rides as a traced argument.
     """
     if n_steps % report_interval != 0:
         raise ValueError(
@@ -201,26 +212,48 @@ def run_md(
     if force_fn is None:
         force_fn = make_force_fn(system, bias_fn, analytic=True)
 
-    def inner(carry, _):
-        new_state, energy = langevin_step(
-            system, carry, dt=dt, friction=friction,
-            temperature_K=temperature_K, force_fn=force_fn,
-            constraints=constraints,
-        )
-        return new_state, energy
+    key = (
+        id(system), id(force_fn), id(constraints),
+        n_steps, dt, friction, report_interval,
+    )
+    if key not in _RUN_MD_CACHE:
+        if len(_RUN_MD_CACHE) > 64:
+            _RUN_MD_CACHE.clear()
 
-    def outer(carry, _):
-        new_state, energies = jax.lax.scan(
-            inner, carry, None, length=report_interval
-        )
-        frame = {
-            "positions": new_state.positions,
-            "potential_energy": energies[-1],
-            "temperature": instantaneous_temperature(system, new_state.velocities),
-        }
-        return new_state, frame
+        def inner(carry, _):
+            st, temp = carry
+            new_state, energy = langevin_step(
+                system, st, dt=dt, friction=friction,
+                temperature_K=temp, force_fn=force_fn,
+                constraints=constraints,
+            )
+            return (new_state, temp), energy
 
-    final_state, frames = jax.lax.scan(outer, state, None, length=n_chunks)
+        def outer(carry, _):
+            (new_state, temp), energies = jax.lax.scan(
+                inner, carry, None, length=report_interval
+            )
+            frame = {
+                "positions": new_state.positions,
+                "potential_energy": energies[-1],
+                "temperature": instantaneous_temperature(
+                    system, new_state.velocities
+                ),
+            }
+            return (new_state, temp), frame
+
+        @jax.jit
+        def scan_fn(st, temp):
+            (final, _), frames = jax.lax.scan(
+                outer, (st, temp), None, length=n_chunks
+            )
+            return final, frames
+
+        _RUN_MD_CACHE[key] = scan_fn
+
+    final_state, frames = _RUN_MD_CACHE[key](
+        state, jnp.asarray(temperature_K, dtype=state.positions.dtype)
+    )
     return final_state, frames
 
 
