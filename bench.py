@@ -114,6 +114,42 @@ def bench_msm() -> dict:
     }
 
 
+def bench_max_replicas() -> dict:
+    """Chip-saturation probe: 256-replica fused chunks (no swaps) — the
+    aggregate-throughput ceiling on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.md.forcefield import build_system
+    from pmarlo_tpu.md.pallas_md import build_pallas_chunk
+    from pmarlo_tpu.md.topology import build_topology
+
+    topo = build_topology(alanine_dipeptide_structure())
+    system, pos = build_system(topo, gb_model="gbn2")
+    R = 256
+    try:
+        chunk = build_pallas_chunk(system, dt=DT_PS, friction=1.0,
+                                   n_steps=1000, n_replicas=R)
+        x = jnp.broadcast_to(pos[None], (R, system.n_atoms, 3)).astype(jnp.float32)
+        v = jnp.zeros_like(x)
+        seeds = jnp.arange(R, dtype=jnp.int32)
+        temps = jnp.linspace(300.0, 500.0, R, dtype=jnp.float32)
+        xo, vo, eo = chunk(x, v, seeds, temps)
+        jax.block_until_ready(xo)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            xo, vo, eo = chunk(xo, vo, seeds, temps)
+        jax.block_until_ready(xo)
+        wall = (time.perf_counter() - t0) / 5
+        return {
+            "max_aggregate_replicas": R,
+            "max_aggregate_ns_per_day": R * 1000 * DT_PS * 1e-3 / wall * 86_400.0,
+        }
+    except Exception:
+        return {}
+
+
 def bench_protein() -> dict:
     """3gd8 (3,350 atoms) MD via the tiled pair kernel — the protein-scale
     throughput story (skipped when the reference asset isn't mounted)."""
@@ -162,6 +198,7 @@ def main() -> None:
     remd = bench_remd()
     msm = bench_msm()
     protein = bench_protein()
+    maxrep = bench_max_replicas()
     value = remd["ns_per_day_aggregate"]
     out = {
         "metric": "REMD aggregate ns/day (alanine, 32 replicas, 2 fs)",
@@ -173,6 +210,7 @@ def main() -> None:
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in remd.items()},
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in msm.items()},
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in protein.items()},
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in maxrep.items()},
     }
     print(json.dumps(out))
 

@@ -957,7 +957,14 @@ def build_pallas_chunk(
     _VMEM_BYTES = 100 * 2**20
     if replica_block is None:
         if pack_pairs:
-            replica_block = Rtot  # tiny-N packed path: whole batch fits
+            # packed path: temporaries are (RB, N*N) lanes; ~40 live rows
+            pad_p = -(-(N * N) // 128) * 128
+            per_replica = 40 * pad_p * 4
+            budget = int(0.8 * _VMEM_BYTES) - 20 * 2**20
+            fit = max(int(budget // per_replica), 1)
+            replica_block = max(
+                d for d in range(1, Rtot + 1) if Rtot % d == 0 and d <= fit
+            )
         else:
             pad_s = -(-N // 8) * 8
             pad_l = -(-N // 128) * 128

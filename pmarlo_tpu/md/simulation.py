@@ -41,6 +41,7 @@ def run_segment(
     bias_fn: Optional[Callable] = None,
     implicit_solvent: bool = True,
     gb_model: str = "gbn2",
+    force_path: str = "auto",
 ) -> Dict:
     """Run one Langevin segment. Returns a dict with device-resident
     trajectory arrays and summary scalars.
@@ -49,11 +50,41 @@ def run_segment(
     step(n_steps) with frames every ``report_interval``
     (simulation/__init__.py:91-109). ``gb_model`` defaults to "gbn2" — the
     reference's amber14 + implicit/gbn2.xml (simulation/__init__.py:64-71).
+
+    ``force_path``: "dense" (O(N^2) XLA, exact and fastest for small N),
+    "pair_kernel" (tiled Pallas pair stage, md/pallas_pair.py — the
+    protein-scale TPU fast path), or "auto" (pair kernel on TPU past
+    ~600 atoms).
     """
     system, positions = build_system(
         pdb_file, implicit_solvent=implicit_solvent, gb_model=gb_model
     )
     key = jax.random.PRNGKey(seed)
+
+    if force_path == "auto":
+        force_path = (
+            "pair_kernel"
+            if system.n_atoms > 600 and jax.default_backend() == "tpu"
+            else "dense"
+        )
+    if force_path == "pair_kernel":
+        from .pallas_pair import build_pair_force_fn
+
+        # interpret mode lets the kernel run on non-TPU backends (tests)
+        base_fn = build_pair_force_fn(
+            system, interpret=jax.default_backend() != "tpu"
+        )
+        if bias_fn is not None:
+            def force_fn(x, _f=base_fn):
+                e, f = _f(x)
+                be, bg = jax.value_and_grad(bias_fn)(x)
+                return e + be, f - bg
+        else:
+            force_fn = base_fn
+    elif force_path == "dense":
+        force_fn = None  # run_md builds the analytic dense path
+    else:
+        raise ValueError(f"force_path must be auto|dense|pair_kernel, got {force_path!r}")
 
     x_min, e_min = minimize_energy(
         system, positions, max_iterations=minimize_iterations, bias_fn=bias_fn
@@ -69,6 +100,7 @@ def run_segment(
         temperature_K=temperature_K,
         report_interval=report_interval,
         bias_fn=bias_fn,
+        force_fn=force_fn,
     )
 
     result = {
