@@ -79,7 +79,7 @@ def main():
     )
     ref_hist = mb.hist2d(ref)
 
-    out_dir = Path("outputs/adaptive_retraining")
+    out_dir = Path(__file__).parent / "outputs" / "adaptive_retraining"
     out_dir.mkdir(parents=True, exist_ok=True)
     rows = []
     for window in ("all", "window", "last"):

@@ -217,7 +217,11 @@ def main(n_rounds=4, seg_steps=None, kT=15.0, quick=False):
         },
     )
     print(json.dumps(kpis, indent=2))
-    with open("muller_brown_active_bias_kpis.json", "w") as fh:
+    from pathlib import Path
+
+    out_dir = Path(__file__).parent / "outputs" / "muller_brown_active_bias"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with (out_dir / "muller_brown_active_bias_kpis.json").open("w") as fh:
         json.dump(kpis, fh, indent=2)
     return kpis
 

@@ -34,7 +34,7 @@ from pmarlo_tpu.utils.profiling import StageTimer
 from pmarlo_tpu.workflow import Pipeline
 
 QUICK = "--quick" in sys.argv
-OUT = Path("outputs/chignolin_workflow")
+OUT = Path(__file__).parent / "outputs" / "chignolin_workflow"
 N_REPLICAS = 4 if QUICK else 16
 SEED_STEPS = 2_000 if QUICK else 50_000
 BIAS_STEPS = 2_000 if QUICK else 50_000
