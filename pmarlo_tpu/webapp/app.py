@@ -57,11 +57,19 @@ class RunArtifacts:
         if its_d is not None:
             from ..msm.its import ITSResult
 
+            def _f64(v):
+                # JSON writers sanitize NaN to null; object arrays break
+                # the isfinite masking downstream
+                arr = np.asarray(v, dtype=object)
+                return np.where(
+                    np.equal(arr, None), np.nan, arr
+                ).astype(np.float64)
+
             art.its = ITSResult(
-                lags=np.asarray(its_d["lags"]),
-                timescales=np.asarray(its_d["timescales"]),
-                ci_lower=np.asarray(its_d["ci_lower"]),
-                ci_upper=np.asarray(its_d["ci_upper"]),
+                lags=_f64(its_d["lags"]),
+                timescales=_f64(its_d["timescales"]),
+                ci_lower=_f64(its_d["ci_lower"]),
+                ci_upper=_f64(its_d["ci_upper"]),
                 n_samples=int(its_d.get("n_samples", 0)),
                 plateau_lag=its_d.get("plateau_lag"),
                 dt=float(its_d.get("dt", 1.0)),
