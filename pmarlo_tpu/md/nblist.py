@@ -41,7 +41,7 @@ and recomputes pair quantities instead of gathering.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -284,7 +284,7 @@ def run_md_nb(
     ``rebuild_interval`` steps; the inner scan advances Langevin steps
     against the frozen list. Returns (final_state, frames) like run_md.
     """
-    from .integrate import MDState, instantaneous_temperature, langevin_step
+    from .integrate import instantaneous_temperature, langevin_step
 
     if report_interval % rebuild_interval != 0:
         raise ValueError("rebuild_interval must divide report_interval")
