@@ -160,12 +160,19 @@ class ReplicaExchange:
         mesh: Optional[jax.sharding.Mesh] = None,
         use_pallas: bool = False,
         pallas_bias: Optional[Dict] = None,
+        force_fn: Optional[Callable] = None,
     ):
         """``pallas_bias`` runs a DeepTICA harmonic-expansion CV bias INSIDE
         the fused kernel: {"model": DeepTICAModel (tanh MLP on cos/sin
         dihedral features), "quads": (M, 4) dihedral atom indices,
         "strength": float}. For arbitrary python bias functions use the XLA
-        path (``bias_fn``)."""
+        path (``bias_fn``).
+
+        ``force_fn`` overrides the per-replica force evaluation
+        (``fn(x (N,3)) -> (energy, forces)``): pass
+        ``md.pallas_pair.build_pair_force_fn(system)`` to run
+        protein-scale REMD — the tiled kernel batches over replicas via
+        the pallas vmap rule."""
         self.system = system
         self.config = config
         self.bias_fn = bias_fn
@@ -174,7 +181,9 @@ class ReplicaExchange:
         self.n_replicas = int(self.ladder.shape[0])
         from ..md.integrate import make_force_fn
 
-        self._force_fn = make_force_fn(system, bias_fn, analytic=True)
+        if force_fn is not None and use_pallas:
+            raise ValueError("force_fn override and use_pallas are exclusive")
+        self._force_fn = force_fn or make_force_fn(system, bias_fn, analytic=True)
         self._jit_cache: Dict = {}
         if use_pallas and bias_fn is not None:
             raise ValueError(

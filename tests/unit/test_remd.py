@@ -186,3 +186,29 @@ def test_replica_trajectory_exact_mapping():
     expected_rung = [0, 0, 0, 1, 1, 1, 1]
     for f, rr in enumerate(expected_rung):
         assert walker0[f, 0, 0] == 10 * f + rr
+
+
+def test_remd_custom_force_fn(alanine_system_module):
+    """force_fn override drives the replica dynamics (protein-scale REMD
+    path: md.pallas_pair.build_pair_force_fn batches via the pallas vmap
+    rule; here a wrapped dense fn proves the override is actually used)."""
+    from pmarlo_tpu.md.integrate import make_force_fn
+
+    system, positions, _ = alanine_system_module
+    base = make_force_fn(system, None, analytic=True)
+    calls = {"n": 0}
+
+    def counting_fn(x):
+        calls["n"] += 1  # counted at trace time (once per jit)
+        return base(x)
+
+    cfg = RemdConfig(n_replicas=4, t_min=300, t_max=500,
+                     exchange_frequency=50, report_interval=50, seed=3)
+    remd = ReplicaExchange(system, positions, cfg, force_fn=counting_fn,
+                           minimize=False)
+    res = remd.run(n_steps=200)
+    assert calls["n"] > 0, "custom force_fn was never traced"
+    assert np.isfinite(res.positions).all()
+    with pytest.raises(ValueError, match="exclusive"):
+        ReplicaExchange(system, positions, cfg, force_fn=counting_fn,
+                        use_pallas=True)
