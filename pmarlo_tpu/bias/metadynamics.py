@@ -125,12 +125,10 @@ class MetadynamicsBias:
         """Replace hill centers (heights/count preserved) — the anchor-based
         reprojection path: centers recomputed as new_cv(deposit anchors)."""
         new_centers = jnp.asarray(new_centers)
-        if new_centers.shape != state.centers.shape[:new_centers.ndim] and (
-            new_centers.shape[0] != state.centers.shape[0]
-        ):
+        if new_centers.shape != state.centers.shape:
             raise ValueError(
-                f"need centers for all {state.centers.shape[0]} ledger slots, "
-                f"got {new_centers.shape}"
+                f"need centers of shape {state.centers.shape} "
+                f"(all ledger slots), got {new_centers.shape}"
             )
         return MetaDState(
             centers=new_centers.astype(state.centers.dtype),

@@ -13,6 +13,15 @@ from .forces import potential_energy, compute_forces
 from .integrate import MDState, langevin_step, run_md, thermalize
 from .minimize import minimize_energy
 
+
+def build_pair_force_fn(*args, **kwargs):
+    """Lazy re-export of md.pallas_pair.build_pair_force_fn (the
+    protein-scale tiled-kernel force path)."""
+    from .pallas_pair import build_pair_force_fn as _fn
+
+    return _fn(*args, **kwargs)
+
+
 __all__ = [
     "System",
     "build_system",
@@ -23,4 +32,5 @@ __all__ = [
     "run_md",
     "thermalize",
     "minimize_energy",
+    "build_pair_force_fn",
 ]

@@ -148,7 +148,7 @@ def born_radii(system: System, positions: jax.Array) -> jax.Array:
         from .gbn2 import neck_value_and_derivative
 
         nv, _ = neck_value_and_derivative(
-            r, system.gb_neck_d0, system.gb_neck_m0, np_mod=jnp
+            r, system.gb_neck_d0, system.gb_neck_m0
         )
         diag = 1.0 - jnp.eye(n, dtype=positions.dtype)
         I = I + system.gb_neck_scale * jnp.sum(nv * diag, axis=1)

@@ -232,7 +232,7 @@ def lookup_neck(rho_i: np.ndarray, rho_j: np.ndarray) -> Tuple[np.ndarray, np.nd
     return bilerp(D0), bilerp(M0)
 
 
-def neck_value_and_derivative(r, d0, m0, np_mod=np):
+def neck_value_and_derivative(r, d0, m0):
     """I_neck(r) and dI_neck/dr for the fitted functional form."""
     u = r - d0
     denom = 1.0 + 100.0 * u * u + 0.3e6 * u ** 6
