@@ -138,6 +138,9 @@ _ANGLE_LIST: List[Tuple[Tuple[str, str, str], Tuple[float, float]]] = [
     (("O2", "C", "O2"), (80.0, 126.00)), (("CT", "C", "O2"), (70.0, 117.00)),
     (("CT", "CT", "OH"), (50.0, 109.50)), (("H1", "CT", "OH"), (50.0, 109.50)),
     (("CT", "OH", "HO"), (55.0, 108.50)),
+    # carboxylic acid (protonated ASP/GLU: ASH/GLH templates)
+    (("CT", "C", "OH"), (70.0, 117.00)), (("O", "C", "OH"), (80.0, 120.00)),
+    (("C", "OH", "HO"), (50.0, 113.00)),
     (("CA", "CA", "CA"), (63.0, 120.00)), (("CA", "CA", "HA"), (50.0, 120.00)),
     (("CA", "CA", "CT"), (70.0, 120.00)), (("CA", "CT", "CT"), (63.0, 114.00)),
     (("CA", "CT", "HC"), (50.0, 109.50)),

@@ -155,3 +155,22 @@ def test_structural_descriptors_alanine():
     assert d["tpsa"] == pytest.approx(2 * 12.03 + 2 * 17.07, abs=0.01)
     # GRAVY of a single ALA
     assert d["gravy"] == pytest.approx(1.8)
+
+
+@pytest.mark.slow
+def test_3gd8_extreme_ph_builds():
+    """Protonation variants must have complete force-field coverage:
+    pH 3 exercises ASH/GLH/HIP (carboxylic-acid angles), pH 12 LYN."""
+    import os
+
+    if not os.path.exists(REF_3GD8):
+        pytest.skip("reference asset not mounted")
+    from pmarlo_tpu.md.forces import potential_energy
+    from pmarlo_tpu.protein.protein import Protein
+
+    for ph, expected in ((3.0, {"ASH", "GLH", "HIP"}), (12.0, {"LYN"})):
+        p = Protein(REF_3GD8, ph=ph).prepare()
+        present = set(p.topology.residue_sequence)
+        assert expected <= present, (ph, expected - present)
+        system, x = p.create_system()
+        assert np.isfinite(float(potential_energy(system, x)))
