@@ -57,6 +57,14 @@ def main(argv=None) -> int:
     remd.add_argument("--tmin", type=float, default=300.0)
     remd.add_argument("--tmax", type=float, default=450.0)
 
+    dash = sub.add_parser(
+        "dashboard", help="serve the analysis dashboard for a run directory"
+    )
+    dash.add_argument("run_dir")
+    dash.add_argument("--port", type=int, default=8501)
+    dash.add_argument("--export", metavar="OUT_HTML",
+                      help="write static HTML instead of serving")
+
     args = parser.parse_args(argv)
     if args.command == "info" or args.command is None:
         print(json.dumps(get_info(), indent=2))
@@ -83,6 +91,14 @@ def main(argv=None) -> int:
             "frames": list(result.positions.shape),
             "mean_acceptance": result.mean_acceptance,
         }))
+        return 0
+    if args.command == "dashboard":
+        from pmarlo_tpu.webapp import export_static, serve
+
+        if args.export:
+            print(f"wrote {export_static(args.run_dir, args.export)}")
+        else:
+            serve(args.run_dir, port=args.port)
         return 0
     parser.print_help()
     return 1

@@ -333,8 +333,6 @@ def build_pair_force_fn(
     oh_rows = oh                               # (N, C)
     oh_cols = oh.T.copy()                      # (C, N)
 
-    xf_np = None  # placeholder to emphasize x comes in at call time
-
     def sweep1(xT, xf):
         ins = [
             jnp.asarray(xT), jnp.asarray(xf),

@@ -215,6 +215,8 @@ def serve(run_dir: "str | Path", port: int = 8501, open_browser: bool = False):
     import http.server
 
     run_dir = Path(run_dir)
+    if not run_dir.is_dir():
+        raise FileNotFoundError(f"run directory not found: {run_dir}")
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (stdlib API)
