@@ -22,3 +22,20 @@ __all__ = [
     "select_shard_paths",
     "shard_id",
 ]
+
+
+def __getattr__(name):
+    # format codecs resolve lazily so importing pmarlo_tpu.io never compiles
+    if name in {"write_xtc", "read_xtc", "probe_xtc"}:
+        from . import xtc
+
+        return getattr(xtc, name)
+    if name in {"write_trr", "read_trr", "probe_trr"}:
+        from . import trr
+
+        return getattr(trr, name)
+    if name in {"write_dcd", "read_dcd", "probe_dcd"}:
+        from . import dcd
+
+        return getattr(dcd, name)
+    raise AttributeError(name)

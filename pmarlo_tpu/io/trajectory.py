@@ -90,8 +90,9 @@ class TrajectoryWriter:
 
 @dataclasses.dataclass
 class TrajectoryReader:
-    """Reader over npz (native) and DCD trajectories, selected by extension
-    (the backend-registry role of reference io/trajectory_reader.py:128)."""
+    """Reader over npz (native), DCD, XTC, and TRR trajectories, selected by
+    extension (the backend-registry role of reference
+    io/trajectory_reader.py:128,187 — same extension set minus .nc)."""
 
     path: Path
 
@@ -99,19 +100,29 @@ class TrajectoryReader:
         self.path = Path(self.path)
         if not self.path.exists():
             raise FileNotFoundError(self.path)
-        self._is_dcd = self.path.suffix.lower() == ".dcd"
+        self._fmt = {
+            ".dcd": "dcd", ".xtc": "xtc", ".trr": "trr"
+        }.get(self.path.suffix.lower(), "npz")
 
     def load(self) -> np.ndarray:
-        if self._is_dcd:
+        if self._fmt == "dcd":
             from .dcd import read_dcd
 
             return read_dcd(self.path)
+        if self._fmt == "xtc":
+            from .xtc import read_xtc
+
+            return read_xtc(self.path)
+        if self._fmt == "trr":
+            from .trr import read_trr
+
+            return read_trr(self.path)
         with np.load(self.path) as data:
             return np.asarray(data["coordinates"])
 
     def metadata(self) -> Dict:
-        if self._is_dcd:
-            return {"format": "dcd"}
+        if self._fmt != "npz":
+            return {"format": self._fmt}
         with np.load(self.path) as data:
             if "metadata" in data:
                 return json.loads(str(data["metadata"]))
@@ -120,10 +131,18 @@ class TrajectoryReader:
     def probe_length(self) -> int:
         """Frame count without materializing coordinates
         (reference io/trajectory_reader.py:269)."""
-        if self._is_dcd:
+        if self._fmt == "dcd":
             from .dcd import probe_dcd
 
             return probe_dcd(self.path)[0]
+        if self._fmt == "xtc":
+            from .xtc import probe_xtc
+
+            return probe_xtc(self.path)[0]
+        if self._fmt == "trr":
+            from .trr import probe_trr
+
+            return probe_trr(self.path)[0]
         with np.load(self.path) as data:
             return int(data["coordinates"].shape[0])
 
@@ -191,18 +210,71 @@ class DCDTrajectoryWriter:
         self.close()
 
 
+@dataclasses.dataclass
+class XTCTrajectoryWriter:
+    """Buffered XTC writer (native C++ codec via io.xtc)."""
+
+    path: Path
+    metadata: Dict = dataclasses.field(default_factory=dict)
+    _frames: list = dataclasses.field(default_factory=list)
+    _closed: bool = False
+
+    def __post_init__(self):
+        self.path = Path(self.path)
+
+    def write_frames(self, frames: np.ndarray) -> None:
+        if self._closed:
+            raise RuntimeError("writer already closed")
+        frames = np.asarray(frames, dtype=np.float32)
+        if frames.ndim == 2:
+            frames = frames[None]
+        self._frames.append(frames)
+
+    def close(self) -> Path:
+        if self._closed:
+            return self.path
+        from .xtc import write_xtc
+
+        coords = (
+            np.concatenate(self._frames, axis=0)
+            if self._frames else np.zeros((0, 0, 3), np.float32)
+        )
+        dt = float(self.metadata.get("dt_ps", 0.002))
+        interval = int(self.metadata.get("report_interval", 1))
+        T = coords.shape[0]
+        write_xtc(
+            self.path, coords,
+            steps=np.arange(T, dtype=np.int32) * interval,
+            times_ps=np.arange(T, dtype=np.float32) * (dt * interval),
+        )
+        self._frames = []
+        self._closed = True
+        return self.path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def get_writer(path: "str | Path", metadata: Optional[Dict] = None):
-    """Writer dispatch by extension: .dcd -> native DCD codec, else npz
-    (the backend-registry role of reference io/trajectory_writer.py:123)."""
+    """Writer dispatch by extension: .dcd -> native DCD codec, .xtc -> native
+    XTC codec, else npz (the backend-registry role of reference
+    io/trajectory_writer.py:123)."""
     path = Path(path)
     if path.suffix.lower() == ".dcd":
         return DCDTrajectoryWriter(path, metadata=metadata or {})
+    if path.suffix.lower() == ".xtc":
+        return XTCTrajectoryWriter(path, metadata=metadata or {})
     return TrajectoryWriter(path, metadata=metadata or {})
 
 
 __all__ = [
     "TrajectoryWriter",
     "TrajectoryReader",
+    "DCDTrajectoryWriter",
+    "XTCTrajectoryWriter",
     "iterload",
     "get_reader",
     "get_writer",
