@@ -38,4 +38,8 @@ def __getattr__(name):
         from . import dcd
 
         return getattr(dcd, name)
+    if name in {"write_netcdf", "read_netcdf", "probe_netcdf"}:
+        from . import netcdf
+
+        return getattr(netcdf, name)
     raise AttributeError(name)

@@ -90,9 +90,10 @@ class TrajectoryWriter:
 
 @dataclasses.dataclass
 class TrajectoryReader:
-    """Reader over npz (native), DCD, XTC, and TRR trajectories, selected by
-    extension (the backend-registry role of reference
-    io/trajectory_reader.py:128,187 — same extension set minus .nc)."""
+    """Reader over npz (native), DCD, XTC, TRR, and Amber NetCDF
+    trajectories, selected by extension (the backend-registry role of
+    reference io/trajectory_reader.py:128 — the full extension set of
+    reference :187)."""
 
     path: Path
 
@@ -101,7 +102,7 @@ class TrajectoryReader:
         if not self.path.exists():
             raise FileNotFoundError(self.path)
         self._fmt = {
-            ".dcd": "dcd", ".xtc": "xtc", ".trr": "trr"
+            ".dcd": "dcd", ".xtc": "xtc", ".trr": "trr", ".nc": "nc"
         }.get(self.path.suffix.lower(), "npz")
 
     def load(self) -> np.ndarray:
@@ -117,6 +118,10 @@ class TrajectoryReader:
             from .trr import read_trr
 
             return read_trr(self.path)
+        if self._fmt == "nc":
+            from .netcdf import read_netcdf
+
+            return read_netcdf(self.path)
         with np.load(self.path) as data:
             return np.asarray(data["coordinates"])
 
@@ -143,6 +148,10 @@ class TrajectoryReader:
             from .trr import probe_trr
 
             return probe_trr(self.path)[0]
+        if self._fmt == "nc":
+            from .netcdf import probe_netcdf
+
+            return probe_netcdf(self.path)[0]
         with np.load(self.path) as data:
             return int(data["coordinates"].shape[0])
 
