@@ -373,12 +373,33 @@ class EnhancedMSM:
 
     # --- plots ------------------------------------------------------------------
 
-    def plot_free_energy_surface(self, path: Optional["str | Path"] = None):
+    def plot_free_energy_surface(
+        self, path: Optional["str | Path"] = None, *, interactive: bool = False
+    ):
+        """Static PNG by default; ``interactive=True`` writes a
+        self-contained HTML page with hover F(cv1, cv2) readout (the
+        reference's plotly mode, _plots.py:31,45)."""
+        if interactive:
+            from ..visualization.interactive import fes_html
+
+            return fes_html(
+                self.fes,
+                path or (self.output_dir / "fes.html" if self.output_dir else None),
+            )
         from ..visualization.plots import plot_fes
 
         return plot_fes(self.fes, path or (self.output_dir / "fes.png" if self.output_dir else None))
 
-    def plot_implied_timescales(self, path: Optional["str | Path"] = None):
+    def plot_implied_timescales(
+        self, path: Optional["str | Path"] = None, *, interactive: bool = False
+    ):
+        if interactive:
+            from ..visualization.interactive import its_html
+
+            return its_html(
+                self.its,
+                path or (self.output_dir / "its.html" if self.output_dir else None),
+            )
         from ..visualization.plots import plot_its
 
         return plot_its(self.its, path or (self.output_dir / "its.png" if self.output_dir else None))

@@ -1,6 +1,9 @@
-"""Matplotlib visualization (reference: src/pmarlo/visualization/,
-markov_state_model/_plots.py, _tpt_viz.py, conformations/visualizations.py)."""
+"""Visualization: matplotlib statics + first-party interactive HTML
+(reference: src/pmarlo/visualization/, markov_state_model/_plots.py
+incl. its plotly interactive mode, _tpt_viz.py,
+conformations/visualizations.py)."""
 
+from .interactive import fes_html, its_html, lines_html
 from .plots import (
     plot_fes,
     plot_its,
@@ -14,6 +17,9 @@ from .plots import (
 )
 
 __all__ = [
+    "fes_html",
+    "its_html",
+    "lines_html",
     "plot_fes",
     "plot_its",
     "plot_ck",
