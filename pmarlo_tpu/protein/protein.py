@@ -123,15 +123,19 @@ class Protein:
         remove_heterogens: bool = True,
         keep_waters: bool = False,
         model: int = 1,
+        add_missing_atoms: bool = True,
         add_missing_hydrogens: bool = True,
         his_variant: str = "HIE",
     ) -> "Protein":
-        """Load + clean + protonate + template-match (reference :288).
+        """Load + clean + repair + protonate + template-match
+        (reference :288).
 
-        ``add_missing_hydrogens`` reconstructs template hydrogens (and
-        C-terminal OXT) geometrically and picks protonation variants for
-        ``self.ph`` (reference protein.py:334-373). Missing HEAVY atoms
-        raise TopologyError — no silent side-chain reconstruction.
+        ``add_missing_atoms`` rebuilds missing heavy atoms from force-field
+        equilibrium geometry (the PDBFixer findMissingAtoms/addMissingAtoms
+        role, reference protein.py:334-373); ``add_missing_hydrogens``
+        reconstructs template hydrogens (and C-terminal OXT) geometrically
+        and picks protonation variants for ``self.ph``. With repair
+        disabled, missing heavy atoms raise TopologyError.
         """
         if isinstance(self.source, PDBStructure):
             structure = self.source
@@ -151,6 +155,10 @@ class Protein:
             )
         if not structure.residues:
             raise TopologyError("no protein residues after cleanup")
+        if add_missing_atoms:
+            from .repair import repair_missing_atoms
+
+            structure = repair_missing_atoms(structure)
         if add_missing_hydrogens:
             from .hydrogens import add_hydrogens
 
