@@ -130,8 +130,15 @@ def write_pdb(
     residue_ids: Sequence[int],
     elements: Optional[Sequence[str]] = None,
     chain: str = "A",
+    chains: Optional[Sequence[str]] = None,
+    box: Optional[Sequence[float]] = None,
 ) -> Path:
-    """Write one model. ``coordinates`` (N, 3) in nm."""
+    """Write one model. ``coordinates`` (N, 3) in nm.
+
+    ``chains`` (per-atom) overrides the single ``chain``; ``box`` (nm, 3
+    lengths) emits an orthorhombic CRYST1 record (solvated exports).
+    Serials and resids wrap at their PDB field widths (100000 / 10000),
+    the standard convention for large solvated systems."""
     path = Path(path)
     coords = np.asarray(coordinates, dtype=np.float64) * 10.0  # nm -> A
     if coords.ndim != 2 or coords.shape[1] != 3:
@@ -142,12 +149,20 @@ def write_pdb(
     if elements is None:
         elements = [_guess_element(a, "") for a in atom_names]
     lines = []
+    if box is not None:
+        a, b, c = (float(x) * 10.0 for x in box)  # nm -> A
+        lines.append(
+            f"CRYST1{a:9.3f}{b:9.3f}{c:9.3f}"
+            f"{90.0:7.2f}{90.0:7.2f}{90.0:7.2f} P 1           1"
+        )
     for i in range(n):
         name = atom_names[i]
         pdb_name = f" {name:<3s}" if len(name) < 4 else f"{name:<4s}"
+        ch = (chains[i] if chains is not None else chain)[:1]
         lines.append(
-            f"ATOM  {i + 1:>5d} {pdb_name}"
-            f"{'':1s}{residue_names[i]:>3s} {chain}{residue_ids[i]:>4d}    "
+            f"ATOM  {(i + 1) % 100000:>5d} {pdb_name}"
+            f"{'':1s}{residue_names[i]:>3s} {ch}"
+            f"{residue_ids[i] % 10000:>4d}    "
             f"{coords[i, 0]:8.3f}{coords[i, 1]:8.3f}{coords[i, 2]:8.3f}"
             f"{1.00:6.2f}{0.00:6.2f}          {elements[i]:>2s}"
         )

@@ -115,6 +115,7 @@ class Protein:
     ph: float = 7.0
     structure: Optional[PDBStructure] = None
     topology: Optional[Topology] = None
+    box: Optional[Tuple[float, float, float]] = None  # nm, set by solvate
     _prepared: bool = False
 
     def prepare(
@@ -123,24 +124,39 @@ class Protein:
         remove_heterogens: bool = True,
         keep_waters: bool = False,
         model: int = 1,
+        replace_nonstandard_residues: bool = True,
         add_missing_atoms: bool = True,
         add_missing_hydrogens: bool = True,
         his_variant: str = "HIE",
+        solvate: bool = False,
+        solvent_padding: float = 1.0,
     ) -> "Protein":
         """Load + clean + repair + protonate + template-match
         (reference :288).
 
+        ``replace_nonstandard_residues`` maps modified residues to their
+        standard parents (PDBFixer findNonstandardResidues/
+        replaceNonstandardResidues, reference protein.py:345-348);
         ``add_missing_atoms`` rebuilds missing heavy atoms from force-field
         equilibrium geometry (the PDBFixer findMissingAtoms/addMissingAtoms
         role, reference protein.py:334-373); ``add_missing_hydrogens``
         reconstructs template hydrogens (and C-terminal OXT) geometrically
         and picks protonation variants for ``self.ph``. With repair
         disabled, missing heavy atoms raise TopologyError.
+        ``solvate`` adds a TIP3P water box with ``solvent_padding`` nm of
+        padding plus neutralizing ions when no waters are present
+        (reference :366-372 via PDBFixer.addSolvent); the box lengths are
+        recorded in ``self.box``. Waters never enter the implicit-solvent
+        MD topology.
         """
         if isinstance(self.source, PDBStructure):
             structure = self.source
         else:
             structure = read_pdb(self.source, model=model)
+        if replace_nonstandard_residues:
+            from .nonstandard import replace_nonstandard
+
+            structure = replace_nonstandard(structure)
         if remove_heterogens:
             from ..md.residues import TEMPLATES
 
@@ -165,8 +181,18 @@ class Protein:
             structure = add_hydrogens(
                 structure, ph=self.ph, his_variant=his_variant
             )
+        if solvate and not any(
+            r.name in _WATER_NAMES for r in structure.residues
+        ):
+            from .solvate import solvate_structure
+
+            structure, self.box = solvate_structure(
+                structure, padding=solvent_padding
+            )
         self.structure = structure
-        self.topology = build_topology(structure, keep_waters=keep_waters)
+        # the MD topology is always protein-only: waters/ions are
+        # structure-level artifacts (the engine is implicit-solvent)
+        self.topology = build_topology(structure, keep_waters=False)
         self._prepared = True
         return self
 
@@ -246,6 +272,23 @@ class Protein:
             self.topology.residue_names,
             self.topology.residue_ids,
             elements=self.topology.elements,
+        )
+
+    def save_structure(self, path: "str | Path") -> Path:
+        """Write the FULL prepared structure, waters and ions included
+        (the solvated-export counterpart of save_prepared; emits a
+        CRYST1 record when prepare(solvate=True) set a box)."""
+        self._require_prepared()
+        atoms = [a for r in self.structure.residues for a in r.atoms]
+        return write_pdb(
+            path,
+            np.asarray([a.xyz for a in atoms]),
+            [a.name for a in atoms],
+            [a.resname for a in atoms],
+            [a.resid for a in atoms],
+            elements=[a.element for a in atoms],
+            chains=[a.chain or "A" for a in atoms],
+            box=self.box,
         )
 
 
