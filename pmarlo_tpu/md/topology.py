@@ -127,10 +127,38 @@ def build_topology(
     if not residues:
         raise TopologyError("structure contains no matchable residues")
 
-    # chain boundaries
-    chains: Dict[str, List[int]] = {}
+    # chain boundaries; chains split into segments at broken peptide
+    # bonds (C->N distance beyond 2.4 A, vs the 1.33 A equilibrium) so a
+    # crystal-structure gap is never bonded across (each fragment gets
+    # its own head/tail treatment)
+    raw_chains: Dict[str, List[int]] = {}
     for idx, r in enumerate(residues):
-        chains.setdefault(r.chain, []).append(idx)
+        raw_chains.setdefault(r.chain, []).append(idx)
+
+    def _atom_pos(res, name):
+        for a in res.atoms:
+            if normalize_atom_name(a.name) == name:
+                return np.asarray(a.xyz)
+        return None
+
+    chains: Dict[str, List[int]] = {}
+    for cid, idxs in raw_chains.items():
+        seg = 0
+        current: List[int] = [idxs[0]]
+        for prev, nxt in zip(idxs[:-1], idxs[1:]):
+            c = _atom_pos(residues[prev], "C")
+            n = _atom_pos(residues[nxt], "N")
+            broken = (
+                c is not None and n is not None
+                and float(np.linalg.norm(c - n)) > 0.24
+            )
+            if broken:
+                chains[f"{cid}#{seg}"] = current
+                seg += 1
+                current = [nxt]
+            else:
+                current.append(nxt)
+        chains[f"{cid}#{seg}" if seg else cid] = current
 
     atom_names: List[str] = []
     atom_types: List[str] = []
@@ -146,8 +174,13 @@ def build_topology(
     # map (res index in `residues`, template atom name) -> global index
     head_tail: List[Tuple[Optional[int], Optional[int]]] = []
 
+    segment_of: Dict[int, List[int]] = {}
+    for seg_ids in chains.values():
+        for idx in seg_ids:
+            segment_of[idx] = seg_ids
+
     for ridx, res in enumerate(residues):
-        chain_ids = chains[res.chain]
+        chain_ids = segment_of[ridx]
         is_first = ridx == chain_ids[0]
         is_last = ridx == chain_ids[-1]
         present = {normalize_atom_name(a.name): a for a in res.atoms}

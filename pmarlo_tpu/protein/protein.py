@@ -194,6 +194,15 @@ class Protein:
         # structure-level artifacts (the engine is implicit-solvent)
         self.topology = build_topology(structure, keep_waters=False)
         self._prepared = True
+        gaps = self.find_missing_residues()
+        if gaps:
+            import logging
+
+            logging.getLogger("pmarlo_tpu").warning(
+                "chain gaps detected (topology split into fragments, "
+                "loop modeling not performed): %s",
+                {f"{c}:{a}-{b}": n for (c, a, b), n in gaps.items()},
+            )
         return self
 
     def _require_prepared(self):
@@ -261,6 +270,36 @@ class Protein:
             implicit_solvent=implicit_solvent,
             gb_model=gb_model,
         )
+
+    def find_missing_residues(self) -> Dict[Tuple[str, int, int], int]:
+        """Chain gaps: (chain, resid before, resid after) -> estimated
+        number of absent residues (PDBFixer findMissingResidues surface,
+        reference protein.py:354-356).
+
+        Detection combines residue numbering discontinuities with broken
+        peptide geometry (C->N beyond 2.4 A). Unlike PDBFixer (which
+        rebuilds gap residues from SEQRES), gaps here are REPORTED and
+        the topology splits into fragments at each break — a documented
+        deviation; loop modeling is out of scope."""
+        self._require_prepared()
+        gaps: Dict[Tuple[str, int, int], int] = {}
+        by_chain: Dict[str, List] = {}
+        for r in self.structure.residues:
+            if r.name in _WATER_NAMES or r.name in ("NA", "CL"):
+                continue
+            by_chain.setdefault(r.chain, []).append(r)
+        for chain, residues in by_chain.items():
+            for prev, nxt in zip(residues, residues[1:]):
+                c = next((np.asarray(a.xyz) for a in prev.atoms
+                          if a.name.strip() == "C"), None)
+                n = next((np.asarray(a.xyz) for a in nxt.atoms
+                          if a.name.strip() == "N"), None)
+                broken = (c is not None and n is not None
+                          and float(np.linalg.norm(c - n)) > 0.24)
+                n_gap = nxt.resid - prev.resid - 1
+                if broken or n_gap > 0:
+                    gaps[(chain, prev.resid, nxt.resid)] = max(n_gap, 1)
+        return gaps
 
     def save_prepared(self, path: "str | Path") -> Path:
         """Write the cleaned, canonically-ordered structure."""

@@ -108,6 +108,10 @@ def _residue_chains(structure: PDBStructure) -> List[List[PDBResidue]]:
     return list(chains.values())
 
 
+def placed_names(res: PDBResidue) -> set:
+    return {normalize_atom_name(a.name) for a in res.atoms}
+
+
 def repair_missing_atoms(structure: PDBStructure) -> PDBStructure:
     """Return a copy of ``structure`` with missing heavy atoms rebuilt.
 
@@ -164,6 +168,14 @@ def repair_missing_atoms(structure: PDBStructure) -> PDBStructure:
         for a in res_atoms:
             placed[normalize_atom_name(a.name)] = np.asarray(a.xyz)
         ext_prev_c = prev_c.get((res.chain, res.resid))
+        if ext_prev_c is not None and "N" in placed_names(res):
+            n_pos = next(
+                np.asarray(a.xyz) for a in res.atoms
+                if normalize_atom_name(a.name) == "N"
+            )
+            # a chain break (gap) disqualifies -C as an anchor
+            if float(np.linalg.norm(ext_prev_c - n_pos)) > 0.24:
+                ext_prev_c = None
         if ext_prev_c is not None:
             placed.setdefault("-C", ext_prev_c)
             if "N" in neigh:
