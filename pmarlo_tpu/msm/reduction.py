@@ -176,6 +176,9 @@ def reduce_features(
         if bad.any():
             s[bad] = np.broadcast_to(col_mean, s.shape)[bad]
     if standardize:
+        # moments from the IMPUTED data (a NaN/Inf input would otherwise
+        # poison mu/sd and every downstream covariance)
+        stacked = np.concatenate(seqs, axis=0)
         mu = stacked.mean(axis=0)
         sd = stacked.std(axis=0)
         sd[sd < 1e-12] = 1.0
@@ -188,7 +191,16 @@ def reduce_features(
         model = vamp(seqs, lag, n_components)
     else:
         raise ValueError(f"unknown reduction method {method!r}")
-    return [model.transform(s) for s in seqs], model
+    out = [model.transform(s) for s in seqs]
+    if standardize:
+        # fold the standardization into the model so transform() applied
+        # to RAW data reproduces `out`: ((x-mu)/sd - m)@C = (x-(mu+sd*m))@(C/sd)
+        model = dataclasses.replace(
+            model,
+            mean=mu + sd * model.mean,
+            components=model.components / sd[:, None],
+        )
+    return out, model
 
 
 def _as_list(sequences) -> List[np.ndarray]:
