@@ -24,6 +24,14 @@ GBn2 neck d0/m0 lookups become MXU matmuls: intrinsic radii take only a
 handful of distinct values, so d0_ij = onehot_i @ D0_class @ onehot_j^T
 with a (C, C) class matrix — no (N, N) neck tables in the kernel.
 
+Measured design note (v5e, 3gd8): replacing the streamed dense
+exclusion-scale tiles with scale-1 kernels + a sparse XLA correction
+over the ~17k excluded pairs was 14% SLOWER (3.05 vs 2.69 ms/step) —
+the streamed (tile, N) reads overlap fully with compute while the
+correction's gather/scatter-add pays serialized latency (the same
+effect that makes gather-based neighbor lists 40x worse here). Dense
+streaming is the right call on TPU; keep it.
+
 Validation: energies/forces vs the dense XLA path (tests/unit/
 test_pallas_pair.py on CPU math via the shared formulas is not possible —
 Mosaic-only PRNG is not used here, so ``interpret=True`` works on CPU).
