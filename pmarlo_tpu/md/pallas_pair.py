@@ -431,6 +431,12 @@ def build_pair_force_fn(
     ab_j, bb_j, gb_j = jnp.asarray(ab), jnp.asarray(bb), jnp.asarray(gb)
     mask_j = jnp.asarray(mask)
 
+    # Bonded terms: measured IN-SCAN on v5e/3gd8, the gather formulation
+    # (2.68 ms/step total) beats the roll-based gather-free alternative
+    # (md/bonded_roll.py, 3.65 ms/step total) — standalone-dispatch
+    # timings invert this, but they are RPC-dominated on the tunneled
+    # device and not to be trusted. Keep gathers here; bonded_roll stays
+    # available (exact-parity tested) for hardware where the trade flips.
     from .forces import angle_energy, bond_energy, torsion_energy
 
     def bonded_energy(x):
