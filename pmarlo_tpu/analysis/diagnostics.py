@@ -95,6 +95,70 @@ def compute_diagnostics(
     )
 
 
+def derive_taus(
+    dataset: "Sequence[np.ndarray] | Sequence[Dict] | Sequence[int]",
+    *,
+    max_lags: int = 10,
+    min_lag: int = 1,
+    fraction_max: float = 1.0 / 3.0,
+    geometric: bool = True,
+    base: "Sequence[int] | None" = None,
+) -> List[int]:
+    """Validated autocorrelation lag grid for a dataset
+    (reference diagnostics.py:398 derive_taus).
+
+    ``geometric``: log-spaced unique lags in
+    [min_lag, fraction_max * shortest]; otherwise filter ``base`` to the
+    usable range. Accepts shards (arrays/dicts) or raw segment lengths.
+    """
+    if max_lags < 1:
+        raise ValueError("max_lags must be >= 1")
+    if min_lag < 1:
+        raise ValueError("min_lag must be >= 1")
+    if not (0.0 < fraction_max <= 1.0):
+        raise ValueError("fraction_max must be in (0, 1]")
+    lengths: List[int] = []
+    for item in dataset:
+        if isinstance(item, dict):
+            lengths.append(int(np.asarray(item["features"]).shape[0]))
+        elif np.isscalar(item) or isinstance(item, (int, np.integer)):
+            lengths.append(int(item))
+        else:
+            lengths.append(int(np.asarray(item).shape[0]))
+    if not lengths:
+        raise ValueError("empty dataset")
+    min_length = min(lengths)
+    if min_length <= min_lag:
+        raise ValueError(
+            f"shortest segment ({min_length}) must exceed min_lag ({min_lag})"
+        )
+    if geometric:
+        upper = int(max(min_lag + 1, np.floor(min_length * fraction_max)))
+        upper = min(upper, min_length - 1)
+        if upper <= min_lag:
+            raise ValueError(
+                f"usable upper bound {upper} not greater than "
+                f"min_lag {min_lag}"
+            )
+        raw = np.exp(np.linspace(np.log(min_lag), np.log(upper),
+                                 num=max_lags))
+        taus, last = [], 0
+        for cand in (int(round(v)) for v in raw):
+            if min_lag <= cand < min_length and cand > last:
+                taus.append(cand)
+                last = cand
+        if not taus:
+            raise ValueError("geometric tau derivation yielded empty set")
+        return taus
+    if base is None:
+        raise ValueError("base lags required when geometric=False")
+    taus = sorted({int(b) for b in base
+                   if min_lag <= int(b) < min_length})
+    if not taus:
+        raise ValueError("no base lag fits the usable range")
+    return taus
+
+
 def cca_similarity(X: np.ndarray, Y: np.ndarray, n_components: int = 2) -> List[float]:
     """Canonical correlations between two CV sets (reference CCA comparison).
 
