@@ -101,4 +101,60 @@ def compute_analysis_debug(
     return data
 
 
-__all__ = ["AnalysisDebugData", "compute_analysis_debug"]
+def export_analysis_debug(
+    dtrajs: Sequence[np.ndarray],
+    lag: int,
+    output_dir: "str | Path",
+    *,
+    n_states: Optional[int] = None,
+    features: "Sequence[np.ndarray] | None" = None,
+    fes=None,
+    extra_metadata: Optional[Dict] = None,
+) -> "Path":
+    """Directory-form debug bundle (reference debug_export.py:204
+    export_analysis_debug): core arrays as npz + summary.json, plus
+    optional feature stats and a FES export."""
+    import json
+
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    data = compute_analysis_debug(dtrajs, lag, n_states=n_states)
+    C = counts_from_dtrajs(
+        [np.asarray(d, np.int64) for d in dtrajs], lag, data.n_states
+    )
+    arrays = {
+        "counts": C,
+        "occupancy": np.asarray(data.occupancy),
+    }
+    for i, d in enumerate(dtrajs):
+        arrays[f"dtraj_{i:04d}"] = np.asarray(d, np.int64)
+    np.savez_compressed(out / "core_arrays.npz", **arrays)
+
+    summary = data.to_dict()
+    if features is not None:
+        pooled = np.concatenate([np.asarray(f) for f in features], axis=0)
+        summary["feature_stats"] = {
+            "n_frames": int(pooled.shape[0]),
+            "n_features": int(pooled.shape[1]),
+            "mean": pooled.mean(axis=0).tolist(),
+            "std": pooled.std(axis=0).tolist(),
+            "nonfinite_fraction": float((~np.isfinite(pooled)).mean()),
+        }
+    if fes is not None:
+        fes_path = out / "fes.json"
+        try:
+            fes.save_json(fes_path)
+        except AttributeError:
+            fes_path.write_text(json.dumps(fes.to_dict()))
+        summary["fes_export"] = fes_path.name
+    if extra_metadata:
+        summary["metadata"] = extra_metadata
+    (out / "summary.json").write_text(json.dumps(summary, indent=2))
+    return out
+
+
+__all__ = [
+    "AnalysisDebugData",
+    "compute_analysis_debug",
+    "export_analysis_debug",
+]

@@ -139,3 +139,24 @@ def test_validate_features_messages():
         validate_features(np.zeros(5))
     with pytest.raises(ValueError, match="empty"):
         validate_features(np.zeros((0, 3)))
+
+
+def test_export_analysis_debug_directory(tmp_path, double_well_dtrajs):
+    import json
+
+    from pmarlo_tpu.analysis.debug_export import export_analysis_debug
+
+    dtrajs, _ = double_well_dtrajs
+    rng = np.random.default_rng(0)
+    feats = [rng.normal(size=(len(d), 3)) for d in dtrajs]
+    out = export_analysis_debug(
+        dtrajs, lag=5, output_dir=tmp_path / "dbg",
+        features=feats, extra_metadata={"run": "test"},
+    )
+    summary = json.loads((out / "summary.json").read_text())
+    assert summary["lag"] == 5
+    assert summary["feature_stats"]["n_features"] == 3
+    assert summary["metadata"] == {"run": "test"}
+    with np.load(out / "core_arrays.npz") as z:
+        assert "counts" in z and "dtraj_0000" in z
+        assert z["counts"].sum() > 0
