@@ -44,6 +44,26 @@ def plot_fes(fes, path: Optional["str | Path"] = None, max_kj: float = 30.0):
     return _finish(fig, path)
 
 
+def plot_fes_1d(
+    pmf,
+    path: Optional["str | Path"] = None,
+    max_kj: float = 30.0,
+):
+    """1D free-energy profile (reference _plots.py:84
+    plot_free_energy_profile): PMF vs CV with unsampled bins masked."""
+    if pmf is None:
+        raise ValueError("no PMF to plot")
+    fig, ax = plt.subplots(figsize=(6, 4))
+    centers = 0.5 * (np.asarray(pmf.edges[:-1]) + np.asarray(pmf.edges[1:]))
+    F = np.ma.masked_invalid(np.asarray(pmf.free_energy))
+    ax.plot(centers, np.clip(F, 0, max_kj), lw=1.5)
+    ax.fill_between(centers, 0, np.clip(F, 0, max_kj), alpha=0.15)
+    ax.set_xlabel("CV")
+    ax.set_ylabel("F (kJ/mol)")
+    ax.set_title(f"PMF @ {pmf.temperature_K:g} K")
+    return _finish(fig, path)
+
+
 def plot_its(its, path: Optional["str | Path"] = None, dt_label: str = "steps"):
     """Implied timescales vs lag with CI bands and the tau=t diagonal."""
     if its is None:
@@ -268,7 +288,8 @@ def plot_frames_per_shard(
 
 
 __all__ = [
-    "plot_fes", "plot_its", "plot_ck", "plot_ramachandran", "plot_committors",
+    "plot_fes", "plot_fes_1d", "plot_its", "plot_ck", "plot_ramachandran",
+    "plot_committors",
     "plot_flux_network", "plot_acceptance_matrix", "plot_sampling_validation",
     "plot_frames_per_shard",
 ]

@@ -87,3 +87,16 @@ def test_plot_fes_requires_data():
         P.plot_fes(None)
     with pytest.raises(ValueError):
         P.plot_its(None)
+
+
+def test_plot_fes_1d(tmp_path):
+    import numpy as np
+
+    from pmarlo_tpu.msm.free_energy import generate_1d_pmf
+    from pmarlo_tpu.visualization.plots import plot_fes_1d
+
+    rng = np.random.default_rng(0)
+    cv = np.concatenate([rng.normal(-1, 0.2, 3000), rng.normal(1, 0.2, 3000)])
+    pmf = generate_1d_pmf(cv, temperature_K=300.0, bins=40)
+    out = plot_fes_1d(pmf, tmp_path / "pmf.png")
+    assert (tmp_path / "pmf.png").exists()
