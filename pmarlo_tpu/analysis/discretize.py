@@ -73,6 +73,61 @@ def _extract_features(shard: Shard) -> Tuple[np.ndarray, int]:
     return np.asarray(shard), 1
 
 
+class GridDiscretizer:
+    """Uniform per-dimension grid mapped to OCCUPIED cells
+    (reference discretize.py:517 _GridDiscretizer): bins_per_dim =
+    round(target_states ** (1/d)); unseen cells map to -1 on
+    transform."""
+
+    def __init__(self, target_states: int):
+        self.target_states = max(int(target_states), 1)
+        self.edges: List[np.ndarray] = []
+        self.mapping: dict = {}
+
+    def fit(self, X: np.ndarray) -> "GridDiscretizer":
+        X = np.asarray(X, np.float64)
+        d = X.shape[1]
+        bins = max(int(round(self.target_states ** (1.0 / d))), 1)
+        self.edges = []
+        for col in range(d):
+            lo, hi = float(X[:, col].min()), float(X[:, col].max())
+            if not (np.isfinite(lo) and np.isfinite(hi)):
+                raise NoAssignmentsError("non-finite values in grid fit")
+            if lo == hi:
+                lo, hi = lo - 0.5, hi + 0.5
+            self.edges.append(np.linspace(lo, hi, bins + 1))
+        for combo in self._indices(X):
+            key = tuple(int(c) for c in combo)
+            if key not in self.mapping:
+                self.mapping[key] = len(self.mapping)
+        return self
+
+    def _indices(self, X: np.ndarray) -> np.ndarray:
+        idx = [
+            np.clip(np.digitize(X[:, d_], e) - 1, 0, len(e) - 2)
+            for d_, e in enumerate(self.edges)
+        ]
+        return np.vstack(idx).T
+
+    def transform(self, X: np.ndarray) -> np.ndarray:
+        out = np.empty(X.shape[0], dtype=np.int64)
+        for i, combo in enumerate(self._indices(np.asarray(X, np.float64))):
+            out[i] = self.mapping.get(tuple(int(c) for c in combo), -1)
+        return out
+
+    @property
+    def n_states(self) -> int:
+        return len(self.mapping)
+
+    @property
+    def centers(self) -> np.ndarray:
+        cents = np.empty((self.n_states, len(self.edges)))
+        for key, s in self.mapping.items():
+            for d_, (e, k_) in enumerate(zip(self.edges, key)):
+                cents[s, d_] = 0.5 * (e[k_] + e[k_ + 1])
+        return cents
+
+
 def discretize_dataset(
     dataset: Sequence[Shard],
     *,
@@ -82,14 +137,16 @@ def discretize_dataset(
     seed: int = 0,
     columns: Optional[Sequence[str]] = None,
     reversible: bool = True,
+    method: str = "kmeans",
 ) -> MSMDiscretizationResult:
     """Discretize a shard dataset into an MSM with full pair accounting.
 
     Steps (mirroring reference discretize.py:901): validate every shard's
-    feature matrix and schema consistency -> k-means over the pooled
-    features -> per-shard assignment (segments never concatenate across
-    shards) -> expected vs counted pair check -> optional low-count state
-    pruning (labels -> -1) -> counts -> connected set -> T, pi.
+    feature matrix and schema consistency -> k-means (or uniform grid,
+    ``method="grid"``) over the pooled features -> per-shard assignment
+    (segments never concatenate across shards) -> expected vs counted
+    pair check -> optional low-count state pruning (labels -> -1) ->
+    counts -> connected set -> T, pi.
     """
     if not dataset:
         raise NoAssignmentsError("empty dataset")
@@ -112,13 +169,28 @@ def discretize_dataset(
         columns or [f"f{i}" for i in range(k_ref)], k_ref
     )
 
-    clustering = cluster_microstates(feats, n_states, seed=seed)
-    k = clustering.n_states
-    dtrajs = [d.astype(np.int64) for d in clustering.labels_per_traj]
+    if method == "grid":
+        if not isinstance(n_states, (int, np.integer)):
+            raise NoAssignmentsError("grid method needs integer n_states")
+        grid = GridDiscretizer(int(n_states)).fit(
+            np.concatenate(feats, axis=0)
+        )
+        k = grid.n_states
+        dtrajs = [grid.transform(X) for X in feats]
+        centers = grid.centers
+        silhouette = None
+    elif method == "kmeans":
+        clustering = cluster_microstates(feats, n_states, seed=seed)
+        k = clustering.n_states
+        dtrajs = [d.astype(np.int64) for d in clustering.labels_per_traj]
+        centers = clustering.centers
+        silhouette = clustering.silhouette
+    else:
+        raise NoAssignmentsError(f"unknown discretization method {method!r}")
 
     # low-count state pruning: mark assignments in starved states invalid
     pooled = np.concatenate(dtrajs)
-    state_counts = np.bincount(pooled, minlength=k)
+    state_counts = np.bincount(pooled[pooled >= 0], minlength=k)
     pruned = np.where(state_counts < min_state_count)[0] if min_state_count > 0 \
         else np.zeros(0, dtype=np.int64)
     if pruned.size:
@@ -146,7 +218,7 @@ def discretize_dataset(
     diag_mass = float(np.trace(C) / max(C.sum(), 1.0))
 
     return MSMDiscretizationResult(
-        centers=clustering.centers,
+        centers=centers,
         dtrajs=dtrajs,
         counts=C,
         transition_matrix=T,
@@ -160,7 +232,8 @@ def discretize_dataset(
         pruned_states=pruned,
         diag_mass=diag_mass,
         schema_fingerprint=fingerprint,
-        artifacts={"strides": strides, "silhouette": clustering.silhouette},
+        artifacts={"strides": strides, "silhouette": silhouette,
+                   "method": method},
     )
 
 
@@ -175,5 +248,5 @@ def assign_dataset(
     return out
 
 
-__all__ = ["MSMDiscretizationResult", "discretize_dataset", "assign_dataset",
-           "NoAssignmentsError"]
+__all__ = ["MSMDiscretizationResult", "GridDiscretizer",
+           "discretize_dataset", "assign_dataset", "NoAssignmentsError"]

@@ -160,3 +160,43 @@ def test_export_analysis_debug_directory(tmp_path, double_well_dtrajs):
     with np.load(out / "core_arrays.npz") as z:
         assert "counts" in z and "dtraj_0000" in z
         assert z["counts"].sum() > 0
+
+
+def test_grid_discretization():
+    from pmarlo_tpu.analysis.discretize import GridDiscretizer, discretize_dataset
+
+    rng = np.random.default_rng(0)
+    X = np.concatenate([
+        rng.normal(-1, 0.2, (3000, 2)), rng.normal(1, 0.2, (3000, 2)),
+    ]).astype(np.float32)
+    rng.shuffle(X)
+    res = discretize_dataset(
+        [{"features": X[:3000]}, {"features": X[3000:]}],
+        n_states=25, lag=5, method="grid",
+    )
+    assert res.artifacts["method"] == "grid"
+    # occupied-cell count <= requested grid size, > 1
+    assert 1 < res.n_states <= 25
+    assert res.counted_pairs > 0
+    # transform maps unseen points outside the fitted range to -1
+    g = GridDiscretizer(16).fit(X)
+    far = g.transform(np.array([[50.0, 50.0]]))
+    assert far[0] == -1 or far[0] < g.n_states  # clipped edge cell or -1
+
+
+def test_grid_discretizer_centers_shape():
+    from pmarlo_tpu.analysis.discretize import GridDiscretizer
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(500, 3))
+    g = GridDiscretizer(27).fit(X)
+    assert g.centers.shape == (g.n_states, 3)
+    labels = g.transform(X)
+    assert labels.min() >= 0 and labels.max() < g.n_states
+
+
+def test_unknown_method_raises():
+    from pmarlo_tpu.analysis.discretize import NoAssignmentsError, discretize_dataset
+
+    with pytest.raises(NoAssignmentsError):
+        discretize_dataset([{"features": np.zeros((100, 2))}], method="umap")
