@@ -275,12 +275,38 @@ class EnhancedMSM:
 
     # --- states (reference _states.py:34) --------------------------------------
 
-    def create_state_table(self) -> List[Dict]:
-        """Per-state populations, free energies, representative frames."""
+    def _bootstrap_free_energy_errors(
+        self, n_boot: int = 200, seed: int = 0,
+        temperature_K: float = 300.0,
+    ) -> np.ndarray:
+        """Per-state dG standard errors from frame-bootstrap occupancies
+        (reference _states.py:112)."""
+        if not self.dtrajs or self.msm is None:
+            raise EstimationError("build_msm first")
+        assignments = np.concatenate(self.dtrajs)
+        assignments = assignments[assignments >= 0]
+        rng = np.random.default_rng(seed)
+        n = assignments.size
+        kT = 0.00831446261815324 * temperature_K
+        samples = np.empty((n_boot, self.msm.n_states))
+        for i in range(n_boot):
+            res = rng.choice(assignments, size=n, replace=True)
+            samples[i] = np.bincount(res, minlength=self.msm.n_states)
+        fe = -kT * np.log(np.clip(samples / n, 1e-12, None))
+        fe[samples == 0] = np.nan
+        return np.nanstd(fe, axis=0)
+
+    def create_state_table(self, free_energy_errors: bool = False) -> List[Dict]:
+        """Per-state populations, free energies, representative frames.
+        ``free_energy_errors`` adds bootstrap dG_err per state."""
         if self.msm is None:
             raise EstimationError("build_msm first")
         d_all = np.concatenate(self.dtrajs)
         X_all = np.concatenate(self.features, axis=0)
+        fe_err = (
+            self._bootstrap_free_energy_errors()
+            if free_energy_errors else None
+        )
         table = []
         for s in range(self.msm.n_states):
             in_state = d_all == s
@@ -293,6 +319,10 @@ class EnhancedMSM:
                 if self.msm.free_energies is not None else None,
                 "active": bool(s in set(self.msm.active_states.tolist())),
             }
+            if fe_err is not None:
+                row["free_energy_err"] = (
+                    float(fe_err[s]) if np.isfinite(fe_err[s]) else None
+                )
             if count > 0 and self.clustering is not None:
                 # representative = closest to centroid (reference _states.py:131)
                 idx = np.where(in_state)[0]

@@ -174,3 +174,23 @@ def test_enhanced_auto_lag(double_well_dtrajs):
     assert msm.msm.lag >= 1
     with pytest.raises(ValueError, match="auto"):
         msm.build_msm("best")
+
+
+def test_state_table_bootstrap_errors(double_well_dtrajs):
+    from pmarlo_tpu.msm.enhanced import EnhancedMSM
+
+    dtrajs, xs = double_well_dtrajs
+    m = EnhancedMSM()
+    m.features = [x[:, None].astype(np.float32) for x in xs]
+    m.cluster_features(n_states=6, seed=0)
+    m.build_msm(lag_time=5)
+    table = m.create_state_table(free_energy_errors=True)
+    errs = [r["free_energy_err"] for r in table if r.get("free_energy_err")]
+    assert errs and all(e > 0 for e in errs)
+    # heavier-sampled states have smaller dG error
+    counts = {r["state"]: r["count"] for r in table}
+    by_err = sorted(
+        (r["free_energy_err"], r["count"]) for r in table
+        if r.get("free_energy_err")
+    )
+    assert by_err[0][1] >= by_err[-1][1]
