@@ -8,6 +8,7 @@ debug export (debug_export.py:50), autocorrelation diagnostics
 """
 
 from .discretize import (
+    GridDiscretizer,
     MSMDiscretizationResult,
     discretize_dataset,
 )
@@ -15,8 +16,13 @@ from .msm import prepare_msm_discretization, ensure_msm_inputs_whitened
 from .project_cv import apply_whitening_from_metadata
 from .counting import expected_pairs
 from .validation import validate_features
-from .debug_export import compute_analysis_debug, AnalysisDebugData
-from .diagnostics import compute_diagnostics
+from .debug_export import (
+    AnalysisDebugData,
+    compute_analysis_debug,
+    export_analysis_debug,
+)
+from .diagnostics import compute_diagnostics, derive_taus
+from .fes import compute_kde_fes, fes_from_dataset
 
 __all__ = [
     "MSMDiscretizationResult",
@@ -27,6 +33,11 @@ __all__ = [
     "expected_pairs",
     "validate_features",
     "compute_analysis_debug",
+    "export_analysis_debug",
     "AnalysisDebugData",
     "compute_diagnostics",
+    "derive_taus",
+    "compute_kde_fes",
+    "fes_from_dataset",
+    "GridDiscretizer",
 ]
