@@ -34,6 +34,7 @@ class TrajectoryWriter:
     _frames: list = dataclasses.field(default_factory=list)
     _parts: list = dataclasses.field(default_factory=list)
     _closed: bool = False
+    _part_n_atoms: "int | None" = None
 
     def __post_init__(self):
         self.path = Path(self.path)
@@ -47,6 +48,17 @@ class TrajectoryWriter:
             frames = frames[None]
         if frames.ndim != 3 or frames.shape[-1] != 3:
             raise ValueError(f"frames must be (T, N, 3), got {frames.shape}")
+        prev = None
+        if self._frames:
+            prev = self._frames[-1].shape[1]
+        elif self._parts:
+            prev = self._part_n_atoms
+        if prev is not None and frames.shape[1] != prev:
+            raise ValueError(
+                f"atom count changed mid-trajectory: {frames.shape[1]} "
+                f"vs {prev}"
+            )
+        self._part_n_atoms = frames.shape[1]
         self._frames.append(frames)
         if sum(f.shape[0] for f in self._frames) >= self.flush_interval:
             self._spill()
