@@ -22,10 +22,12 @@ from .conformations import (
     conformations_to_csv,
     conformations_to_json,
 )
+from .clustering import cluster_microstates
 from .feature_profiles import FEATURE_PROFILES, get_feature_profile
 from .trajectory_utils import extract_last_frame_to_pdb
 
 __all__ = [
+    "cluster_microstates",
     "compute_features",
     "compute_universal_metric",
     "compute_universal_embedding",

@@ -122,3 +122,22 @@ def test_extract_last_frame_to_pdb(alanine_md, tmp_path):
     np.testing.assert_allclose(
         reread.coordinates(), traj[-1], atol=1e-3
     )
+
+
+def test_api_cluster_microstates_facade():
+    import numpy as np
+
+    from pmarlo_tpu.api.clustering import cluster_microstates
+
+    rng = np.random.default_rng(0)
+    Y = np.concatenate([
+        rng.normal(-2, 0.2, (400, 2)), rng.normal(2, 0.2, (400, 2)),
+    ]).astype(np.float32)
+    labels = cluster_microstates(Y, n_states=2, random_state=1)
+    assert labels.shape == (800,)
+    # two crisp clusters
+    assert set(labels[:400]) != set(labels[400:])
+    import pytest
+
+    with pytest.raises(ValueError):
+        cluster_microstates(Y, method="dbscan")
