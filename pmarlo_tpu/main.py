@@ -47,6 +47,7 @@ def main(argv=None) -> int:
     seg = sub.add_parser("run-segment", help="run one MD segment")
     seg.add_argument("pdb")
     seg.add_argument("--steps", type=int, default=10_000)
+    seg.add_argument("--report-interval", type=int, default=100)
     seg.add_argument("--temperature", type=float, default=300.0)
     seg.add_argument("--output", default="segment.npz")
 
@@ -73,7 +74,9 @@ def main(argv=None) -> int:
         from pmarlo_tpu.md.simulation import run_segment
 
         result = run_segment(
-            args.pdb, n_steps=args.steps, temperature_K=args.temperature,
+            args.pdb, n_steps=args.steps,
+            report_interval=args.report_interval,
+            temperature_K=args.temperature,
             output_file=args.output,
         )
         print(json.dumps({
