@@ -112,3 +112,43 @@ def test_macro_lumping():
     np.testing.assert_allclose(Tm.sum(axis=1), 1.0)
     M = macro_mfpt(T, pi, assign)
     assert M[0, 1] > 0 and M[1, 0] > 0
+
+
+def test_misc_helpers():
+    import numpy as np
+    import pytest
+
+    from pmarlo_tpu.utils.misc import (
+        all_finite,
+        any_finite,
+        base_shape_str,
+        coerce_finite_float,
+        coerce_finite_float_with_default,
+        concatenate_or_empty,
+        permutation_name,
+        require,
+        slugify,
+        timestamp,
+    )
+
+    assert base_shape_str((3, 4, 5)) == "3x4x5"
+    assert permutation_name((2, 0, 1)) == "2-0-1"
+    ts = timestamp()
+    assert len(ts) == 15 and ts[8] == "-"
+    assert slugify("My Run #3!") == "my_run_3"
+    assert slugify("") is None
+    assert coerce_finite_float("2.5") == 2.5
+    assert coerce_finite_float(float("nan")) is None
+    assert coerce_finite_float("abc") is None
+    assert coerce_finite_float_with_default(None, default=7.0) == 7.0
+    assert all_finite([1.0, 2.0]) and not all_finite([1.0, float("inf")])
+    assert any_finite([float("nan"), 3.0])
+    with pytest.raises(ValueError):
+        require(False, "boom")
+    out = concatenate_or_empty([np.ones((2, 3)), np.zeros((1, 3))],
+                               dtype=np.float32)
+    assert out.shape == (3, 3) and out.dtype == np.float32
+    empty = concatenate_or_empty([], dtype=np.int64, shape=(0, 4))
+    assert empty.shape == (0, 4)
+    with pytest.raises(ValueError):
+        concatenate_or_empty([], dtype=np.int64)
