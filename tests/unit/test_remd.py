@@ -212,3 +212,39 @@ def test_remd_custom_force_fn(alanine_system_module):
     with pytest.raises(ValueError, match="exclusive"):
         ReplicaExchange(system, positions, cfg, force_fn=counting_fn,
                         use_pallas=True)
+
+
+def test_heating_and_equilibration_phases(alanine_system_module):
+    system, positions, _ = alanine_system_module
+    cfg = RemdConfig(
+        n_replicas=4, t_min=300.0, t_max=360.0,
+        exchange_frequency=50, report_interval=50, dt_ps=0.002, seed=3,
+        heating_steps=100, equilibration_steps=100,
+    )
+    remd = ReplicaExchange(system, positions, cfg)
+    result = remd.run(n_steps=200)
+    # phases ran and production stats exist
+    assert result.positions.shape[0] >= 1
+    assert np.isfinite(result.mean_acceptance)
+    # all replica temperatures remain physical after heating/equil
+    T = np.asarray(result.temperatures[-1])
+    assert np.all(T > 100.0) and np.all(T < 1000.0)
+
+
+def test_rung_energies_track_ladder(alanine_system_module):
+    # equipartition: hotter rungs sample higher potential energy, and
+    # rung-major recording keeps each rung at its ladder temperature
+    # across swaps (velocity rescale on accepted exchanges)
+    system, positions, _ = alanine_system_module
+    cfg = RemdConfig(
+        n_replicas=4, t_min=300.0, t_max=600.0,
+        exchange_frequency=100, report_interval=100, dt_ps=0.002, seed=4,
+    )
+    remd = ReplicaExchange(system, positions, cfg)
+    result = remd.run(n_steps=6000)
+    pe = np.asarray(result.potential_energy)      # (F, R)
+    mean_pe = pe[pe.shape[0] // 2:].mean(axis=0)  # discard thermalization
+    ladder = np.asarray(cfg.ladder())
+    assert np.corrcoef(mean_pe, ladder)[0, 1] > 0.8, (mean_pe, ladder)
+    # strictly increasing end-to-end
+    assert mean_pe[-1] > mean_pe[0]
