@@ -93,6 +93,23 @@ def vamp2_loss(
     log-condition-number penalty.
     """
     C00, C0t, Ctt = _covariances(z0, zt, weights)
+    return vamp2_loss_from_covariances(
+        C00, C0t, Ctt, ridge=ridge, alpha=alpha, cond_penalty=cond_penalty
+    )
+
+
+def vamp2_loss_from_covariances(
+    C00: jax.Array,
+    C0t: jax.Array,
+    Ctt: jax.Array,
+    *,
+    ridge: float = 1e-4,
+    alpha: float = 0.05,
+    cond_penalty: float = 0.0,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """VAMP-2 loss given mean-centered covariance blocks — the shared
+    tail of vamp2_loss, exposed so data-parallel training can psum
+    per-shard moments into global covariances first."""
     C00 = _regularize(C00, ridge, alpha)
     Ctt = _regularize(Ctt, ridge, alpha)
 
@@ -132,4 +149,4 @@ def vamp2_score_features(
     return float(metrics["vamp2"])
 
 
-__all__ = ["vamp2_loss", "vamp2_score_features"]
+__all__ = ["vamp2_loss", "vamp2_loss_from_covariances", "vamp2_score_features"]

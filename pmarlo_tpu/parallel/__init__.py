@@ -5,6 +5,9 @@ with shared volumes only). Here parallelism is first-class JAX:
 
 - ``replica_mesh`` builds the 1-D mesh the REMD engine shards its replica
   axis over (swap neighbor access lowers to ICI collective-permutes).
+- ``make_data_parallel_step`` / ``train_deeptica_data_parallel`` run the
+  DeepTICA VAMP-2 optimizer step SPMD over the batch axis with exact
+  serial parity (psum'ed covariance moments, replicated update).
 - ``sharded_*`` reductions implement the shard-parallel estimation path:
   transition counts, TICA covariance moments, and histogram accumulation
   as psum-style tree reductions over a mesh — the SURVEY section-2c
@@ -13,6 +16,7 @@ with shared volumes only). Here parallelism is first-class JAX:
 """
 
 from .mesh import replica_mesh, shard_replicas, data_mesh
+from .train import make_data_parallel_step, train_deeptica_data_parallel
 from .reductions import (
     sharded_transition_counts,
     sharded_covariance_moments,
@@ -26,4 +30,6 @@ __all__ = [
     "sharded_transition_counts",
     "sharded_covariance_moments",
     "sharded_histogram",
+    "make_data_parallel_step",
+    "train_deeptica_data_parallel",
 ]
