@@ -52,9 +52,28 @@ def build_h_constraints(system: System, n_iter: int = 30) -> Optional[Constraint
     ])
     keep = is_h[bonds[:, 0]] | is_h[bonds[:, 1]]
     pairs = bonds[keep]
+    r0 = np.asarray(system.bond_r0)[keep]
+
+    # rigid TIP3P: add the H1-H2 distance of every water so SHAKE fixes
+    # the full geometry (O-H from the bond set + this closes the angle)
+    hh_pairs, hh_r0 = [], []
+    by_res: dict = {}
+    for i, (rn, an) in enumerate(zip(system.residue_names,
+                                     system.atom_names)):
+        if rn in ("HOH", "WAT"):
+            by_res.setdefault(system.residue_ids[i], {})[an] = i
+    for atoms in by_res.values():
+        if "H1" in atoms and "H2" in atoms:
+            hh_pairs.append((atoms["H1"], atoms["H2"]))
+            hh_r0.append(0.15139)  # TIP3P H-H (nm)
+    if hh_pairs:
+        pairs = np.concatenate(
+            [pairs, np.asarray(hh_pairs, pairs.dtype).reshape(-1, 2)]
+        )
+        r0 = np.concatenate([r0, np.asarray(hh_r0)])
+
     if pairs.shape[0] == 0:
         return None
-    r0 = np.asarray(system.bond_r0)[keep]
     n = system.n_atoms
 
     def onehot(idx):

@@ -41,11 +41,15 @@ TYPE_MASSES: Dict[str, float] = {
     "N": 14.01, "NA": 14.01, "NB": 14.01, "N2": 14.01, "N3": 14.01,
     "O": 16.00, "O2": 16.00, "OH": 16.00, "OW": 16.00, "OS": 16.00,
     "S": 32.06, "SH": 32.06,
+    # monovalent ions (Joung-Cheatham TIP3P set)
+    "Na+": 22.99, "Cl-": 35.45,
 }
 
 # Element of each atom type (for GB radii / hydrogen detection).
 TYPE_ELEMENTS: Dict[str, str] = {
-    t: ("H" if m < 2.0 else {12.01: "C", 14.01: "N", 16.00: "O", 32.06: "S"}[m])
+    t: ("H" if m < 2.0
+        else {12.01: "C", 14.01: "N", 16.00: "O", 32.06: "S",
+              22.99: "Na", 35.45: "Cl"}[m])
     for t, m in TYPE_MASSES.items()
 }
 
@@ -68,6 +72,9 @@ TYPE_LJ: Dict[str, Tuple[float, float]] = {
     "O": (1.6612, 0.2100), "O2": (1.6612, 0.2100), "OH": (1.7210, 0.2104),
     "OS": (1.6837, 0.1700),
     "S": (2.0000, 0.2500), "SH": (2.0000, 0.2500),
+    # TIP3P water (frcmod.tip3p) and Joung-Cheatham monovalent ions
+    "OW": (1.7683, 0.1520), "HW": (0.0001, 0.0000),
+    "Na+": (1.369, 0.0874393), "Cl-": (2.513, 0.0355910),
 }
 
 # ---------------------------------------------------------------------------
@@ -106,6 +113,8 @@ _BOND_LIST = [
     # arginine guanidinium
     _b("CA", "N2", 481.0, 1.340), _b("N2", "H", 434.0, 1.010),
     _b("CT", "N2", 337.0, 1.463),
+    # TIP3P water (flexible fallback; production water is SHAKE-rigid)
+    _b("OW", "HW", 553.0, 0.9572),
 ]
 BOND_PARAMS: Dict[frozenset, Tuple[float, float]] = {
     frozenset(k): v for k, v in _BOND_LIST
@@ -182,6 +191,8 @@ _ANGLE_LIST: List[Tuple[Tuple[str, str, str], Tuple[float, float]]] = [
     (("H1", "CT", "N2"), (50.0, 109.50)),
     # proline-ring strain around N
     (("C", "N", "C"), (50.0, 121.90)),
+    # TIP3P water (flexible fallback)
+    (("HW", "OW", "HW"), (100.0, 104.52)),
 ]
 ANGLE_PARAMS: Dict[Tuple[str, str, str], Tuple[float, float]] = {}
 for (a, b, c), v in _ANGLE_LIST:

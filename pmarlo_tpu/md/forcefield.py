@@ -207,6 +207,8 @@ def build_system(
     hydrogen_mass: Optional[float] = 3.0,
     implicit_solvent: bool = True,
     gb_model: str = "obc2",
+    box: Optional[Tuple[float, float, float]] = None,
+    cutoff: float = 0.9,
     dtype=jnp.float32,
 ) -> Tuple[System, jnp.ndarray]:
     """Build a ``System`` and initial positions from a PDB path/structure.
@@ -215,20 +217,38 @@ def build_system(
     (None disables). ``gb_model`` selects the implicit solvent:
     "obc2" (default) or "gbn2" (the reference's amber14 + implicit/gbn2,
     src/pmarlo/simulation/__init__.py:64-71; see md/gbn2.py).
+
+    ``box`` (nm, orthorhombic lengths) switches to the EXPLICIT-solvent
+    periodic path: min-image LJ + reaction-field electrostatics with
+    ``cutoff`` (OpenMM CutoffPeriodic semantics), GB disabled, and
+    waters/ions retained in the topology (TIP3P + Joung-Cheatham).
     """
     if gb_model not in ("obc2", "gbn2"):
         raise ValueError(f"gb_model must be obc2|gbn2, got {gb_model!r}")
+    if box is not None:
+        implicit_solvent = False
+        if any(b <= 2.0 * cutoff for b in box):
+            raise ValueError(
+                f"every box length must exceed 2*cutoff = {2*cutoff} nm "
+                f"(minimum-image validity); got {box}"
+            )
     if isinstance(source, Topology):
         topology = source
     else:
         structure = source if isinstance(source, PDBStructure) else read_pdb(source)
-        topology = build_topology(structure)
+        topology = build_topology(structure, keep_waters=box is not None)
 
     bond_idx, bond_k, bond_r0 = _bond_arrays(topology)
     angle_idx, angle_k, angle_t0 = _angle_arrays(topology)
     torsion_idx, torsion_k, torsion_n, torsion_phase = _torsion_arrays(topology)
     sigma, eps, scale_e, scale_l = _nonbonded_arrays(topology)
-    gb_radii, gb_screen, gb_extras = _gb_arrays(topology, gb_model=gb_model)
+    if implicit_solvent:
+        gb_radii, gb_screen, gb_extras = _gb_arrays(topology, gb_model=gb_model)
+    else:
+        # explicit/vacuum path: GB unused (ions/waters have no GB radii)
+        gb_radii = np.full(topology.n_atoms, 0.15)
+        gb_screen = np.zeros(topology.n_atoms)
+        gb_extras = None
 
     masses = np.asarray([ff.TYPE_MASSES[t] for t in topology.atom_types])
     if hydrogen_mass is not None:
@@ -283,6 +303,8 @@ def build_system(
         gb_model=gb_model,
         gb_offset=(0.009 if gb_model == "obc2" else 0.0195141),
         gb_neck_scale=(0.0 if gb_model == "obc2" else 0.826836),
+        box=box,
+        cutoff=cutoff,
     )
     positions = jnp.asarray(topology.positions, dtype=dtype)
     return system, positions

@@ -109,6 +109,56 @@ def nonbonded_energy(system: System, positions: jax.Array) -> jax.Array:
     return jnp.sum((e_lj + e_el) * upper)
 
 
+def periodic_nonbonded_energy(
+    system: System, positions: jax.Array
+) -> jax.Array:
+    """Min-image LJ + reaction-field Coulomb for periodic systems
+    (OpenMM CutoffPeriodic semantics: RF beyond-cutoff dielectric
+    ``solvent_dielectric``; LJ potential-shifted to 0 at the cutoff).
+
+    Dense O(N^2) with the minimum-image convention — on TPU this beats
+    gather-based neighbor lists up to ~10k atoms (md/nblist.py caveat).
+    Requires every box length > 2 * cutoff. Exclusion scales apply to
+    both terms; 1-4 Coulomb keeps the plain 1/r form (no RF shift),
+    matching OpenMM's exception handling.
+    """
+    if system.box is None:
+        raise ValueError("periodic_nonbonded_energy needs system.box")
+    box = jnp.asarray(system.box, dtype=positions.dtype)
+    rc = system.cutoff
+    diff = positions[:, None, :] - positions[None, :, :]
+    diff = diff - box * jnp.round(diff / box)
+    r2 = jnp.sum(diff * diff, axis=-1)
+    n = r2.shape[0]
+    eye = jnp.eye(n, dtype=positions.dtype)
+    r = jnp.sqrt(r2 + _EPS) + eye
+    inv_r = 1.0 / r
+    within = (r < rc).astype(positions.dtype) * (1.0 - eye)
+
+    sigma_ij = 0.5 * (system.lj_sigma[:, None] + system.lj_sigma[None, :])
+    eps_ij = jnp.sqrt(system.lj_eps[:, None] * system.lj_eps[None, :] + _EPS)
+    sr6 = (sigma_ij * inv_r) ** 6
+    sr6c = (sigma_ij / rc) ** 6
+    e_lj = 4.0 * eps_ij * ((sr6 * sr6 - sr6) - (sr6c * sr6c - sr6c))
+    e_lj = e_lj * system.scale_lj * within
+
+    # reaction field: E = ke q q (1/r + k_rf r^2 - c_rf), r < rc
+    eps_rf = system.solvent_dielectric
+    k_rf = (eps_rf - 1.0) / ((2.0 * eps_rf + 1.0) * rc**3)
+    c_rf = 1.0 / rc + k_rf * rc * rc
+    ke = COULOMB_CONSTANT_KJ_NM_PER_MOL_E2 / system.solute_dielectric
+    qq = system.charges[:, None] * system.charges[None, :]
+    full = (system.scale_elec >= 1.0).astype(positions.dtype)
+    e_rf = ke * qq * (inv_r + k_rf * r * r - c_rf) * full * within
+    # 1-4 exceptions: scaled plain Coulomb, no RF shift (OpenMM rule)
+    part = system.scale_elec * (1.0 - full)
+    e_14 = ke * qq * inv_r * part * (1.0 - eye)
+    e_el = e_rf + e_14
+
+    upper = jnp.triu(jnp.ones((n, n), dtype=positions.dtype), k=1)
+    return jnp.sum((e_lj + e_el) * upper)
+
+
 def born_radii(system: System, positions: jax.Array) -> jax.Array:
     """OBC/GBn2 Born radii: HCT pairwise descreening integral (+ GBn2 neck
     correction) followed by the tanh rescale with global (OBC2) or
@@ -200,11 +250,15 @@ def potential_energy(
     composed in-graph — this is where CV bias forces fuse into the MD step
     (replacing the reference's TorchForce bridge,
     features/deeptica/openmm_integration.py:189)."""
+    nb = (
+        periodic_nonbonded_energy if system.box is not None
+        else nonbonded_energy
+    )
     e = (
         bond_energy(system, positions)
         + angle_energy(system, positions)
         + torsion_energy(system, positions)
-        + nonbonded_energy(system, positions)
+        + nb(system, positions)
     )
     if system.use_gb:
         e = e + gb_energy(system, positions)
@@ -214,11 +268,15 @@ def potential_energy(
 
 
 def energy_components(system: System, positions: jax.Array) -> Dict[str, jax.Array]:
+    nb = (
+        periodic_nonbonded_energy if system.box is not None
+        else nonbonded_energy
+    )
     comps = {
         "bond": bond_energy(system, positions),
         "angle": angle_energy(system, positions),
         "torsion": torsion_energy(system, positions),
-        "nonbonded": nonbonded_energy(system, positions),
+        "nonbonded": nb(system, positions),
     }
     if system.use_gb:
         comps["gb"] = gb_energy(system, positions)
@@ -240,6 +298,7 @@ __all__ = [
     "angle_energy",
     "torsion_energy",
     "nonbonded_energy",
+    "periodic_nonbonded_energy",
     "gb_energy",
     "born_radii",
     "dihedral_angles",

@@ -596,6 +596,31 @@ def normalize_atom_name(name: str) -> str:
     return _NAME_ALIASES.get(name, name)
 
 
+# --- solvent and ions (explicit-solvent path) -------------------------------
+# TIP3P water (Jorgensen 1983 charges; rigid in production via SHAKE) and
+# Joung-Cheatham monovalent ions. head/tail None: never peptide-bonded.
+
+TEMPLATES["HOH"] = _t(
+    atoms={
+        "O": ("OW", -0.834), "H1": ("HW", 0.417), "H2": ("HW", 0.417),
+    },
+    bonds=[("O", "H1"), ("O", "H2")],
+    head=None,
+    tail=None,
+)
+TEMPLATES["WAT"] = TEMPLATES["HOH"]
+
+TEMPLATES["NA"] = _t(
+    atoms={"NA": ("Na+", 1.0)}, bonds=[], head=None, tail=None,
+)
+TEMPLATES["CL"] = _t(
+    atoms={"CL": ("Cl-", -1.0)}, bonds=[], head=None, tail=None,
+)
+
+#: residues that are never part of the polypeptide chain
+NONPOLYMER = {"HOH", "WAT", "NA", "CL"}
+
+
 def get_template(
     resname: str,
     is_nterm: bool = False,
@@ -606,6 +631,8 @@ def get_template(
         raise KeyError(
             f"no residue template for {resname!r}; available: {sorted(TEMPLATES)}"
         )
+    if resname in NONPOLYMER:
+        return TEMPLATES[resname]
     if is_nterm and TEMPLATES[resname]["head"] is not None:
         return make_terminal_variant(resname, "nterm")
     if is_cterm and TEMPLATES[resname]["tail"] is not None:
@@ -613,4 +640,7 @@ def get_template(
     return TEMPLATES[resname]
 
 
-__all__ = ["TEMPLATES", "get_template", "normalize_atom_name", "make_terminal_variant"]
+__all__ = [
+    "TEMPLATES", "NONPOLYMER", "get_template", "normalize_atom_name",
+    "make_terminal_variant",
+]

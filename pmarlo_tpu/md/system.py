@@ -84,6 +84,15 @@ class System:
     surface_tension: float = dataclasses.field(
         metadata=dict(static=True), default=28.3919551
     )  # kJ/mol/nm^2 (ACE SA prefactor, OpenMM GBSAOBCForce default)
+    #: orthorhombic periodic box lengths (nm). None -> non-periodic
+    #: (implicit solvent, NoCutoff — the reference's setting). Set by
+    #: build_system(box=...) for the explicit-solvent path.
+    box: Optional[Tuple[float, float, float]] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
+    #: nonbonded cutoff (nm) for the periodic path (min-image LJ +
+    #: reaction-field electrostatics, OpenMM CutoffPeriodic semantics)
+    cutoff: float = dataclasses.field(metadata=dict(static=True), default=0.9)
 
     @property
     def n_atoms(self) -> int:

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..io.pdb import PDBStructure
 from ..utils.errors import TopologyError
-from .residues import get_template, normalize_atom_name
+from .residues import NONPOLYMER, get_template, normalize_atom_name
 
 _WATER_NAMES = {"HOH", "WAT", "TIP3", "SOL"}
 _ION_NAMES = {"NA", "CL", "K", "MG", "ZN", "CA2"}
@@ -184,10 +184,14 @@ def build_topology(
         is_first = ridx == chain_ids[0]
         is_last = ridx == chain_ids[-1]
         present = {normalize_atom_name(a.name): a for a in res.atoms}
-        wants_nterm = is_first and res.name not in ("ACE", "NME") and (
-            "H1" in present or "H2" in present or "H3" in present
+        is_polymer = res.name not in NONPOLYMER
+        wants_nterm = (
+            is_polymer and is_first and res.name not in ("ACE", "NME")
+            and ("H1" in present or "H2" in present or "H3" in present)
         )
-        wants_cterm = is_last and res.name not in ("ACE", "NME") and "OXT" in present
+        wants_cterm = (is_polymer and is_last
+                       and res.name not in ("ACE", "NME")
+                       and "OXT" in present)
         try:
             template = get_template(res.name, is_nterm=wants_nterm, is_cterm=wants_cterm)
         except KeyError as exc:
@@ -228,9 +232,12 @@ def build_topology(
         tail = local.get(template["tail"]) if template["tail"] else None  # type: ignore[arg-type]
         head_tail.append((head, tail))
 
-    # peptide bonds along each chain
+    # peptide bonds along each chain (never to/between solvent or ions)
     for chain_ids in chains.values():
         for prev, nxt in zip(chain_ids[:-1], chain_ids[1:]):
+            if (residues[prev].name in NONPOLYMER
+                    or residues[nxt].name in NONPOLYMER):
+                continue
             tail = head_tail[prev][1]
             head = head_tail[nxt][0]
             if tail is None or head is None:

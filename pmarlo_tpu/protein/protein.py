@@ -158,14 +158,16 @@ class Protein:
 
             structure = replace_nonstandard(structure)
         if remove_heterogens:
-            from ..md.residues import TEMPLATES
+            from ..md.residues import NONPOLYMER, TEMPLATES
 
             structure = PDBStructure(
                 residues=[
                     r for r in structure.residues
-                    if (r.name in _RESIDUE_MASS or r.name in _ONE_LETTER
-                        or r.name in TEMPLATES or r.name in ("ACE", "NME"))
-                    or (keep_waters and r.name in _WATER_NAMES)
+                    if ((r.name in _RESIDUE_MASS or r.name in _ONE_LETTER
+                         or r.name in TEMPLATES or r.name in ("ACE", "NME"))
+                        and r.name not in NONPOLYMER)
+                    or (keep_waters and (r.name in _WATER_NAMES
+                                         or r.name in NONPOLYMER))
                 ],
                 n_models=structure.n_models,
             )
@@ -257,13 +259,35 @@ class Protein:
         hydrogen_mass: Optional[float] = 3.0,
         implicit_solvent: bool = True,
         gb_model: str = "gbn2",
+        explicit_solvent: bool = False,
+        cutoff: float = 0.9,
     ):
         """Build the MD System + positions from the prepared topology.
 
         ``gb_model`` defaults to "gbn2", matching the reference's
         amber14 + implicit/gbn2.xml (simulation/__init__.py:64-71).
+
+        ``explicit_solvent=True`` requires a prior
+        ``prepare(solvate=True)``: the periodic system keeps the TIP3P
+        waters and ions, uses min-image LJ + reaction-field
+        electrostatics at ``cutoff`` (OpenMM CutoffPeriodic), and
+        disables GB — a capability BEYOND the reference, whose MD is
+        implicit-solvent only.
         """
         self._require_prepared()
+        if explicit_solvent:
+            if self.box is None:
+                raise ValueError(
+                    "explicit_solvent requires prepare(solvate=True) "
+                    "(no box on this Protein)"
+                )
+            from ..md.topology import build_topology
+
+            topo = build_topology(self.structure, keep_waters=True)
+            return build_system(
+                topo, hydrogen_mass=hydrogen_mass,
+                box=self.box, cutoff=cutoff,
+            )
         return build_system(
             self.topology,
             hydrogen_mass=hydrogen_mass,

@@ -1,0 +1,198 @@
+"""Explicit-solvent periodic MD: min-image, reaction field, rigid TIP3P.
+
+Capability beyond the reference (its MD is implicit-solvent only,
+simulation/__init__.py:64-71); electrostatics follow OpenMM's
+CutoffPeriodic reaction-field convention.
+"""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+import jax.numpy as jnp
+
+from pmarlo_tpu.io.pdb import PDBAtom, PDBResidue, PDBStructure, read_pdb
+from pmarlo_tpu.md.forcefield import build_system
+from pmarlo_tpu.md.forces import periodic_nonbonded_energy, potential_energy
+
+CHIGNOLIN = Path("/root/reference/data/chignolin.pdb")
+KE = 138.935456  # kJ nm / mol / e^2
+
+
+def _water(resid, origin, chain="W"):
+    ox, oy, oz = origin
+    mk = lambda n, x, y, z, e: PDBAtom(
+        name=n, resname="HOH", resid=resid, chain=chain,
+        xyz=(x, y, z), element=e)
+    return PDBResidue(name="HOH", resid=resid, chain=chain, atoms=[
+        mk("O", ox, oy, oz, "O"),
+        mk("H1", ox + 0.09572, oy, oz, "H"),
+        mk("H2", ox - 0.02399, oy + 0.09266, oz, "H"),
+    ])
+
+
+def _water_box(n_side=3, spacing=0.31, box=None):
+    residues = []
+    rid = 1
+    for i in range(n_side):
+        for j in range(n_side):
+            for k in range(n_side):
+                residues.append(_water(
+                    rid, (0.15 + i * spacing, 0.15 + j * spacing,
+                          0.15 + k * spacing)))
+                rid += 1
+    s = PDBStructure(residues=residues)
+    L = box or (n_side * spacing + 0.1)
+    return s, (L, L, L)
+
+
+@pytest.fixture(scope="module")
+def small_box():
+    s, box = _water_box(3)
+    system, x = build_system(s, box=box, cutoff=0.45, hydrogen_mass=None)
+    return system, jnp.asarray(x)
+
+
+def test_water_topology_not_peptide_bonded(small_box):
+    system, _ = small_box
+    # each TIP3P water contributes exactly 2 bonds; no inter-residue bonds
+    assert system.bond_idx.shape[0] == 27 * 2
+    assert system.n_atoms == 81
+
+
+def test_min_image_translation_invariance(small_box):
+    system, x = small_box
+    e0 = float(periodic_nonbonded_energy(system, x))
+    # translate one whole water by one box vector: energy must not change
+    x2 = np.asarray(x).copy()
+    x2[:3] += np.asarray([system.box[0], 0.0, 0.0])
+    e1 = float(periodic_nonbonded_energy(system, jnp.asarray(x2)))
+    assert abs(e0 - e1) < 5e-2
+    # global translation invariance
+    x3 = np.asarray(x) + 0.123
+    e2 = float(periodic_nonbonded_energy(system, jnp.asarray(x3)))
+    assert abs(e0 - e2) < 5e-2
+
+
+def test_reaction_field_two_charges_hand_formula():
+    # two waters, interaction dominated by the O-O/O-H RF terms; check
+    # the RF pair formula directly against a hand evaluation
+    s = PDBStructure(residues=[
+        _water(1, (0.5, 0.5, 0.5)), _water(2, (0.8, 0.5, 0.5)),
+    ])
+    box = (2.0, 2.0, 2.0)
+    system, x = build_system(s, box=box, cutoff=0.9, hydrogen_mass=None)
+    e = float(periodic_nonbonded_energy(system, jnp.asarray(x)))
+
+    eps_rf = system.solvent_dielectric
+    rc = system.cutoff
+    k_rf = (eps_rf - 1) / ((2 * eps_rf + 1) * rc**3)
+    c_rf = 1 / rc + k_rf * rc * rc
+    q = np.asarray(system.charges)
+    sig = np.asarray(system.lj_sigma)
+    epsl = np.asarray(system.lj_eps)
+    X = np.asarray(x)
+    scale_e = np.asarray(system.scale_elec)
+    scale_l = np.asarray(system.scale_lj)
+    expect = 0.0
+    for i in range(6):
+        for j in range(i + 1, 6):
+            d = X[i] - X[j]
+            d -= np.asarray(box) * np.round(d / np.asarray(box))
+            r = np.linalg.norm(d)
+            if r >= rc:
+                continue
+            if scale_e[i, j] >= 1.0:
+                expect += KE * q[i] * q[j] * (1 / r + k_rf * r * r - c_rf)
+            else:
+                expect += KE * q[i] * q[j] * scale_e[i, j] / r
+            sij = 0.5 * (sig[i] + sig[j])
+            eij = np.sqrt(epsl[i] * epsl[j])
+            if eij > 1e-8:
+                sr6 = (sij / r) ** 6
+                sr6c = (sij / rc) ** 6
+                expect += (4 * eij * ((sr6**2 - sr6) - (sr6c**2 - sr6c))
+                           * scale_l[i, j])
+    assert abs(e - expect) < 0.05, (e, expect)
+
+
+def test_lj_continuous_at_cutoff(small_box):
+    system, _ = small_box
+    # two isolated waters straddling the cutoff: energy -> 0 smoothly
+    s = PDBStructure(residues=[
+        _water(1, (0.2, 0.5, 0.5)), _water(2, (0.2 + 0.449, 0.5, 0.5)),
+    ])
+    sysc, xc = build_system(s, box=(1.5, 1.5, 1.5), cutoff=0.45,
+                            hydrogen_mass=None)
+    e_in = float(periodic_nonbonded_energy(sysc, jnp.asarray(xc)))
+    s2 = PDBStructure(residues=[
+        _water(1, (0.2, 0.5, 0.5)), _water(2, (0.2 + 0.70, 0.5, 0.5)),
+    ])
+    sys2, x2 = build_system(s2, box=(1.5, 1.5, 1.5), cutoff=0.45,
+                            hydrogen_mass=None)
+    e_out = float(periodic_nonbonded_energy(sys2, jnp.asarray(x2)))
+    # beyond the cutoff (min-image separation 0.70 > 0.45): zero
+    assert abs(e_out) < 1e-4
+    # just inside: small but finite (shifted potential)
+    assert abs(e_in) < 50.0
+
+
+def test_box_must_exceed_twice_cutoff():
+    s, _ = _water_box(3)
+    with pytest.raises(ValueError):
+        build_system(s, box=(1.0, 1.0, 1.0), cutoff=0.9)
+
+
+def test_water_box_minimizes_to_negative_energy(small_box):
+    from pmarlo_tpu.md.minimize import minimize_energy
+
+    system, x = small_box
+    xmin, emin = minimize_energy(system, x, max_iterations=150)
+    # 27 waters: several kJ/mol of cohesion each after relaxation
+    assert float(emin) < -200.0
+    assert bool(jnp.isfinite(xmin).all())
+
+
+@pytest.mark.skipif(not CHIGNOLIN.exists(), reason="chignolin not mounted")
+def test_solvated_protein_md_stable():
+    from pmarlo_tpu.md.constraints import (
+        build_h_constraints,
+        constraint_violation,
+    )
+    from pmarlo_tpu.md.integrate import langevin_step, thermalize
+    from pmarlo_tpu.md.minimize import minimize_energy
+    from pmarlo_tpu.protein.protein import Protein
+
+    p = Protein(read_pdb(CHIGNOLIN)).prepare(
+        solvate=True, solvent_padding=0.8
+    )
+    system, x0 = p.create_system(explicit_solvent=True, cutoff=0.9)
+    assert system.box is not None and not system.use_gb
+    xmin, emin = minimize_energy(system, jnp.asarray(x0),
+                                 max_iterations=100)
+    assert float(emin) < 0.0
+    spec = build_h_constraints(system)
+    # every water contributes 3 constraints (O-H1, O-H2, H1-H2): rigid
+    n_waters = sum(1 for rn in system.residue_names if rn == "HOH") // 3
+    assert spec.d0.shape[0] >= 3 * n_waters
+
+    st = thermalize(system, xmin, jax.random.PRNGKey(0), 300.0)
+
+    def body(s, _):
+        s2, e = langevin_step(system, s, dt=0.001, friction=1.0,
+                              temperature_K=300.0, constraints=spec)
+        return s2, e
+
+    @jax.jit
+    def run(s):
+        return jax.lax.scan(body, s, None, length=50)
+
+    out, es = run(st)
+    assert bool(jnp.isfinite(out.positions).all())
+    assert bool(jnp.isfinite(es).all())
+    assert float(constraint_violation(spec, out.positions).max()) < 1e-5

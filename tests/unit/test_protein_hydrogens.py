@@ -22,6 +22,7 @@ def test_variant_charge_closure():
         "ASH": 0, "GLH": 0, "LYN": 0, "HIP": 1, "HID": 0, "HIE": 0,
         "ASP": -1, "GLU": -1, "LYS": 1, "ARG": 1, "HIS": 0,
         "NGLY": 1, "CGLY": -1,
+        "NA": 1, "CL": -1,   # monovalent ions (explicit-solvent path)
     }
     for name, tmpl in TEMPLATES.items():
         total = sum(q for (_, q) in tmpl["atoms"].values())
