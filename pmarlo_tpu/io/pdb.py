@@ -36,6 +36,8 @@ class PDBResidue:
 class PDBStructure:
     residues: List[PDBResidue]
     n_models: int = 1
+    #: orthorhombic box lengths (nm) from CRYST1, when present
+    box: "Tuple[float, float, float] | None" = None
 
     @property
     def n_atoms(self) -> int:
@@ -79,9 +81,20 @@ def read_pdb(path: "str | Path", model: int = 1) -> PDBStructure:
     n_models = 0
     current_model = 1
     in_wanted_model = True
+    box = None
 
     for line in path.read_text().splitlines():
         record = line[:6]
+        if record.startswith("CRYST1"):
+            try:
+                a = float(line[6:15]) / 10.0
+                b = float(line[15:24]) / 10.0
+                c = float(line[24:33]) / 10.0
+                if a > 0 and b > 0 and c > 0:
+                    box = (a, b, c)
+            except ValueError:
+                pass
+            continue
         if record.startswith("MODEL"):
             n_models += 1
             current_model = int(line.split()[1]) if len(line.split()) > 1 else n_models
@@ -119,7 +132,8 @@ def read_pdb(path: "str | Path", model: int = 1) -> PDBStructure:
         )
     if not residues:
         raise ValueError(f"no ATOM records found in {path} (model {model})")
-    return PDBStructure(residues=residues, n_models=max(n_models, 1))
+    return PDBStructure(residues=residues, n_models=max(n_models, 1),
+                        box=box)
 
 
 def write_pdb(

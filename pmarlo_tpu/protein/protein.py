@@ -153,6 +153,8 @@ class Protein:
             structure = self.source
         else:
             structure = read_pdb(self.source, model=model)
+        if self.box is None and getattr(structure, "box", None) is not None:
+            self.box = structure.box  # CRYST1 from a solvated input
         if replace_nonstandard_residues:
             from .nonstandard import replace_nonstandard
 

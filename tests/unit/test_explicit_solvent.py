@@ -196,3 +196,20 @@ def test_solvated_protein_md_stable():
     assert bool(jnp.isfinite(out.positions).all())
     assert bool(jnp.isfinite(es).all())
     assert float(constraint_violation(spec, out.positions).max()) < 1e-5
+
+
+@pytest.mark.skipif(not CHIGNOLIN.exists(), reason="chignolin not mounted")
+def test_solvated_pdb_round_trip(tmp_path):
+    from pmarlo_tpu.protein.protein import Protein
+
+    p1 = Protein(read_pdb(CHIGNOLIN)).prepare(
+        solvate=True, solvent_padding=0.8
+    )
+    out = p1.save_structure(tmp_path / "solv.pdb")
+    # CRYST1 box survives the file round trip; waters re-enter the
+    # explicit system without re-solvation
+    p2 = Protein(str(out)).prepare(keep_waters=True, solvate=True)
+    assert p2.box is not None
+    np.testing.assert_allclose(p2.box, p1.box, atol=1e-3)
+    system, _ = p2.create_system(explicit_solvent=True)
+    assert system.n_atoms == p1.structure.n_atoms
