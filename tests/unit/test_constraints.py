@@ -23,7 +23,7 @@ def constrained_system():
     topo_sys, positions = build_system(
         alanine_dipeptide_structure(), hydrogen_mass=1.5
     )
-    spec = build_h_constraints(topo_sys)
+    spec = build_h_constraints(topo_sys, layout="onehot")
     return topo_sys, positions, spec
 
 
@@ -70,3 +70,40 @@ def test_constrained_dynamics_2fs_hmr15(constrained_system):
     assert float(constraint_violation(spec, final.positions)) < 1e-4
     temps = np.asarray(frames["temperature"])
     assert 150 < temps[3:].mean() < 450
+
+
+
+@pytest.fixture(scope="module")
+def rolled_pair(constrained_system):
+    system, positions, onehot_spec = constrained_system
+    rolled = build_h_constraints(system)  # default layout
+    return system, positions, onehot_spec, rolled
+
+
+def test_rolled_spec_counts(rolled_pair):
+    from pmarlo_tpu.md.constraints import RolledConstraintSpec, n_constraints
+
+    _, _, onehot_spec, rolled = rolled_pair
+    assert isinstance(rolled, RolledConstraintSpec)
+    assert n_constraints(rolled) == n_constraints(onehot_spec) == 12
+
+
+def test_shake_rolled_matches_onehot(rolled_pair):
+    system, positions, onehot_spec, rolled = rolled_pair
+    rng = np.random.default_rng(2)
+    x_new = positions + jnp.asarray(
+        rng.normal(0, 0.005, positions.shape), positions.dtype
+    )
+    xa = shake(onehot_spec, x_new, positions)
+    xb = shake(rolled, x_new, positions)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=2e-6)
+    assert float(constraint_violation(rolled, xb)) < 1e-5
+
+
+def test_rattle_rolled_matches_onehot(rolled_pair):
+    system, positions, onehot_spec, rolled = rolled_pair
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(0, 1.0, positions.shape), positions.dtype)
+    va = rattle(onehot_spec, v, positions)
+    vb = rattle(rolled, v, positions)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=2e-5)

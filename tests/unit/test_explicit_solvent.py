@@ -178,8 +178,10 @@ def test_solvated_protein_md_stable():
     assert float(emin) < 0.0
     spec = build_h_constraints(system)
     # every water contributes 3 constraints (O-H1, O-H2, H1-H2): rigid
+    from pmarlo_tpu.md.constraints import n_constraints
+
     n_waters = sum(1 for rn in system.residue_names if rn == "HOH") // 3
-    assert spec.d0.shape[0] >= 3 * n_waters
+    assert n_constraints(spec) >= 3 * n_waters
 
     st = thermalize(system, xmin, jax.random.PRNGKey(0), 300.0)
 
