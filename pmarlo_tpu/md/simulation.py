@@ -42,6 +42,7 @@ def run_segment(
     implicit_solvent: bool = True,
     gb_model: str = "gbn2",
     force_path: str = "auto",
+    cutoff: float = 0.9,
 ) -> Dict:
     """Run one Langevin segment. Returns a dict with device-resident
     trajectory arrays and summary scalars.
@@ -55,9 +56,56 @@ def run_segment(
     "pair_kernel" (tiled Pallas pair stage, md/pallas_pair.py — the
     protein-scale TPU fast path), or "auto" (pair kernel on TPU past
     ~600 atoms).
+
+    A solvated input (CRYST1 box + waters, e.g. from
+    ``Protein.save_structure`` after ``prepare(solvate=True)``) switches
+    automatically to the EXPLICIT-solvent periodic path: min-image LJ +
+    reaction field at ``cutoff``, rigid TIP3P via roll-layout SHAKE,
+    periodic Pallas kernel.
     """
+    from ..io.pdb import read_pdb
+
+    structure = read_pdb(pdb_file)
+    has_waters = any(r.name in ("HOH", "WAT") for r in structure.residues)
+    explicit = structure.box is not None and has_waters
+
+    if explicit:
+        from .constraints import build_h_constraints
+        from .pallas_periodic import build_periodic_force_fn
+
+        system, positions = build_system(
+            structure, box=structure.box, cutoff=cutoff
+        )
+        base_fn = build_periodic_force_fn(
+            system, interpret=jax.default_backend() != "tpu"
+        )
+        if bias_fn is not None:
+            def _force_fn(x, _f=base_fn):
+                e, f = _f(x)
+                be, bg = jax.value_and_grad(bias_fn)(x)
+                return e + be, f - bg
+        else:
+            _force_fn = base_fn
+        constraints = build_h_constraints(system)
+        key = jax.random.PRNGKey(seed)
+        x_min, e_min = minimize_energy(
+            system, positions, max_iterations=minimize_iterations,
+            bias_fn=bias_fn,
+        )
+        state = thermalize(system, x_min, key, temperature_K)
+        final_state, frames = run_md(
+            system, state, n_steps=n_steps, dt=dt_ps,
+            friction=friction_per_ps, temperature_K=temperature_K,
+            report_interval=report_interval, bias_fn=bias_fn,
+            force_fn=_force_fn, constraints=constraints,
+        )
+        return _package_result(
+            system, final_state, frames, e_min, n_steps, dt_ps,
+            temperature_K, report_interval, output_file,
+        )
+
     system, positions = build_system(
-        pdb_file, implicit_solvent=implicit_solvent, gb_model=gb_model
+        structure, implicit_solvent=implicit_solvent, gb_model=gb_model
     )
     key = jax.random.PRNGKey(seed)
 
@@ -103,6 +151,14 @@ def run_segment(
         force_fn=force_fn,
     )
 
+    return _package_result(
+        system, final_state, frames, e_min, n_steps, dt_ps,
+        temperature_K, report_interval, output_file,
+    )
+
+
+def _package_result(system, final_state, frames, e_min, n_steps, dt_ps,
+                    temperature_K, report_interval, output_file):
     result = {
         "system": system,
         "final_state": final_state,
@@ -114,7 +170,6 @@ def run_segment(
         "dt_ps": dt_ps,
         "temperature_K": temperature_K,
     }
-
     if output_file is not None:
         writer = TrajectoryWriter(
             Path(output_file),

@@ -215,3 +215,21 @@ def test_solvated_pdb_round_trip(tmp_path):
     np.testing.assert_allclose(p2.box, p1.box, atol=1e-3)
     system, _ = p2.create_system(explicit_solvent=True)
     assert system.n_atoms == p1.structure.n_atoms
+
+
+@pytest.mark.skipif(not CHIGNOLIN.exists(), reason="chignolin not mounted")
+def test_run_segment_auto_detects_explicit(tmp_path):
+    from pmarlo_tpu.md.simulation import run_segment
+    from pmarlo_tpu.protein.protein import Protein
+
+    p = Protein(read_pdb(CHIGNOLIN)).prepare(
+        solvate=True, solvent_padding=0.8
+    )
+    solv = p.save_structure(tmp_path / "solv.pdb")
+    res = run_segment(
+        solv, n_steps=100, report_interval=50, minimize_iterations=40,
+        dt_ps=0.001,
+    )
+    assert res["system"].box is not None
+    assert not res["system"].use_gb
+    assert bool(np.isfinite(np.asarray(res["positions"])).all())
