@@ -81,9 +81,50 @@ def build_h_constraints(
     if pairs.shape[0] == 0:
         return None
     if layout == "rolled":
-        return _build_rolled_spec(
-            pairs.astype(np.int64), r0, masses, n_iter
+        # waters get the EXACT rigid solver (Jacobi diverges on their
+        # coupled constraint triangles — see RigidWaterSpec); everything
+        # else keeps the roll-layout Jacobi (star graphs converge)
+        water_atoms = np.asarray([
+            rn in ("HOH", "WAT")
+            for rn in system.residue_names
+        ])
+        water_spec = None
+        if water_atoms.any():
+            idx = np.flatnonzero(water_atoms)
+            start, stop = int(idx[0]), int(idx[-1]) + 1
+            n_w = (stop - start) // 3
+            names = list(system.atom_names[start:stop])
+            if (stop - start != 3 * n_w
+                    or not water_atoms[start:stop].all()
+                    or names != ["O", "H1", "H2"] * n_w):
+                raise ValueError(
+                    "rigid-water constraints need one contiguous "
+                    "(O, H1, H2)-ordered water block (the canonical "
+                    "solvate/topology layout)"
+                )
+            m = masses[start:start + 3]
+            d_oh = float(np.asarray(system.bond_r0)[
+                np.flatnonzero(
+                    (np.asarray(system.bond_idx)[:, 0] == start)
+                    | (np.asarray(system.bond_idx)[:, 1] == start)
+                )[0]
+            ]) if True else 0.09572
+            water_spec = RigidWaterSpec(
+                start=start, n_waters=n_w,
+                inv_m=jnp.asarray(1.0 / m, jnp.float32),
+                d0=jnp.asarray([d_oh, d_oh, 0.15139], jnp.float32),
+            )
+            in_water = water_atoms[pairs[:, 0]] | water_atoms[pairs[:, 1]]
+            pairs = pairs[~in_water]
+            r0 = r0[~in_water]
+        protein_spec = (
+            _build_rolled_spec(pairs.astype(np.int64), r0, masses, n_iter)
+            if pairs.shape[0] else None
         )
+        if water_spec is None:
+            return protein_spec
+        return CompositeConstraintSpec(protein=protein_spec,
+                                       water=water_spec)
     if layout != "onehot":
         raise ValueError(f"unknown constraint layout {layout!r}")
     n = system.n_atoms
@@ -243,6 +284,12 @@ def shake(
     Corrections act along the *reference* bond vectors (pre-step), the
     classical SHAKE linearization. Dispatches on the spec layout.
     """
+    if isinstance(spec, CompositeConstraintSpec):
+        if spec.protein is not None:
+            x_new = shake_rolled(spec.protein, x_new, x_ref, omega)
+        if spec.water is not None:
+            x_new = shake_water(spec.water, x_new, x_ref)
+        return x_new
     if isinstance(spec, RolledConstraintSpec):
         return shake_rolled(spec, x_new, x_ref, omega)
     d_ref = _mm(spec.s1, x_ref) - _mm(spec.s2, x_ref)      # (C, 3)
@@ -264,6 +311,12 @@ def shake(
 
 def rattle(spec, v: jax.Array, x: jax.Array) -> jax.Array:
     """Remove velocity components along constrained bonds (parallel RATTLE)."""
+    if isinstance(spec, CompositeConstraintSpec):
+        if spec.protein is not None:
+            v = rattle_rolled(spec.protein, v, x)
+        if spec.water is not None:
+            v = rattle_water(spec.water, v, x)
+        return v
     if isinstance(spec, RolledConstraintSpec):
         return rattle_rolled(spec, v, x)
     d = _mm(spec.s1, x) - _mm(spec.s2, x)                   # (C, 3)
@@ -283,6 +336,16 @@ def rattle(spec, v: jax.Array, x: jax.Array) -> jax.Array:
 
 def constraint_violation(spec, x: jax.Array) -> jax.Array:
     """Max |r - r0| over constraints (diagnostic)."""
+    if isinstance(spec, CompositeConstraintSpec):
+        parts = []
+        if spec.protein is not None:
+            parts.append(constraint_violation(spec.protein, x))
+        if spec.water is not None:
+            xw = _water_block(spec.water, x)
+            d = _dvec(xw)
+            r = jnp.sqrt(jnp.sum(d * d, axis=2) + 1e-12)
+            parts.append(jnp.max(jnp.abs(r - spec.water.d0[None, :])))
+        return jnp.max(jnp.stack(parts)) if parts else jnp.zeros(())
     if isinstance(spec, RolledConstraintSpec):
         xt = x.astype(jnp.float32).T
         R = _roll_stack(xt, spec.deltas)
@@ -295,14 +358,173 @@ def constraint_violation(spec, x: jax.Array) -> jax.Array:
     return jnp.max(jnp.abs(r - spec.d0))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RigidWaterSpec:
+    """Exact rigid-water (TIP3P) constraints for a CONTIGUOUS block of
+    waters laid out (O, H1, H2) per residue — the solvate/topology
+    canonical order, so the block is a reshape, not a gather.
+
+    The three coupled distance constraints of a water triangle make
+    fixed-point Jacobi SHAKE/RATTLE unstable in dynamics (zero-force
+    thermostat test blows up within 500 steps at 2 fs). Here each
+    water's 3-constraint cluster is solved EXACTLY: Newton iterations
+    with closed-form 3x3 solves for positions (quadratic convergence,
+    machine precision in ~4 sweeps), one linear 3x3 solve for
+    velocities (RATTLE is linear).
+    """
+
+    start: int = dataclasses.field(metadata=dict(static=True))
+    n_waters: int = dataclasses.field(metadata=dict(static=True))
+    inv_m: jax.Array      # (3,) 1/m for (O, H, H) (post-HMR)
+    d0: jax.Array         # (3,) targets for (O-H1, O-H2, H1-H2)
+    n_newton: int = dataclasses.field(metadata=dict(static=True), default=6)
+
+
+#: constraint pair slots within one water: (O,H1), (O,H2), (H1,H2)
+_W_PAIRS = ((0, 1), (0, 2), (1, 2))
+
+
+def _solve33(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Batched closed-form 3x3 solve via the adjugate (W, 3, 3)x(W, 3)."""
+    a00, a01, a02 = A[:, 0, 0], A[:, 0, 1], A[:, 0, 2]
+    a10, a11, a12 = A[:, 1, 0], A[:, 1, 1], A[:, 1, 2]
+    a20, a21, a22 = A[:, 2, 0], A[:, 2, 1], A[:, 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    x0 = (c00 * b[:, 0] + c01 * b[:, 1] + c02 * b[:, 2]) * inv_det
+    x1 = (c10 * b[:, 0] + c11 * b[:, 1] + c12 * b[:, 2]) * inv_det
+    x2 = (c20 * b[:, 0] + c21 * b[:, 1] + c22 * b[:, 2]) * inv_det
+    return jnp.stack([x0, x1, x2], axis=1)
+
+
+def _water_block(spec: RigidWaterSpec, x: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_slice_in_dim(
+        x, spec.start, 3 * spec.n_waters, axis=0
+    ).reshape(spec.n_waters, 3, 3)
+
+
+def _dvec(xw: jax.Array) -> jax.Array:
+    """(W, 3 constraints, 3 xyz) bond vectors for the three pairs."""
+    return jnp.stack(
+        [xw[:, i] - xw[:, j] for i, j in _W_PAIRS], axis=1
+    )
+
+
+def shake_water(
+    spec: RigidWaterSpec, x_new: jax.Array, x_ref: jax.Array
+) -> jax.Array:
+    """Exact SHAKE: x = x_unc + M^-1 J_ref^T lam, Newton on sigma(lam)."""
+    xw = _water_block(spec, x_new)                    # (W, 3, 3)
+    xr = _water_block(spec, x_ref)
+    d_ref = _dvec(xr)                                 # (W, 3, 3)
+    im = spec.inv_m                                   # (3,)
+
+    # displacement basis: column c' moves atoms of pair c' along d_ref_c'
+    # B[c', a] = +im[a] if a == i(c'), -im[a] if a == j(c')
+    sgn = np.zeros((3, 3), np.float32)                # (constraint, atom)
+    for c, (i, j) in enumerate(_W_PAIRS):
+        sgn[c, i] = 1.0
+        sgn[c, j] = -1.0
+    sgn = jnp.asarray(sgn)
+
+    def apply_lam(lam):
+        # dx[a] = sum_c lam_c * sgn[c, a] * im[a] * d_ref[c]
+        return jnp.einsum(
+            "wc,ca,wcx->wax", lam, sgn, d_ref
+        ) * im[None, :, None]
+
+    def body(_, lam):
+        xcur = xw + apply_lam(lam)
+        d = _dvec(xcur)
+        sigma = jnp.sum(d * d, axis=2) - spec.d0[None, :] ** 2   # (W, 3)
+        # Newton Jacobian: G[c, c'] = dsigma_c/dlam_c'
+        #   = 2 (sgn[c', i_c] im[i_c] - sgn[c', j_c] im[j_c]) d_c . d_ref_c'
+        G = jnp.zeros((xw.shape[0], 3, 3), xw.dtype)
+        for c, (i, j) in enumerate(_W_PAIRS):
+            for cp in range(3):
+                vec = (sgn[cp, i] * im[i] - sgn[cp, j] * im[j])
+                G = G.at[:, c, cp].set(
+                    2.0 * vec * jnp.sum(d[:, c] * d_ref[:, cp], axis=1)
+                )
+        lam = lam - _solve33(G, sigma)
+        return lam
+
+    lam0 = jnp.zeros((xw.shape[0], 3), xw.dtype)
+    lam = jax.lax.fori_loop(0, spec.n_newton, body, lam0)
+    x_out = xw + apply_lam(lam)
+    flat = x_out.reshape(3 * spec.n_waters, 3)
+    return jax.lax.dynamic_update_slice_in_dim(
+        x_new, flat.astype(x_new.dtype), spec.start, axis=0
+    )
+
+
+def rattle_water(
+    spec: RigidWaterSpec, v: jax.Array, x: jax.Array
+) -> jax.Array:
+    """Exact RATTLE: (J M^-1 J^T) lam = -J v, one 3x3 solve per water."""
+    xw = _water_block(spec, x)
+    vw = _water_block(spec, v)
+    d = _dvec(xw)                                     # (W, 3c, 3)
+    dv = _dvec(vw)
+    im = spec.inv_m
+    rhs = -jnp.sum(d * dv, axis=2)                    # (W, 3)
+    sgn = np.zeros((3, 3), np.float32)
+    for c, (i, j) in enumerate(_W_PAIRS):
+        sgn[c, i] = 1.0
+        sgn[c, j] = -1.0
+    # A[c, c'] = (sgn[c'] * im difference) d_c . d_c'
+    A = jnp.zeros((xw.shape[0], 3, 3), xw.dtype)
+    for c, (i, j) in enumerate(_W_PAIRS):
+        for cp in range(3):
+            vec = (sgn[cp, i] * im[i] - sgn[cp, j] * im[j])
+            A = A.at[:, c, cp].set(
+                vec * jnp.sum(d[:, c] * d[:, cp], axis=1)
+            )
+    lam = _solve33(A, rhs)
+    dvw = jnp.einsum("wc,ca,wcx->wax", lam, jnp.asarray(sgn), d) \
+        * im[None, :, None]
+    flat = (vw + dvw).reshape(3 * spec.n_waters, 3)
+    return jax.lax.dynamic_update_slice_in_dim(
+        v, flat.astype(v.dtype), spec.start, axis=0
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CompositeConstraintSpec:
+    """Protein H constraints (roll layout) + rigid-water block; clusters
+    are disjoint so the two solvers compose without coupling."""
+
+    protein: Optional[RolledConstraintSpec]
+    water: Optional[RigidWaterSpec]
+
+
 def n_constraints(spec) -> int:
-    """Constraint count for either spec layout."""
+    """Constraint count for any spec layout."""
+    if isinstance(spec, CompositeConstraintSpec):
+        total = 0
+        if spec.protein is not None:
+            total += n_constraints(spec.protein)
+        if spec.water is not None:
+            total += 3 * spec.water.n_waters
+        return total
     if isinstance(spec, RolledConstraintSpec):
         return int(np.asarray(spec.mask).sum())
     return int(spec.d0.shape[0])
 
 
-__all__ = ["ConstraintSpec", "RolledConstraintSpec", "build_h_constraints",
+__all__ = ["ConstraintSpec", "RolledConstraintSpec", "RigidWaterSpec",
+           "CompositeConstraintSpec", "build_h_constraints",
            "n_constraints",
            "shake", "rattle", "shake_rolled", "rattle_rolled",
            "constraint_violation"]

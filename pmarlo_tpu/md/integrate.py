@@ -139,32 +139,37 @@ def langevin_step(
         f = -grad
 
     v = state.velocities + dt * f / m
-    x = state.positions + 0.5 * dt * v
     if constraints is not None:
         from .constraints import rattle, shake
 
         v = rattle(constraints, v, state.positions)
+    x = state.positions + 0.5 * dt * v
+    if constraints is not None:
+        # g-BAOAB (Leimkuhler-Matthews) ordering: SHAKE the drifted
+        # positions, fold the correction into v, then RATTLE — the shake
+        # correction is along reference bond directions (normal to the
+        # manifold), and leaving it in v pumps heat: the zero-force
+        # thermostat test read ~400 K instead of 300 K without the
+        # trailing RATTLEs and blew up at 2 fs.
         x_c = shake(constraints, x, state.positions)
         v = v + (x_c - x) / (0.5 * dt)
         x = x_c
+        v = rattle(constraints, v, x)
 
     c1 = jnp.exp(-friction * dt)
     c2 = jnp.sqrt((1.0 - c1 * c1) * kT / m)
     key, sub = jax.random.split(state.key)
     v = c1 * v + c2 * jax.random.normal(sub, v.shape, dtype=v.dtype)
     if constraints is not None:
-        from .constraints import rattle
-
         v = rattle(constraints, v, x)
 
     x_pre = x
     x = x + 0.5 * dt * v
     if constraints is not None:
-        from .constraints import shake
-
         x_c = shake(constraints, x, x_pre)
         v = v + (x_c - x) / (0.5 * dt)
         x = x_c
+        v = rattle(constraints, v, x)
     # trailing B uses the force at the *new* positions in strict BAOAB; we
     # fold it into the next step's leading B (standard leapfrog-style fusion,
     # identical long-run sampling, one force eval per step).

@@ -233,3 +233,60 @@ def test_run_segment_auto_detects_explicit(tmp_path):
     assert res["system"].box is not None
     assert not res["system"].use_gb
     assert bool(np.isfinite(np.asarray(res["positions"])).all())
+
+
+def test_constrained_thermostat_equilibrium():
+    """Zero-force rigid-water box must sit at the target temperature —
+    the g-BAOAB ordering regression (pre-fix: ~400 K and NaN at 2 fs
+    from shake corrections left un-RATTLEd in v)."""
+    from pmarlo_tpu.constants import BOLTZMANN_CONSTANT_KJ_PER_MOL as KB
+    from pmarlo_tpu.md.constraints import build_h_constraints, n_constraints
+    from pmarlo_tpu.md.integrate import langevin_step, thermalize
+
+    s, box = _water_box(3)
+    system, x = build_system(s, box=box, cutoff=0.45, hydrogen_mass=None)
+    spec = build_h_constraints(system)
+    ndof = 3 * system.n_atoms - n_constraints(spec)
+
+    def zero_force(xx):
+        return jnp.zeros(()), jnp.zeros_like(xx)
+
+    st = thermalize(system, jnp.asarray(x), jax.random.PRNGKey(0), 300.0)
+    m = jnp.asarray(system.masses)[:, None]
+
+    def body(s_, _):
+        s2, _ = langevin_step(system, s_, dt=0.002, friction=1.0,
+                              temperature_K=300.0, constraints=spec,
+                              force_fn=zero_force)
+        return s2, 0.5 * jnp.sum(m * s2.velocities ** 2)
+
+    run = jax.jit(lambda s_: jax.lax.scan(body, s_, None, length=3000))
+    s2, kes = run(st)
+    assert bool(jnp.isfinite(s2.positions).all())
+    T = np.asarray(2 * kes / (ndof * KB))[1000:]
+    # 54 dof: sigma(T) ~ 300*sqrt(2/54) ~ 58; the mean of 2000 samples
+    # is tight, but they are correlated -> generous 10% band
+    assert abs(float(T.mean()) - 300.0) < 30.0, float(T.mean())
+
+
+def test_exact_water_solver_static():
+    from pmarlo_tpu.md.constraints import (
+        CompositeConstraintSpec,
+        build_h_constraints,
+        constraint_violation,
+        rattle,
+        shake,
+    )
+
+    s, box = _water_box(2, box=1.5)
+    system, x = build_system(s, box=box, cutoff=0.45, hydrogen_mass=None)
+    spec = build_h_constraints(system)
+    # pure water: water-only composite (or bare water spec)
+    x0 = jnp.asarray(x, jnp.float32)
+    rng = np.random.default_rng(0)
+    x_new = x0 + jnp.asarray(rng.normal(0, 0.005, x0.shape), jnp.float32)
+    xp = shake(spec, x_new, x0)
+    assert float(constraint_violation(spec, xp)) < 1e-6
+    v = jnp.asarray(rng.normal(0, 1.0, x0.shape), jnp.float32)
+    vp = rattle(spec, v, x0)
+    assert bool(jnp.isfinite(vp).all())
