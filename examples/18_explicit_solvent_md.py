@@ -6,8 +6,8 @@ CutoffPeriodic semantics) -> minimize -> rigid-water Langevin MD via the
 single-sweep periodic Pallas kernel + roll-layout SHAKE -> solvated
 trajectory + summary JSON.
 
-Measured on one v5e chip: 0.63 ms/step = ~272 ns/day at 2 fs for the
-2,315-atom solvated system. The reference cannot run this workload at
+Measured on one v5e chip: 1.18 ms/step = ~147 ns/day at 2 fs for the
+2,315-atom solvated system (thermostat-exact g-BAOAB). The reference cannot run this workload at
 all — its MD is implicit-solvent only (simulation/__init__.py:64-71).
 
 Run: JAX_PLATFORM_NAME=cpu python examples/18_explicit_solvent_md.py
@@ -46,11 +46,8 @@ def main():
 
     # 2. run_segment auto-detects the CRYST1 box + waters and switches
     #    to the periodic path (rigid TIP3P, reaction field)
-    # 1 fs for the cold start: an instantly-thermalized lattice needs a
-    # short conservative-dt window before 2 fs production (the TPU bench
-    # runs 2 fs from an equilibrated state at 272 ns/day)
     res = run_segment(
-        solvated, n_steps=2_000, report_interval=200, dt_ps=0.001,
+        solvated, n_steps=2_000, report_interval=200, dt_ps=0.002,
         minimize_iterations=150,
         output_file=OUT / "trajectory.npz",
     )

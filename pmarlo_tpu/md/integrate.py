@@ -51,8 +51,12 @@ def kinetic_energy(system: System, velocities: jax.Array) -> jax.Array:
     return 0.5 * jnp.sum(system.masses[:, None] * velocities**2)
 
 
-def instantaneous_temperature(system: System, velocities: jax.Array) -> jax.Array:
-    n_dof = 3 * system.n_atoms - 3  # COM motion removed
+def instantaneous_temperature(
+    system: System, velocities: jax.Array, n_constraints: int = 0
+) -> jax.Array:
+    """Kinetic temperature. ``n_constraints`` removes constrained dof
+    (rigid waters/H bonds) so constrained runs report the true T."""
+    n_dof = max(3 * system.n_atoms - 3 - int(n_constraints), 1)
     return 2.0 * kinetic_energy(system, velocities) / (
         n_dof * BOLTZMANN_CONSTANT_KJ_PER_MOL
     )
@@ -225,6 +229,13 @@ def run_md(
         if len(_RUN_MD_CACHE) > 64:
             _RUN_MD_CACHE.clear()
 
+        if constraints is not None:
+            from .constraints import n_constraints as _nc
+
+            n_con = _nc(constraints)
+        else:
+            n_con = 0
+
         def inner(carry, _):
             st, temp = carry
             new_state, energy = langevin_step(
@@ -242,7 +253,7 @@ def run_md(
                 "positions": new_state.positions,
                 "potential_energy": energies[-1],
                 "temperature": instantaneous_temperature(
-                    system, new_state.velocities
+                    system, new_state.velocities, n_con
                 ),
             }
             return (new_state, temp), frame
