@@ -27,11 +27,20 @@ _EXPORTS = {
     "constants": ("pmarlo_tpu.constants", None),
     # structure prep
     "Protein": ("pmarlo_tpu.protein.protein", "Protein"),
+    "solvate_structure": ("pmarlo_tpu.protein.solvate", "solvate_structure"),
+    "repair_missing_atoms": ("pmarlo_tpu.protein.repair",
+                             "repair_missing_atoms"),
     # MD core
     "System": ("pmarlo_tpu.md.system", "System"),
     "MDState": ("pmarlo_tpu.md.integrate", "MDState"),
     "build_system": ("pmarlo_tpu.md.forcefield", "build_system"),
     "run_segment": ("pmarlo_tpu.md.simulation", "run_segment"),
+    "build_pair_force_fn": ("pmarlo_tpu.md.pallas_pair",
+                            "build_pair_force_fn"),
+    "build_periodic_force_fn": ("pmarlo_tpu.md.pallas_periodic",
+                                "build_periodic_force_fn"),
+    "build_h_constraints": ("pmarlo_tpu.md.constraints",
+                            "build_h_constraints"),
     # REMD
     "RemdConfig": ("pmarlo_tpu.remd.remd", "RemdConfig"),
     "ReplicaExchange": ("pmarlo_tpu.remd.remd", "ReplicaExchange"),
