@@ -107,3 +107,41 @@ def test_rattle_rolled_matches_onehot(rolled_pair):
     va = rattle(onehot_spec, v, positions)
     vb = rattle(rolled, v, positions)
     np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=2e-5)
+
+
+def test_rolled_spec_negative_deltas():
+    """Pairs stored (H, heavy) give negative offsets; the roll layout
+    must handle them identically to the one-hot reference."""
+    from pmarlo_tpu.md.constraints import (
+        _build_rolled_spec,
+        constraint_violation,
+        shake_rolled,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 16
+    masses = rng.uniform(1.0, 16.0, n)
+    # mixed-sign offsets, including a wrap-adjacent pair at the end
+    pairs = np.array([[3, 1], [5, 7], [10, 8], [14, 15]])
+    r0 = np.full(4, 0.1)
+    spec = _build_rolled_spec(pairs, r0, masses, n_iter=40)
+    x0 = jnp.asarray(rng.normal(0, 0.5, (n, 3)), jnp.float32)
+    x_new = x0 + jnp.asarray(rng.normal(0, 0.01, (n, 3)), jnp.float32)
+    xp = shake_rolled(spec, x_new, x0)
+    assert float(constraint_violation(spec, xp)) < 1e-4
+
+
+def test_water_block_requires_canonical_order():
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.md.forcefield import build_system
+
+    # alanine has no waters: build_h_constraints returns the plain
+    # rolled spec, not a composite
+    from pmarlo_tpu.md.constraints import (
+        RolledConstraintSpec,
+        build_h_constraints,
+    )
+
+    system, _ = build_system(alanine_dipeptide_structure())
+    spec = build_h_constraints(system)
+    assert isinstance(spec, RolledConstraintSpec)
