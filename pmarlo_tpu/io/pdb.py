@@ -8,10 +8,66 @@ app / PDBFixer). Coordinates are returned in nanometers.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+logger = logging.getLogger("pmarlo_tpu")
+
+# --- hybrid-36 numbering (wwPDB convention for wide serial/resid fields) ---
+_H36_UPPER = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_H36_LOWER = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def _h36_encode(value: int, width: int) -> str:
+    """Encode an integer in the hybrid-36 convention for a fixed-width
+    PDB column (width 4 for resSeq, 5 for serial). Plain decimal up to
+    10^width - 1, then base-36 blocks starting 'A000…' (upper) and
+    'a000…' (lower) — the standard large-system extension, so solvated
+    exports with >9999 residues survive a write/read round trip."""
+    if value < 10 ** width:
+        return f"{value:>{width}d}"
+    base = 36 ** (width - 1)
+    upper_start = 10 ** width
+    upper_span = 26 * base
+    if value < upper_start + upper_span:
+        v = value - upper_start + 10 * base
+        digits = []
+        for _ in range(width):
+            v, r = divmod(v, 36)
+            digits.append(_H36_UPPER[r])
+        return "".join(reversed(digits))
+    lower_start = upper_start + upper_span
+    lower_span = 26 * base
+    if value < lower_start + lower_span:
+        v = value - lower_start + 10 * base
+        digits = []
+        for _ in range(width):
+            v, r = divmod(v, 36)
+            digits.append(_H36_LOWER[r])
+        return "".join(reversed(digits))
+    raise ValueError(f"value {value} out of hybrid-36 range for width {width}")
+
+
+def _h36_decode(field: str, width: int) -> int:
+    """Decode a hybrid-36 fixed-width field back to an integer."""
+    s = field.strip()
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    if not s:
+        raise ValueError("empty hybrid-36 field")
+    base = 36 ** (width - 1)
+    if s[0] in _H36_UPPER[10:]:
+        v = int(s, 36)
+        return v - 10 * base + 10 ** width
+    if s[0] in _H36_LOWER[10:]:
+        v = int(s.upper(), 36)
+        return v - 10 * base + 10 ** width + 26 * base
+    raise ValueError(f"not a hybrid-36 field: {field!r}")
 
 
 @dataclasses.dataclass
@@ -90,7 +146,24 @@ def read_pdb(path: "str | Path", model: int = 1) -> PDBStructure:
                 a = float(line[6:15]) / 10.0
                 b = float(line[15:24]) / 10.0
                 c = float(line[24:33]) / 10.0
-                if a > 0 and b > 0 and c > 0:
+                try:
+                    alpha = float(line[33:40])
+                    beta = float(line[40:47])
+                    gamma = float(line[47:54])
+                except (ValueError, IndexError):
+                    alpha = beta = gamma = 90.0
+                if max(abs(alpha - 90.0), abs(beta - 90.0),
+                       abs(gamma - 90.0)) > 1e-3:
+                    # Triclinic cells are not supported by the
+                    # per-component minimum-image periodic path; treating
+                    # them as orthorhombic would silently corrupt forces.
+                    logger.warning(
+                        "CRYST1 cell in %s is triclinic "
+                        "(angles %.2f/%.2f/%.2f); ignoring box — periodic "
+                        "MD requires an orthorhombic cell", path,
+                        alpha, beta, gamma,
+                    )
+                elif a > 0 and b > 0 and c > 0:
                     box = (a, b, c)
             except ValueError:
                 pass
@@ -114,7 +187,7 @@ def read_pdb(path: "str | Path", model: int = 1) -> PDBStructure:
         resname = line[17:20].strip() or line[17:21].strip()
         chain = line[21].strip() or "A"
         try:
-            resid = int(line[22:26])
+            resid = _h36_decode(line[22:26], 4)
         except ValueError:
             continue
         x = float(line[30:38]) / 10.0
@@ -151,8 +224,9 @@ def write_pdb(
 
     ``chains`` (per-atom) overrides the single ``chain``; ``box`` (nm, 3
     lengths) emits an orthorhombic CRYST1 record (solvated exports).
-    Serials and resids wrap at their PDB field widths (100000 / 10000),
-    the standard convention for large solvated systems."""
+    Serials and resids use hybrid-36 numbering past their PDB field
+    widths (99999 / 9999) so large solvated systems round-trip with
+    unique residue ids (wrapping would merge distinct waters on read)."""
     path = Path(path)
     coords = np.asarray(coordinates, dtype=np.float64) * 10.0  # nm -> A
     if coords.ndim != 2 or coords.shape[1] != 3:
@@ -174,9 +248,9 @@ def write_pdb(
         pdb_name = f" {name:<3s}" if len(name) < 4 else f"{name:<4s}"
         ch = (chains[i] if chains is not None else chain)[:1]
         lines.append(
-            f"ATOM  {(i + 1) % 100000:>5d} {pdb_name}"
+            f"ATOM  {_h36_encode(i + 1, 5)} {pdb_name}"
             f"{'':1s}{residue_names[i]:>3s} {ch}"
-            f"{residue_ids[i] % 10000:>4d}    "
+            f"{_h36_encode(int(residue_ids[i]), 4)}    "
             f"{coords[i, 0]:8.3f}{coords[i, 1]:8.3f}{coords[i, 2]:8.3f}"
             f"{1.00:6.2f}{0.00:6.2f}          {elements[i]:>2s}"
         )

@@ -26,16 +26,36 @@ def minimize_energy(
     dt_start: float = 1e-4,
     dt_max: float = 2e-3,
     bias_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    force_fn: Optional[Callable[[jax.Array], Tuple[jax.Array, jax.Array]]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """FIRE minimization. Returns (positions, final_energy)."""
-    energy_fn = lambda x: potential_energy(system, x, bias_fn)
-    grad_fn = jax.grad(energy_fn)
+    """FIRE minimization. Returns (positions, final_energy).
+
+    ``force_fn`` (x -> (energy, forces)), when given, replaces the dense
+    ``potential_energy`` autodiff path — this is how solvated systems
+    minimize through the tiled periodic Pallas kernel instead of
+    materializing O(N^2) XLA matrices (ADVICE r2 #4). ``bias_fn`` composes
+    on top of either path."""
+    if force_fn is not None:
+        if bias_fn is not None:
+            def energy_fn(x):
+                return force_fn(x)[0] + bias_fn(x)
+
+            def neg_grad_fn(x):
+                e, f = force_fn(x)
+                return f - jax.grad(bias_fn)(x)
+        else:
+            energy_fn = lambda x: force_fn(x)[0]
+            neg_grad_fn = lambda x: force_fn(x)[1]
+    else:
+        energy_fn = lambda x: potential_energy(system, x, bias_fn)
+        _grad = jax.grad(energy_fn)
+        neg_grad_fn = lambda x: -_grad(x)
 
     f_inc, f_dec, alpha_start, f_alpha, n_min = 1.1, 0.5, 0.1, 0.99, 5
 
     def body(carry, _):
         x, v, dt, alpha, n_pos = carry
-        f = -grad_fn(x)
+        f = neg_grad_fn(x)
         power = jnp.sum(f * v)
         f_norm = jnp.sqrt(jnp.sum(f * f)) + 1e-12
         v_norm = jnp.sqrt(jnp.sum(v * v))

@@ -585,6 +585,8 @@ _NAME_ALIASES = {
     "HT1": "H1", "HT2": "H2", "HT3": "H3",
     "OT1": "O", "OT2": "OXT", "O1": "O", "O2": "OXT",
     "HA1": "HA2",  # old GLY naming HA1/HA2 -> HA2/HA3 handled contextually
+    # GROMACS/CHARMM water atom names -> TIP3P template names
+    "OW": "O", "HW1": "H1", "HW2": "H2", "OH2": "O",
 }
 
 
@@ -609,6 +611,9 @@ TEMPLATES["HOH"] = _t(
     tail=None,
 )
 TEMPLATES["WAT"] = TEMPLATES["HOH"]
+# CHARMM / GROMACS water residue names alias to the same TIP3P template
+TEMPLATES["TIP3"] = TEMPLATES["HOH"]
+TEMPLATES["SOL"] = TEMPLATES["HOH"]
 
 TEMPLATES["NA"] = _t(
     atoms={"NA": ("Na+", 1.0)}, bonds=[], head=None, tail=None,
@@ -618,7 +623,7 @@ TEMPLATES["CL"] = _t(
 )
 
 #: residues that are never part of the polypeptide chain
-NONPOLYMER = {"HOH", "WAT", "NA", "CL"}
+NONPOLYMER = {"HOH", "WAT", "TIP3", "SOL", "NA", "CL"}
 
 
 def get_template(

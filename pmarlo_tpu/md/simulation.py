@@ -64,9 +64,12 @@ def run_segment(
     periodic Pallas kernel.
     """
     from ..io.pdb import read_pdb
+    from .topology import _WATER_NAMES
 
     structure = read_pdb(pdb_file)
-    has_waters = any(r.name in ("HOH", "WAT") for r in structure.residues)
+    # shared water-name set (HOH/WAT/TIP3/SOL) so e.g. GROMACS-style SOL
+    # boxes route to the explicit path instead of silently dropping waters
+    has_waters = any(r.name in _WATER_NAMES for r in structure.residues)
     explicit = structure.box is not None and has_waters
 
     if explicit:
@@ -88,9 +91,11 @@ def run_segment(
             _force_fn = base_fn
         constraints = build_h_constraints(system)
         key = jax.random.PRNGKey(seed)
+        # minimize through the same tiled periodic kernel MD uses — the
+        # dense XLA energy would cap solvated size by minimizer memory
         x_min, e_min = minimize_energy(
             system, positions, max_iterations=minimize_iterations,
-            bias_fn=bias_fn,
+            bias_fn=bias_fn, force_fn=base_fn,
         )
         state = thermalize(system, x_min, key, temperature_K)
         final_state, frames = run_md(

@@ -26,7 +26,7 @@ from ..utils.json_io import write_json
 from .ck import CKResult, ck_test, ck_test_macrostates
 from .clustering import ClusteringResult, cluster_microstates
 from .estimation import MSMResult, build_msm
-from .free_energy import FESResult, generate_2d_fes
+from .free_energy import FESResult, generate_1d_pmf, generate_2d_fes
 from .its import ITSResult, compute_implied_timescales
 from .pcca import pcca_assignments
 from .reduction import reduce_features
@@ -433,6 +433,70 @@ class EnhancedMSM:
         from ..visualization.plots import plot_its
 
         return plot_its(self.its, path or (self.output_dir / "its.png" if self.output_dir else None))
+
+    def plot_implied_rates(self, path: Optional["str | Path"] = None):
+        """Implied rates 1/t_i vs lag (reference Protocol
+        enhanced_msm.py:74-85 / _plots.py:188)."""
+        from ..visualization.plots import plot_implied_rates
+
+        if self.its is None:
+            raise EstimationError("compute_implied_timescales first")
+        return plot_implied_rates(
+            self.its,
+            path or (self.output_dir / "implied_rates.png"
+                     if self.output_dir else None),
+        )
+
+    def plot_free_energy_profile(
+        self, cv: "str | int" = 0, path: Optional["str | Path"] = None,
+        *, bins: Optional[int] = None,
+    ):
+        """1D pi-reweighted PMF over one feature column (reference
+        Protocol enhanced_msm.py:74-85 / _plots.py plot_free_energy_profile)."""
+        from ..visualization.plots import plot_fes_1d
+
+        if not self.features:
+            raise EstimationError("compute_features first")
+        X = np.concatenate(self.features, axis=0)
+        c = self._cv_column(cv)
+        weights = None
+        if self.msm is not None and self.dtrajs:
+            d = np.concatenate(self.dtrajs)
+            pi = self.msm.stationary_distribution
+            counts = np.bincount(
+                d[d >= 0], minlength=self.msm.n_states
+            ).astype(float)
+            counts[counts == 0] = 1.0
+            weights = np.where(
+                d >= 0, pi[np.clip(d, 0, None)] / counts[np.clip(d, 0, None)],
+                0.0,
+            )
+        periodic = False
+        per = self.feature_info.get("periodic")
+        if isinstance(per, np.ndarray) and c < len(per):
+            periodic = bool(per[c])
+        pmf = generate_1d_pmf(
+            X[:, c], temperature_K=self.temperature_K, bins=bins,
+            weights=weights, periodic=periodic,
+        )
+        return plot_fes_1d(
+            pmf,
+            path or (self.output_dir / "free_energy_profile.png"
+                     if self.output_dir else None),
+        )
+
+    def plot_ck_test(self, path: Optional["str | Path"] = None):
+        """Predicted-vs-estimated CK panel (reference Protocol
+        enhanced_msm.py:74-85 / _plots.py plot_ck_test)."""
+        from ..visualization.plots import plot_ck
+
+        if self.ck is None:
+            raise EstimationError("compute_ck_test first")
+        return plot_ck(
+            self.ck,
+            path or (self.output_dir / "ck_test.png"
+                     if self.output_dir else None),
+        )
 
 
 def run_complete_msm_analysis(

@@ -84,6 +84,29 @@ def plot_its(its, path: Optional["str | Path"] = None, dt_label: str = "steps"):
     return _finish(fig, path)
 
 
+def plot_implied_rates(its, path: Optional["str | Path"] = None,
+                       dt_label: str = "steps"):
+    """Implied rates 1/t_i vs lag with CI bands (reference
+    _plots.py:188 plot_implied_rates; CIs invert and swap bounds)."""
+    if its is None:
+        raise ValueError("no ITS to plot")
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    k = its.timescales.shape[1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rates = 1.0 / np.asarray(its.timescales)
+        r_lo = 1.0 / np.asarray(its.ci_upper)   # slow timescale -> low rate
+        r_hi = 1.0 / np.asarray(its.ci_lower)
+    for i in range(k):
+        ax.plot(its.lags, rates[:, i], "o-", ms=3, label=f"k{i + 1}")
+        ax.fill_between(its.lags, r_lo[:, i], r_hi[:, i], alpha=0.2)
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel(f"lag ({dt_label})")
+    ax.set_ylabel(f"implied rate (1/{dt_label})")
+    ax.legend(fontsize=8)
+    return _finish(fig, path)
+
+
 def plot_ck(ck, path: Optional["str | Path"] = None, max_states: int = 4):
     """Predicted vs estimated long-lag self-transition probabilities."""
     if ck is None or not ck.predicted:

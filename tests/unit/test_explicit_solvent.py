@@ -290,3 +290,29 @@ def test_exact_water_solver_static():
     v = jnp.asarray(rng.normal(0, 1.0, x0.shape), jnp.float32)
     vp = rattle(spec, v, x0)
     assert bool(jnp.isfinite(vp).all())
+
+
+def test_sol_named_waters_route_explicit(tmp_path):
+    """GROMACS-style SOL/OW/HW naming with a CRYST1 box must hit the
+    explicit-solvent path, not silently drop waters (ADVICE r2 #2)."""
+    from pmarlo_tpu.md.simulation import run_segment
+
+    s, box = _water_box(2)
+    for r in s.residues:
+        r.name = "SOL"
+        for a, new in zip(r.atoms, ("OW", "HW1", "HW2")):
+            a.name = new
+            a.resname = "SOL"
+    coords = s.coordinates()
+    names = [a.name for r in s.residues for a in r.atoms]
+    rnames = [a.resname for r in s.residues for a in r.atoms]
+    rids = [a.resid for r in s.residues for a in r.atoms]
+    from pmarlo_tpu.io.pdb import write_pdb
+
+    p = write_pdb(tmp_path / "sol.pdb", coords, names, rnames, rids,
+                  box=box)
+    res = run_segment(p, n_steps=20, report_interval=10,
+                      minimize_iterations=10, dt_ps=0.001, cutoff=0.35)
+    assert res["system"].box is not None          # explicit path taken
+    assert res["system"].n_atoms == s.n_atoms     # waters retained
+    assert bool(np.isfinite(np.asarray(res["positions"])).all())

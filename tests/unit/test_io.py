@@ -104,3 +104,54 @@ def test_writer_dispatch_dcd(tmp_path):
     with get_writer(tmp_path / "t.npz") as w:
         w.write_frames(coords)
     assert TrajectoryReader(tmp_path / "t.npz").probe_length() == 3
+
+
+def test_hybrid36_resid_roundtrip(tmp_path):
+    """Resids past 9999 must survive a write/read round trip uniquely.
+
+    Plain 4-digit wrapping would merge distinct waters into one residue
+    on read (ADVICE r2 #3)."""
+    from pmarlo_tpu.io.pdb import _h36_decode, _h36_encode
+
+    for v in [1, 9999, 10000, 10001, 46655, 46656, 2436111]:
+        assert _h36_decode(_h36_encode(v, 4), 4) == v
+    for v in [1, 99999, 100000, 100001, 43770015]:
+        assert _h36_decode(_h36_encode(v, 5), 5) == v
+
+    n = 12  # spans the 9998..10009 resid range
+    coords = np.zeros((3 * n, 3))
+    coords[:, 0] = np.arange(3 * n) * 0.1
+    names, rnames, rids = [], [], []
+    for i in range(n):
+        for a in ("O", "H1", "H2"):
+            names.append(a)
+            rnames.append("HOH")
+            rids.append(9998 + i)
+    p = write_pdb(tmp_path / "big.pdb", coords, names, rnames, rids)
+    loaded = read_pdb(p)
+    assert len(loaded.residues) == n
+    assert [r.resid for r in loaded.residues] == list(range(9998, 9998 + n))
+    assert all(len(r.atoms) == 3 for r in loaded.residues)
+
+
+def test_triclinic_cryst1_rejected(tmp_path):
+    """Triclinic CRYST1 must not be silently treated as orthorhombic
+    (ADVICE r2 #1): box is dropped with a warning."""
+    lines = [
+        "CRYST1   30.000   30.000   30.000  90.00  90.00 120.00 P 1"
+        "           1",
+        "ATOM      1  O   HOH A   1       0.000   0.000   0.000  1.00"
+        "  0.00           O",
+        "END",
+    ]
+    p = tmp_path / "tri.pdb"
+    p.write_text("\n".join(lines) + "\n")
+    s = read_pdb(p)
+    assert s.box is None
+
+    lines[0] = ("CRYST1   30.000   30.000   30.000  90.00  90.00  90.00 P 1"
+                "           1")
+    p.write_text("\n".join(lines) + "\n")
+    s = read_pdb(p)
+    assert s.box is not None
+    np.testing.assert_allclose(s.box, (3.0, 3.0, 3.0))

@@ -194,3 +194,27 @@ def test_state_table_bootstrap_errors(double_well_dtrajs):
         if r.get("free_energy_err")
     )
     assert by_err[0][1] >= by_err[-1][1]
+
+
+def test_enhanced_plot_method_surface(double_well_dtrajs, tmp_path):
+    """The reference Protocol's plot methods (enhanced_msm.py:74-85):
+    plot_implied_rates / plot_free_energy_profile / plot_ck_test exist
+    on the class and write files."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from pmarlo_tpu.msm.enhanced import EnhancedMSM
+
+    _, xs = double_well_dtrajs
+    m = EnhancedMSM(output_dir=tmp_path)
+    m.features = [x[:, None].astype(np.float32) for x in xs]
+    m.cluster_features(n_states=6, seed=0)
+    m.build_msm(lag_time=5)
+    m.compute_implied_timescales(lags=[1, 2, 5, 10], n_samples=8)
+    m.compute_ck_test(factors=[2, 3])
+    m.plot_implied_rates(tmp_path / "rates.png")
+    m.plot_free_energy_profile(0, tmp_path / "pmf.png")
+    m.plot_ck_test(tmp_path / "ck.png")
+    for name in ("rates.png", "pmf.png", "ck.png"):
+        assert (tmp_path / name).exists()
+        assert (tmp_path / name).stat().st_size > 0
