@@ -29,21 +29,42 @@ from pmarlo_tpu.ml.deeptica import DeepTICAConfig, train_deeptica
 def run_condition(
     key, ref_hist, n_rounds: int, seg_steps: int, window: str, kT: float
 ):
-    """One (schedule, window) condition: unbiased segments, periodic
-    retraining on the chosen data window, KPIs at the end."""
-    x0 = np.asarray([-0.55, 1.45])
-    samples = []
+    """One (schedule, window) condition: BIASED segments (the reference
+    replay carries a Gaussian bias ledger — hills deposited along the
+    stream, estimates reweighted at collection time; notebook section 6),
+    periodic CV retraining on the chosen data window, KPIs at the end.
+
+    The final density estimate uses per-segment umbrella reweighting
+    (each segment ran under its own frozen ledger state), pooled by ESS —
+    the same estimator as example 14."""
+    import jax.numpy as jnp
+
+    from pmarlo_tpu.bias.metadynamics import MetadynamicsBias
+
+    x0 = jnp.asarray([-0.55, 1.45])
+    mtd = MetadynamicsBias(
+        sigma=(0.15, 0.15), height=4.0, max_hills=2048,
+        bias_factor=8.0, temperature_K=kT / 0.00831446,
+    )
+    hills = mtd.init_state(2)
+    samples, bias_energies, vamp_scores = [], [], []
     xy = x0
-    vamp_scores = []
     for r in range(n_rounds):
+        state_hills = hills
+        bias = lambda p: mtd.energy(state_hills, p)
         key, sub = jax.random.split(key)
-        seg = np.asarray(mb.run_langevin(sub, xy, seg_steps, kT=kT))
+        seg = mb.run_langevin(sub, xy, seg_steps, kT=kT, bias_fn=bias)
         xy = seg[-1]
-        samples.append(seg)
+        seg_np = np.asarray(seg)
+        samples.append(seg_np)
+        bias_energies.append(np.asarray(jax.vmap(bias)(seg)))
+        # hill deposits along the stream (reference HILL_STRIDE cadence)
+        for point in seg_np[::50]:
+            hills = mtd.deposit(hills, jnp.asarray(point))
         # training window policy (reference: Fixed-T / Window-W / Reweighted)
         if window == "all":
             data = np.concatenate(samples)
-        elif window == "window":
+        elif window in ("window", "reweighted"):
             data = np.concatenate(samples[-2:])
         else:  # "last"
             data = samples[-1]
@@ -56,7 +77,15 @@ def run_condition(
             )
             vamp_scores.append(model.training_history["best"]["val_vamp2"])
     pooled = np.concatenate(samples)
-    H_est = mb.hist2d(pooled)
+    # per-segment reweighted density (collection-time bias, exact per
+    # segment because the ledger is frozen while a segment runs)
+    H_est = np.zeros_like(ref_hist, dtype=np.float64)
+    for seg_np, v in zip(samples, bias_energies):
+        w = np.exp((v - v.max()) / kT)
+        ess = w.sum() ** 2 / (w**2).sum()
+        H_seg = mb.hist2d(seg_np, weights=w)
+        if H_seg.sum() > 0:
+            H_est += ess * H_seg / H_seg.sum()
     return {
         "kl_ref_est": mb.kl_divergence(ref_hist, H_est),
         "coverage": float((mb.hist2d(pooled) > 0).mean()),
@@ -82,7 +111,7 @@ def main():
     out_dir = Path(__file__).parent / "outputs" / "adaptive_retraining"
     out_dir.mkdir(parents=True, exist_ok=True)
     rows = []
-    for window in ("all", "window", "last"):
+    for window in ("all", "window", "reweighted"):
         key, sub = jax.random.split(key)
         kpis = run_condition(sub, ref_hist, n_rounds, seg_steps, window, kT)
         rows.append({"condition": f"Fixed-T/{window}", **kpis})

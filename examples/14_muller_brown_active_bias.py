@@ -134,6 +134,7 @@ def main(n_rounds=4, seg_steps=None, kT=15.0, quick=False):
     hills = mtd.init_state(2)
     anchors_xy = []  # configuration-space anchor of every deposited hill
     all_samples = []
+    all_bias_energies = []  # V_i(x_t) actually acting during segment i
     xy = x0
     for round_i in range(n_rounds):
         state_hills = hills
@@ -143,6 +144,13 @@ def main(n_rounds=4, seg_steps=None, kT=15.0, quick=False):
         xy = seg[-1]
         seg_np = np.asarray(seg)
         all_samples.append(seg_np)
+        # record the bias energy each sample was ACTUALLY collected under
+        # (the ledger is frozen during the segment, so exp(+V_i/kT)
+        # umbrella reweighting is exact per segment; reweighting
+        # everything by the FINAL bias corrupts early segments collected
+        # under a different, smaller, differently-projected bias — the
+        # round-2 KL=6.88-vs-anchor-4.49 "disagree")
+        all_bias_energies.append(np.asarray(jax.vmap(bias)(seg)))
         # deposit hills along the segment (every 50th sample)
         for point in seg_np[::50]:
             hills = mtd.deposit(hills, jnp.asarray(cv_fn(jnp.asarray(point))))
@@ -183,13 +191,26 @@ def main(n_rounds=4, seg_steps=None, kT=15.0, quick=False):
         print(f"round {round_i}: {int(hills.n_hills)} hills, "
               f"{sum(len(d) for d in data)} samples, wall {time.time() - t0:.0f}s")
 
-    # 3. KPIs
+    # 3. KPIs — per-segment umbrella reweighting: each segment ran under
+    # its own frozen bias V_i, so w ~ exp(+V_i/kT) unbiases that segment
+    # exactly; segments pool as ESS-weighted normalized histograms.
     samples = np.concatenate(all_samples)
+    H_est = np.zeros((GRID_BINS, GRID_BINS))
+    for seg_np, v in zip(all_samples, all_bias_energies):
+        w = np.exp((v - v.max()) / kT)
+        ess = w.sum() ** 2 / (w**2).sum()
+        H_seg = hist2d(seg_np, weights=w)
+        if H_seg.sum() > 0:
+            H_est += ess * H_seg / H_seg.sum()
+    # legacy final-bias reweighting, kept for comparison
     cvs = np.asarray(jax.vmap(lambda p: cv_fn(jnp.asarray(p)))(jnp.asarray(samples)))
-    weights = mtd.reweighting_factors(hills, cvs, temperature_K=kT / 0.00831446)
-    H_est = hist2d(samples, weights=weights)
+    weights_final = mtd.reweighting_factors(
+        hills, cvs, temperature_K=kT / 0.00831446
+    )
+    H_final_bias = hist2d(samples, weights=weights_final)
     kpis = {
         "kl_ref_reweighted": kl_divergence(H_ref, H_est),
+        "kl_ref_final_bias_reweighted": kl_divergence(H_ref, H_final_bias),
         "kl_ref_unweighted": kl_divergence(H_ref, hist2d(samples)),
         "xy_coverage_biased": coverage_2d(
             samples[:, 0], samples[:, 1], bins=GRID_BINS, ranges=WALLS,

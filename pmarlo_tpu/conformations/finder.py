@@ -69,9 +69,17 @@ def find_conformations(
     dtrajs_for_bootstrap: Optional[Sequence[np.ndarray]] = None,
     lag_for_bootstrap: int = 10,
     picker_mode: str = "closest_to_centroid",
+    # endpoint auto-detection cascade inputs (reference state_detection.py:81)
+    fes=None,
+    its: Optional[np.ndarray] = None,
+    cvs: Optional[np.ndarray] = None,
+    refine_endpoints: bool = False,
 ) -> ConformationSet:
     """Discover metastable and transition-state conformations via TPT
-    (reference finder.py:222)."""
+    (reference finder.py:222). ``fes``/``its``/``cvs`` feed the
+    FES-minima -> timescale-gap -> population detection cascade when
+    endpoints are not given; ``refine_endpoints`` widens the detected
+    sets by committor thresholds."""
     T, pi = _validate_inputs(transition_matrix, stationary_dist)
     n = T.shape[0]
 
@@ -81,7 +89,14 @@ def find_conformations(
     # endpoint detection
     if source is None or sink is None:
         detector = StateDetector()
-        auto_src, auto_snk = detector.auto_detect(T, pi)
+        auto_src, auto_snk = detector.auto_detect(
+            T, pi, fes=fes, its=its,
+            dtrajs=dtrajs_for_bootstrap, cvs=cvs,
+        )
+        if refine_endpoints:
+            auto_src, auto_snk = detector.refine_with_committors(
+                T, auto_src, auto_snk
+            )
         source = source if source is not None else auto_src
         sink = sink if sink is not None else auto_snk
     source = np.asarray(sorted(set(int(s) for s in source)))

@@ -1,11 +1,25 @@
-"""Source/sink auto-detection for TPT
-(reference: src/pmarlo/conformations/state_detection.py:13,81 — FES minima
--> timescale gap -> population cascade; committor thresholds)."""
+"""Source/sink auto-detection for TPT.
+
+Full reconstruction of the reference cascade
+(src/pmarlo/conformations/state_detection.py:13,81 — 554 LoC):
+FES minima -> timescale gap -> population, plus the manual-specification
+surface (state indices, CV ranges, frame indices, macrostate labels) and
+committor-threshold classification.
+
+One deliberate improvement over the reference: its FES route returns RAW
+GRID indices and warns they "may produce indices incompatible with MSM"
+(reference :158-162). Here, when ``dtrajs`` + ``cvs`` are provided, FES
+basins are mapped to actual MSM microstates by steepest-descent basin
+labeling + frame voting, so the FES route produces valid endpoint sets
+instead of a documented footgun. Without the mapping data it reproduces
+the reference's grid-index behavior (with the same warning).
+"""
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -13,35 +27,422 @@ from ..msm.pcca import pcca_assignments
 from ..utils.errors import EstimationError
 from ..utils.msm_utils import stationary_distribution
 
+logger = logging.getLogger("pmarlo_tpu")
+
+
+# --- grid helpers (first-party; the reference leans on scipy.ndimage) -------
+
+
+def _local_minima_mask(F: np.ndarray) -> np.ndarray:
+    """Cells that are <= all finite 8-neighbors (NaN-padded borders)."""
+    Fp = np.pad(F, 1, constant_values=np.inf)
+    Fp = np.where(np.isnan(Fp), np.inf, Fp)
+    center = Fp[1:-1, 1:-1]
+    is_min = np.isfinite(center)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            neigh = Fp[1 + di:Fp.shape[0] - 1 + di, 1 + dj:Fp.shape[1] - 1 + dj]
+            is_min &= center <= neigh
+    return is_min
+
+
+def _steepest_descent_labels(F: np.ndarray) -> np.ndarray:
+    """Assign every finite cell to the local minimum reached by repeated
+    steepest-descent steps (8-neighborhood): the discrete watershed
+    decomposition. Returns flat-index of each cell's basin minimum
+    (-1 for non-finite cells)."""
+    n, m = F.shape
+    Fw = np.where(np.isfinite(F), F, np.inf)
+    # pointer: flat index of the lowest 8-neighbor (or self)
+    best = np.full((n, m), np.inf)
+    ptr = np.arange(n * m).reshape(n, m)
+    Fp = np.pad(Fw, 1, constant_values=np.inf)
+    idx = np.arange(n * m).reshape(n, m)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            neigh = Fp[1 + di:n + 1 + di, 1 + dj:m + 1 + dj]
+            take = neigh < best
+            best = np.where(take, neigh, best)
+            ni = np.clip(np.arange(n)[:, None] + di, 0, n - 1)
+            nj = np.clip(np.arange(m)[None, :] + dj, 0, m - 1)
+            cand = idx[ni, nj]
+            ptr = np.where(take & (neigh < Fw), cand, ptr)
+    flat_ptr = ptr.ravel()
+    # pointer doubling until fixed point (<= log2(n*m) rounds)
+    for _ in range(int(np.ceil(np.log2(max(n * m, 2)))) + 1):
+        nxt = flat_ptr[flat_ptr]
+        if np.array_equal(nxt, flat_ptr):
+            break
+        flat_ptr = nxt
+    flat_ptr = np.where(np.isfinite(Fw).ravel(), flat_ptr, -1)
+    return flat_ptr.reshape(n, m)
+
+
+def _connected_regions(mask: np.ndarray) -> Tuple[np.ndarray, int]:
+    """4-connected component labeling of a boolean grid (first-party
+    replacement for scipy.ndimage.label). Returns (labels, n_labels);
+    labels are 1-based, 0 = background."""
+    labels = np.zeros(mask.shape, dtype=np.int64)
+    current = 0
+    for i in range(mask.shape[0]):
+        for j in range(mask.shape[1]):
+            if mask[i, j] and labels[i, j] == 0:
+                current += 1
+                stack = [(i, j)]
+                labels[i, j] = current
+                while stack:
+                    a, b = stack.pop()
+                    for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        na, nb = a + da, b + db
+                        if (0 <= na < mask.shape[0] and 0 <= nb < mask.shape[1]
+                                and mask[na, nb] and labels[na, nb] == 0):
+                            labels[na, nb] = current
+                            stack.append((na, nb))
+    return labels, current
+
+
+def _cells_of_frames(
+    cvs: np.ndarray, edges: Tuple[np.ndarray, np.ndarray], shape: Tuple[int, int]
+) -> np.ndarray:
+    """Map (n_frames, 2) CV values to flat grid-cell indices (-1 outside)."""
+    xe, ye = np.asarray(edges[0]), np.asarray(edges[1])
+    ix = np.searchsorted(xe, cvs[:, 0], side="right") - 1
+    iy = np.searchsorted(ye, cvs[:, 1], side="right") - 1
+    ok = (ix >= 0) & (ix < shape[0]) & (iy >= 0) & (iy < shape[1])
+    flat = np.where(ok, ix * shape[1] + iy, -1)
+    return flat
+
 
 @dataclasses.dataclass
 class StateDetector:
     """Auto-detect reactant/product state sets on a transition matrix.
 
-    Strategy cascade (reference state_detection.py:81): split by the
-    slowest eigenmode's sign structure (timescale-gap criterion); pick the
-    highest-population microstate on each side; widen each endpoint set by
-    a population fraction.
-    """
+    ``committor_thresholds``: (lower, upper) bounds classifying
+    microstates as source (q <= lower), sink (q >= upper), or
+    transition-like (reference state_detection.py:21-37)."""
 
-    population_fraction: float = 0.5   # widen endpoints to this fraction of side mass
+    committor_thresholds: Tuple[float, float] = (0.05, 0.95)
+    population_fraction: float = 0.5   # eigenmode-route endpoint widening
     min_states_per_side: int = 1
+
+    def __post_init__(self):
+        lo, hi = self.committor_thresholds
+        if not (0.0 <= lo < hi <= 1.0):
+            raise ValueError(
+                "committor_thresholds must satisfy 0 <= lower < upper <= 1"
+            )
+
+    # --- cascade (reference :81 auto_detect) --------------------------------
 
     def auto_detect(
         self,
         T: np.ndarray,
         pi: Optional[np.ndarray] = None,
-        free_energies: Optional[np.ndarray] = None,
+        *,
+        fes=None,
+        its: Optional[np.ndarray] = None,
+        n_states: Optional[int] = None,
+        method: str = "auto",
+        dtrajs: Optional[Sequence[np.ndarray]] = None,
+        cvs: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (source_states, sink_states) as index arrays."""
+        """Returns (source_states, sink_states) as index arrays.
+
+        ``method="auto"`` tries FES -> timescale gap -> population ->
+        eigenmode (reference tries the first three; the eigenmode-sign
+        split is this repo's round-1 fallback, kept as the terminal
+        stage because it needs only T). ``fes`` is an FESResult;
+        ``dtrajs``+``cvs`` enable the basin->microstate mapping."""
         T = np.asarray(T, dtype=np.float64)
         n = T.shape[0]
         if n < 2:
             raise EstimationError("need >= 2 states for endpoint detection")
         if pi is None:
             pi = stationary_distribution(T)
+        target = 2 if n_states is None else int(n_states)
+        if target < 2:
+            raise ValueError("number of metastable states must be >= 2")
 
-        # slowest non-stationary mode via pi-symmetrized eigh
+        if method == "auto":
+            if fes is not None:
+                try:
+                    src, snk = self.detect_from_fes(
+                        fes, n_basins=target, dtrajs=dtrajs, cvs=cvs
+                    )
+                    return self._validate_indices(src, snk, n)
+                except Exception as e:  # cascade: fall through
+                    logger.debug("FES detection failed: %s", e)
+            if its is not None:
+                try:
+                    return self.detect_from_timescale_gap(
+                        T, pi, np.asarray(its), n_states=target
+                    )
+                except Exception as e:
+                    logger.debug("timescale-gap detection failed: %s", e)
+            # below the reference's first two stages, prefer the
+            # dynamics-aware eigenmode split over raw populations (which
+            # can pick two states from the SAME well); populations remain
+            # the terminal never-fails stage as in the reference
+            try:
+                return self.detect_from_eigenmode(T, pi)
+            except Exception as e:
+                logger.debug("eigenmode detection failed: %s", e)
+            return self.detect_from_populations(pi, top_n=target)
+        if method == "fes":
+            if fes is None:
+                raise ValueError("FES data required for fes method")
+            src, snk = self.detect_from_fes(
+                fes, n_basins=target, dtrajs=dtrajs, cvs=cvs
+            )
+            return self._validate_indices(src, snk, n)
+        if method == "timescale":
+            if its is None:
+                raise ValueError("implied timescales required for timescale method")
+            return self.detect_from_timescale_gap(
+                T, pi, np.asarray(its), n_states=target
+            )
+        if method == "population":
+            return self.detect_from_populations(pi, top_n=target)
+        if method == "eigenmode":
+            return self.detect_from_eigenmode(T, pi)
+        raise ValueError(
+            f"unknown detection method {method!r}; "
+            "choose from auto, fes, timescale, population, eigenmode"
+        )
+
+    @staticmethod
+    def _validate_indices(
+        source: np.ndarray, sink: np.ndarray, n_msm_states: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Drop out-of-bounds indices; fail if an endpoint set empties
+        (reference :46-82 _validate_state_indices)."""
+        vs = source[(source >= 0) & (source < n_msm_states)]
+        vk = sink[(sink >= 0) & (sink < n_msm_states)]
+        if vs.size == 0 or vk.size == 0:
+            raise EstimationError(
+                f"detected states out of bounds for MSM with {n_msm_states} "
+                f"states: source={source.tolist()}, sink={sink.tolist()}"
+            )
+        if vs.size < source.size or vk.size < sink.size:
+            logger.warning(
+                "filtered out-of-bounds endpoint states: source %d->%d, "
+                "sink %d->%d", source.size, vs.size, sink.size, vk.size,
+            )
+        return vs, vk
+
+    # --- FES route (reference :151-320) -------------------------------------
+
+    def detect_from_fes(
+        self,
+        fes,
+        n_basins: int = 2,
+        method: str = "watershed",
+        *,
+        dtrajs: Optional[Sequence[np.ndarray]] = None,
+        cvs: Optional[np.ndarray] = None,
+        basin_depth_kj: float = 5.0,
+        membership_fraction: float = 0.5,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Detect metastable basins from an FESResult.
+
+        With ``dtrajs`` + ``cvs`` (per-frame CV values on the FES axes):
+        basins are labeled by steepest descent, frames within
+        ``basin_depth_kj`` of each basin floor vote for microstates, and
+        a microstate joins an endpoint set when >= ``membership_fraction``
+        of its voting frames fall in that basin — valid MSM indices out.
+        Without them: the reference's raw-grid-index behavior + warning."""
+        F = np.asarray(getattr(fes, "free_energy", None)
+                       if hasattr(fes, "free_energy") else fes, dtype=np.float64)
+        if F.ndim != 2:
+            raise ValueError("FES must be a 2D free-energy array")
+        if n_basins < 2:
+            raise ValueError("need at least two basins")
+
+        if method == "watershed":
+            minima_flat = self._watershed_minima(F, n_basins)
+        elif method == "local_minima":
+            minima_flat = self._separated_minima(F, n_basins)
+        elif method == "threshold":
+            minima_flat = self._threshold_minima(F, n_basins)
+        else:
+            raise ValueError(f"unknown FES method {method!r}")
+        if len(minima_flat) < 2:
+            raise EstimationError("fewer than two basins found on the FES")
+
+        src_min, snk_min = int(minima_flat[0]), int(minima_flat[-1])
+
+        if dtrajs is None or cvs is None:
+            logger.warning(
+                "FES-based state detection without dtrajs/cvs returns raw "
+                "grid indices that may not match MSM states (reference "
+                "behavior); pass dtrajs= and cvs= for the microstate mapping"
+            )
+            return np.asarray([src_min]), np.asarray([snk_min])
+
+        edges = getattr(fes, "edges", None)
+        if edges is None:
+            raise ValueError("FESResult must carry bin edges for the mapping")
+        basin_of = _steepest_descent_labels(F).ravel()
+        d = np.concatenate([np.asarray(x) for x in dtrajs])
+        cvs = np.asarray(cvs, dtype=np.float64)
+        if cvs.shape[0] != d.shape[0]:
+            raise ValueError(
+                f"cvs has {cvs.shape[0]} frames but dtrajs {d.shape[0]}"
+            )
+        cell = _cells_of_frames(cvs, (edges[0], edges[1]), F.shape)
+        Fflat = F.ravel()
+
+        def _microstates(basin_min: int) -> np.ndarray:
+            floor = Fflat[basin_min]
+            in_basin = np.zeros(Fflat.shape[0], dtype=bool)
+            members = basin_of == basin_min
+            in_basin[members & (Fflat <= floor + basin_depth_kj)] = True
+            frame_in = (cell >= 0) & in_basin[np.clip(cell, 0, None)]
+            votes: Dict[int, int] = {}
+            totals: Dict[int, int] = {}
+            valid = d >= 0
+            for s in np.unique(d[valid]):
+                sel = valid & (d == s)
+                totals[int(s)] = int(sel.sum())
+                votes[int(s)] = int((sel & frame_in).sum())
+            chosen = [
+                s for s, v in votes.items()
+                if totals[s] > 0 and v / totals[s] >= membership_fraction
+            ]
+            return np.asarray(sorted(chosen), dtype=np.int64)
+
+        src = _microstates(src_min)
+        snk = _microstates(snk_min)
+        if src.size == 0 or snk.size == 0:
+            raise EstimationError(
+                "no microstate met the basin-membership threshold"
+            )
+        overlap = set(src.tolist()) & set(snk.tolist())
+        if overlap:
+            raise EstimationError(
+                f"basins share microstates {sorted(overlap)}; deepen "
+                "basin_depth_kj separation or use another method"
+            )
+        return src, snk
+
+    @staticmethod
+    def _watershed_minima(F: np.ndarray, n_basins: int) -> List[int]:
+        """Local minima of the labeled watershed decomposition, ordered by
+        free energy (reference :194-240 _watershed_basins)."""
+        mask = _local_minima_mask(F)
+        labels, n_labels = _connected_regions(mask)
+        minima: List[Tuple[float, int]] = []
+        for lab in range(1, n_labels + 1):
+            coords = np.where(labels == lab)
+            k = np.argmin(F[coords])
+            flat = int(coords[0][k] * F.shape[1] + coords[1][k])
+            minima.append((float(F.ravel()[flat]), flat))
+        minima.sort()
+        return [flat for _, flat in minima[:n_basins]]
+
+    @staticmethod
+    def _separated_minima(F: np.ndarray, n_basins: int) -> List[int]:
+        """n lowest grid points pairwise separated by a minimum distance
+        (reference :242-283 _local_minima_basins)."""
+        order = np.argsort(np.where(np.isfinite(F.ravel()), F.ravel(), np.inf))
+        min_dist = max(2, F.shape[0] // (n_basins * 2))
+        chosen: List[Tuple[int, int]] = []
+        flats: List[int] = []
+        for flat in order:
+            if len(flats) >= n_basins:
+                break
+            pos = np.unravel_index(flat, F.shape)
+            if not np.isfinite(F[pos]):
+                break
+            if all(np.hypot(pos[0] - a, pos[1] - b) > min_dist
+                   for a, b in chosen):
+                chosen.append((int(pos[0]), int(pos[1])))
+                flats.append(int(flat))
+        return flats
+
+    @staticmethod
+    def _threshold_minima(F: np.ndarray, n_basins: int) -> List[int]:
+        """Connected low-energy regions below the 20th percentile, largest
+        first (reference :285-320 _threshold_basins)."""
+        finite = F[np.isfinite(F)]
+        if finite.size == 0:
+            raise EstimationError("FES has no finite bins")
+        threshold = np.percentile(finite, 20)
+        mask = np.isfinite(F) & (F < threshold)
+        labels, n_labels = _connected_regions(mask)
+        if n_labels < 2:
+            raise EstimationError("threshold detection found <2 basins")
+        sizes = [(int((labels == i).sum()), i) for i in range(1, n_labels + 1)]
+        sizes.sort(reverse=True)
+        out: List[int] = []
+        for _, lab in sizes[:n_basins]:
+            coords = np.where(labels == lab)
+            k = np.argmin(F[coords])
+            out.append(int(coords[0][k] * F.shape[1] + coords[1][k]))
+        return out
+
+    # --- timescale-gap route (reference :324-392) ---------------------------
+
+    def detect_from_timescale_gap(
+        self,
+        T: np.ndarray,
+        pi: np.ndarray,
+        its: np.ndarray,
+        n_states: Optional[int] = None,
+        gap_threshold: float = 2.0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Timescale-gap + PCCA+: lump into the requested number of
+        macrostates, endpoints = the two most populated macrostates."""
+        its = np.asarray(its, dtype=np.float64).ravel()
+        if its.size < 2:
+            raise EstimationError("at least two implied timescales required")
+        target = 2 if n_states is None else int(n_states)
+        ratios = its[:-1] / np.maximum(its[1:], 1e-10)
+        gap_idx = int(np.argmax(ratios))
+        if ratios[gap_idx] < gap_threshold:
+            logger.debug(
+                "no clear timescale gap (max ratio %.2f)", ratios[gap_idx]
+            )
+        if target > T.shape[0]:
+            raise EstimationError(
+                "requested metastable states exceed microstate count"
+            )
+        labels, _ = pcca_assignments(np.asarray(T, dtype=np.float64),
+                                     target, np.asarray(pi))
+        pops = [float(pi[labels == m].sum()) for m in range(target)]
+        order = np.argsort(pops)[::-1]
+        src = np.where(labels == order[0])[0]
+        snk = np.where(labels == order[min(1, len(order) - 1)])[0]
+        if src.size == 0 or snk.size == 0:
+            raise EstimationError("PCCA produced an empty endpoint macrostate")
+        return src, snk
+
+    # --- population route (reference :394-418) ------------------------------
+
+    def detect_from_populations(
+        self, pi: np.ndarray, top_n: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Most-populated state as source, n-th most-populated as sink."""
+        pi = np.asarray(pi, dtype=np.float64)
+        target = 2 if top_n is None else int(top_n)
+        order = np.argsort(pi)[::-1][:target]
+        if order.size < 2:
+            raise EstimationError("at least two populated states required")
+        return np.asarray([order[0]]), np.asarray([order[-1]])
+
+    # --- eigenmode route (round-1 design, kept as terminal fallback) --------
+
+    def detect_from_eigenmode(
+        self, T: np.ndarray, pi: Optional[np.ndarray] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Split by the slowest eigenmode's sign structure; widen each side
+        to ``population_fraction`` of its mass (needs only T)."""
+        T = np.asarray(T, dtype=np.float64)
+        n = T.shape[0]
+        if pi is None:
+            pi = stationary_distribution(T)
         sqrt_pi = np.sqrt(np.maximum(pi, 1e-300))
         T_sym = 0.5 * (
             sqrt_pi[:, None] * T / sqrt_pi[None, :]
@@ -51,25 +452,17 @@ class StateDetector:
         order = np.argsort(evals)[::-1]
         if n < 2 or len(order) < 2:
             raise EstimationError("degenerate spectrum")
-        phi2 = evecs[:, order[1]] / sqrt_pi  # slowest dynamical mode
-
+        phi2 = evecs[:, order[1]] / sqrt_pi
         side_a = np.where(phi2 <= 0)[0]
         side_b = np.where(phi2 > 0)[0]
         if side_a.size == 0 or side_b.size == 0:
-            # fall back: split by free energy / population extremes
             order_pop = np.argsort(-pi)
             return order_pop[:1], order_pop[-1:]
-
-        src = self._widen(side_a, pi, phi2)
-        snk = self._widen(side_b, pi, phi2)
-        return src, snk
+        return self._widen(side_a, pi, phi2), self._widen(side_b, pi, phi2)
 
     def _widen(self, side: np.ndarray, pi: np.ndarray, phi2: np.ndarray) -> np.ndarray:
-        """Take the most extreme-committed, highest-population states up to
-        the configured population fraction of the side."""
         side_pi = pi[side]
         target = self.population_fraction * side_pi.sum()
-        # order by |phi2| * pi: deep and populated first
         score = np.abs(phi2[side]) * side_pi
         order = side[np.argsort(-score)]
         chosen: List[int] = []
@@ -81,11 +474,66 @@ class StateDetector:
                 break
         return np.asarray(sorted(chosen), dtype=np.int64)
 
+    # --- manual specification surface (reference :421-553) ------------------
+
+    def from_state_indices(
+        self, source_indices: Sequence[int], sink_indices: Sequence[int]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        return (np.asarray(source_indices, dtype=np.int64),
+                np.asarray(sink_indices, dtype=np.int64))
+
+    def from_cv_ranges(
+        self,
+        cv_data: np.ndarray,
+        cv_name: str,
+        source_range: Tuple[float, float],
+        sink_range: Tuple[float, float],
+        dtrajs: Optional[Sequence[np.ndarray]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Endpoints from CV value windows, mapped through dtrajs when
+        given (reference :436-485)."""
+        cv_data = np.asarray(cv_data).ravel()
+        sf = np.where((cv_data >= source_range[0]) & (cv_data <= source_range[1]))[0]
+        kf = np.where((cv_data >= sink_range[0]) & (cv_data <= sink_range[1]))[0]
+        if sf.size == 0 or kf.size == 0:
+            raise EstimationError(
+                f"no frames in the specified CV ranges for {cv_name}: "
+                f"source={source_range}, sink={sink_range}"
+            )
+        if dtrajs is None:
+            return sf, kf
+        d = np.concatenate([np.asarray(x) for x in dtrajs])
+        src = np.unique(d[sf])
+        snk = np.unique(d[kf])
+        return src[src >= 0], snk[snk >= 0]
+
+    def from_frame_indices(
+        self,
+        source_frames: Sequence[int],
+        sink_frames: Sequence[int],
+        dtrajs: Sequence[np.ndarray],
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        d = np.concatenate([np.asarray(x) for x in dtrajs])
+        src = np.unique(d[np.asarray(list(source_frames), dtype=np.int64)])
+        snk = np.unique(d[np.asarray(list(sink_frames), dtype=np.int64)])
+        return src[src >= 0], snk[snk >= 0]
+
+    def from_macrostate_labels(
+        self, macrostate_labels: np.ndarray, source_id: int, sink_id: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        labels = np.asarray(macrostate_labels)
+        src = np.where(labels == source_id)[0]
+        snk = np.where(labels == sink_id)[0]
+        if src.size == 0 or snk.size == 0:
+            raise EstimationError(
+                f"no states for macrostate ids {source_id}/{sink_id}"
+            )
+        return src, snk
+
     def from_macrostates(
         self, T: np.ndarray, n_macrostates: int = 2, pi: Optional[np.ndarray] = None
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(source, sink, assignments) using the two most-populated
-        PCCA+ macrostates as endpoints."""
+        """(source, sink, assignments) using PCCA+ macrostates 0/1."""
         if pi is None:
             pi = stationary_distribution(np.asarray(T, dtype=np.float64))
         labels, _ = pcca_assignments(T, n_macrostates, pi)
@@ -94,6 +542,42 @@ class StateDetector:
         if source.size == 0 or sink.size == 0:
             raise EstimationError("PCCA produced an empty endpoint macrostate")
         return source, sink, labels
+
+    # --- committor classification / refinement (reference :487-505) ---------
+
+    def classify_committor_states(
+        self, committors: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(source, sink, transition) microstates by committor thresholds."""
+        q = np.asarray(committors, dtype=np.float64)
+        if q.ndim != 1:
+            raise ValueError("committors array must be one-dimensional")
+        lo, hi = self.committor_thresholds
+        return (np.where(q <= lo)[0], np.where(q >= hi)[0],
+                np.where((q > lo) & (q < hi))[0])
+
+    def refine_with_committors(
+        self,
+        T: np.ndarray,
+        source: np.ndarray,
+        sink: np.ndarray,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Widen detected endpoints to every state committed past the
+        thresholds: solve the forward committor for the seed sets, then
+        classify (the reference's committor-threshold endpoint refinement
+        used by finder.py:387-416)."""
+        from ..msm.tpt import committors
+
+        T = np.asarray(T, dtype=np.float64)
+        q, _ = committors(T, np.asarray(source, dtype=np.int64),
+                          np.asarray(sink, dtype=np.int64))
+        src, snk, _ = self.classify_committor_states(q)
+        # seeds always stay in their own set
+        src = np.unique(np.concatenate([src, np.asarray(source, dtype=np.int64)]))
+        snk = np.unique(np.concatenate([snk, np.asarray(sink, dtype=np.int64)]))
+        if set(src.tolist()) & set(snk.tolist()):
+            raise EstimationError("committor refinement produced overlapping sets")
+        return src, snk
 
 
 __all__ = ["StateDetector"]

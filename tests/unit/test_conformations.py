@@ -13,6 +13,7 @@ from pmarlo_tpu.conformations.state_detection import StateDetector
 from pmarlo_tpu.msm.tpt import committors, mfpt_matrix, reactive_flux
 from pmarlo_tpu.msm.pcca import pcca_assignments
 from pmarlo_tpu.utils.errors import EstimationError
+from pmarlo_tpu.utils.msm_utils import stationary_distribution as _stationary
 
 
 def _chain_T(n=10, p=0.45):
@@ -122,3 +123,126 @@ def test_frame_lookup_and_picker():
         assert len(picks[0]) == 2 and len(picks[1]) == 2
         for p in picks[0]:
             assert dtraj[p["global_frame"]] == 0
+
+
+# --- state-detection cascade (reference state_detection.py:81) -------------
+
+
+def _double_well_fes(bins=24):
+    """Synthetic 2D FES with two separated basins."""
+    x = np.linspace(-2, 2, bins)
+    y = np.linspace(-2, 2, bins)
+    xx, yy = np.meshgrid(x, y, indexing="ij")
+    # basins at (-1, 0) and (1, 0), ~12 kJ/mol barrier
+    F = 12.0 * (1 - np.exp(-((xx + 1) ** 2 + yy**2))
+                - np.exp(-((xx - 1) ** 2 + yy**2)))
+    edges = (np.linspace(-2, 2, bins + 1), np.linspace(-2, 2, bins + 1))
+    return F, edges
+
+
+class _FakeFES:
+    def __init__(self, F, edges):
+        self.free_energy = F
+        self.edges = edges
+
+
+def test_detect_from_fes_grid_indices():
+    F, edges = _double_well_fes()
+    det = StateDetector()
+    src, snk = det.detect_from_fes(_FakeFES(F, edges), n_basins=2)
+    # raw grid-index mode: two distinct flat indices near the two minima
+    assert src.size == 1 and snk.size == 1 and src[0] != snk[0]
+    si, sj = np.unravel_index(src[0], F.shape)
+    ki, kj = np.unravel_index(snk[0], F.shape)
+    xs = np.linspace(-2, 2, F.shape[0])
+    assert {round(float(xs[si])), round(float(xs[ki]))} == {-1, 1}
+
+
+def test_detect_from_fes_maps_to_microstates():
+    """With dtrajs + cvs, basins map to valid MSM microstates (the
+    deliberate fix of the reference's grid-index mismatch)."""
+    F, edges = _double_well_fes()
+    rng = np.random.default_rng(1)
+    # microstates 0/1 in the left basin, 2/3 in the right
+    n = 400
+    d = np.concatenate([
+        rng.integers(0, 2, n),      # left basin frames
+        rng.integers(2, 4, n),      # right basin frames
+    ])
+    cvs = np.concatenate([
+        rng.normal([-1, 0], 0.25, (n, 2)),
+        rng.normal([1, 0], 0.25, (n, 2)),
+    ])
+    det = StateDetector()
+    src, snk = det.detect_from_fes(
+        _FakeFES(F, edges), n_basins=2, dtrajs=[d], cvs=cvs
+    )
+    # basin depths are equal analytically, so source/sink order between
+    # the two wells is discretization-dependent — accept either
+    assert {frozenset(src.tolist()), frozenset(snk.tolist())} == {
+        frozenset({0, 1}), frozenset({2, 3})
+    }
+
+
+def test_auto_detect_cascade_order():
+    """FES route wins when fes is given; timescale when only its; the
+    terminal stages otherwise."""
+    T = np.array([
+        [0.95, 0.05, 0.00],
+        [0.10, 0.80, 0.10],
+        [0.00, 0.05, 0.95],
+    ])
+    det = StateDetector()
+    # timescale route: 2-macrostate PCCA split
+    src, snk = det.auto_detect(T, its=np.array([50.0, 2.0]), method="auto")
+    assert set(src.tolist()).isdisjoint(snk.tolist())
+    assert src.size + snk.size >= 2
+    # population route explicit
+    src, snk = det.auto_detect(T, method="population")
+    assert src.size == 1 and snk.size == 1
+    # bad method fails fast
+    with pytest.raises(ValueError, match="unknown detection method"):
+        det.auto_detect(T, method="nope")
+
+
+def test_timescale_gap_route_splits_wells():
+    T = np.array([
+        [0.98, 0.02, 0.00, 0.00],
+        [0.02, 0.97, 0.01, 0.00],
+        [0.00, 0.01, 0.97, 0.02],
+        [0.00, 0.00, 0.02, 0.98],
+    ])
+    det = StateDetector()
+    src, snk = det.detect_from_timescale_gap(
+        T, _stationary(T), np.array([80.0, 5.0, 1.0]), n_states=2
+    )
+    assert set(src.tolist()) | set(snk.tolist()) == {0, 1, 2, 3}
+    assert {tuple(sorted(src.tolist())), tuple(sorted(snk.tolist()))} == {
+        (0, 1), (2, 3)
+    }
+
+
+def test_committor_classification_and_refinement():
+    T = _chain_T(5, p=0.3)
+    det = StateDetector(committor_thresholds=(0.2, 0.8))
+    src, snk = det.refine_with_committors(T, np.array([0]), np.array([4]))
+    assert 0 in src.tolist() and 4 in snk.tolist()
+    assert set(src.tolist()).isdisjoint(snk.tolist())
+    q = np.array([0.0, 0.1, 0.5, 0.9, 1.0])
+    s, k, t = det.classify_committor_states(q)
+    assert s.tolist() == [0, 1] and k.tolist() == [3, 4] and t.tolist() == [2]
+
+
+def test_manual_specification_surface():
+    det = StateDetector()
+    d = [np.array([0, 0, 1, 1, 2, 2])]
+    src, snk = det.from_frame_indices([0, 1], [4, 5], d)
+    assert src.tolist() == [0] and snk.tolist() == [2]
+    cv = np.array([-1.0, -0.9, 0.0, 0.1, 1.0, 1.1])
+    src, snk = det.from_cv_ranges(cv, "x", (-1.2, -0.5), (0.9, 1.2), dtrajs=d)
+    assert src.tolist() == [0] and snk.tolist() == [2]
+    labels = np.array([0, 0, 1, 1])
+    src, snk = det.from_macrostate_labels(labels, 0, 1)
+    assert src.tolist() == [0, 1] and snk.tolist() == [2, 3]
+    with pytest.raises(EstimationError):
+        det.from_macrostate_labels(labels, 0, 7)

@@ -96,8 +96,34 @@ def test_hyperparameter_ensemble_consistency(chain_dtrajs):
     q = UncertaintyQuantifier()
     out = q.hyperparameter_ensemble(chain_dtrajs, lags=[1, 2, 4],
                                     n_states=4, source=[0], sink=[2])
-    assert set(out) == {1, 2, 4}
-    rates = [out[l]["rate"] for l in (1, 2, 4)]
+    by_lag = {m["params"]["lag"]: m for m in out["members"]}
+    assert set(by_lag) == {1, 2, 4}
+    rates = [by_lag[l]["rate"] for l in (1, 2, 4)]
     assert all(np.isfinite(r) and r > 0 for r in rates)
     # Markovian: per-step rate roughly lag-independent (within 3x)
     assert max(rates) / min(rates) < 3.0
+    pooled = out["pooled"]["rate"]
+    assert pooled["n_samples"] == 3
+    assert pooled["ci_lower"] <= pooled["mean"] <= pooled["ci_upper"]
+
+
+def test_hyperparameter_ensemble_recluster_grid(chain_dtrajs):
+    """Full grid: lag x n_clusters x seed with reclustering from features
+    (reference uncertainty.py:263). Rates pool into CIs and stay in the
+    same order of magnitude across clusterings."""
+    rng = np.random.default_rng(0)
+    # 1D features whose value encodes the latent chain state + noise
+    feats = [d[:, None].astype(np.float64) + rng.normal(0, 0.15, (len(d), 1))
+             for d in chain_dtrajs]
+    q = UncertaintyQuantifier()
+    out = q.hyperparameter_ensemble(
+        chain_dtrajs, lags=[1, 2], n_states=4, source=[0], sink=[2],
+        features=feats, n_clusters_grid=[4, 6], seeds=[0, 1],
+    )
+    assert len(out["members"]) >= 4
+    params = {(m["params"]["n_clusters"], m["params"]["seed"])
+              for m in out["members"]}
+    assert len(params) >= 2  # grid actually varied
+    pooled = out["pooled"]["rate"]
+    assert pooled["n_samples"] == len(out["members"])
+    assert 0 < pooled["ci_lower"] <= pooled["ci_upper"]
