@@ -1,0 +1,274 @@
+"""Pallas cell-list kernel: O(N) periodic nonbonded forces on TPU.
+
+This is the scaling replacement for md/pallas_periodic.py's dense
+(N, N) sweep (VERDICT r2 missing #1). Design (see md/cells.py for the
+layout):
+
+* Atoms live in a sorted ``(C_FEAT, S)`` slot array (cells z-fastest,
+  fixed capacity M per cell). One kernel block processes a full
+  (cx, cy) z-column of cells: M * nz rows.
+* The 27-cell neighborhood of that column is NINE CONTIGUOUS RUNS of
+  the ghost-padded array — one (7, (nz+2)*M) slice per (dx, dy)
+  neighbor column. Each run is a separate pallas input whose BlockSpec
+  index map is just ``(i+dx+1)*Gy + (j+dy+1)``: the pipeline DMAs all
+  nine runs per block with zero gather work.
+* Inside the kernel a ``fori_loop`` walks the column's z-cells; row
+  cell zc interacts with ghost z-window [zc, zc+3) of each neighbor run
+  (= real cells zc-1..zc+1, coordinates pre-shifted so no minimum-image
+  math). Pair tile per step: (M, 27M).
+* Physics matches md/pallas_periodic.py exactly: potential-shifted LJ +
+  reaction-field Coulomb (OpenMM CutoffPeriodic semantics), but at
+  UNIFORM full strength — exclusions/1-4 scaling are corrected outside
+  the kernel from the sparse pair list (md/cells.py exclusion_pairs),
+  which removes the O(N^2) scale matrices.
+
+Work per atom is 27*M ~ a few thousand candidates independent of N
+(vs N candidates for the dense sweep): the crossover vs dense is around
+2-3k atoms and the advantage grows linearly. Validation:
+tests/unit/test_pallas_cells.py asserts energy/force parity against the
+dense XLA path on water boxes and the solvated-chignolin system.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import COULOMB_CONSTANT_KJ_NM_PER_MOL_E2
+from .cells import (
+    C_FEAT,
+    CellGrid,
+    bin_atoms,
+    exclusion_pairs,
+    ghost_pad,
+    make_cell_grid,
+    molecule_groups,
+    scatter_features,
+)
+from .system import System
+
+_EPS = 1e-12
+_NEIGHBOR_RUNS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool):
+    """pallas_call computing per-slot energy rows and forces from the
+    sorted slot array + its ghost. Returns fn(slots, ghost) ->
+    (e (S, 1), F (S, 3))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = grid.capacity
+    nz = grid.nz
+    Gy, Gz = grid.ny + 2, grid.nz + 2
+    rows_per_block = nz * M
+    run_width = Gz * M
+
+    rc = float(system.cutoff)
+    eps_rf = float(system.solvent_dielectric)
+    k_rf = (eps_rf - 1.0) / ((2.0 * eps_rf + 1.0) * rc**3)
+    c_rf = 1.0 / rc + k_rf * rc * rc
+    ke = COULOMB_CONSTANT_KJ_NM_PER_MOL_E2 / float(system.solute_dielectric)
+
+    def kernel(rows_ref, *refs):
+        g_refs = refs[:9]
+        e_ref, F_ref = refs[9], refs[10]
+        rows = rows_ref[...]                      # (7, nz*M)
+        cols = jnp.concatenate([g[...] for g in g_refs], axis=1)
+        # cols: (7, 9*Gz*M); neighbor-run r's ghost window for row-cell zc
+        # is cols[:, r*run_width + zc*M : ... + 3*M]
+
+        def body(zc, _):
+            r = jax.lax.dynamic_slice_in_dim(rows, zc * M, M, axis=1)  # (7, M)
+            win = [
+                jax.lax.dynamic_slice_in_dim(
+                    cols, k * run_width + zc * M, 3 * M, axis=1
+                )
+                for k in range(9)
+            ]
+            c = jnp.concatenate(win, axis=1)      # (7, 27M)
+            dd0 = r[0][:, None] - c[0][None, :]
+            dd1 = r[1][:, None] - c[1][None, :]
+            dd2 = r[2][:, None] - c[2][None, :]
+            r2 = dd0 * dd0 + dd1 * dd1 + dd2 * dd2
+            not_self = (r2 > 1e-8).astype(r2.dtype)
+            rr = jnp.where(r2 > 1e-8, jnp.sqrt(r2 + _EPS), 1.0)
+            inv_r = 1.0 / rr
+            # same-molecule-group pairs (waters/ions) are fully excluded
+            # IN-KERNEL: subtracting their r^-12 terms afterwards would
+            # catastrophically cancel in f32 (md/cells.py C_FEAT note)
+            diff_mol = (r[7][:, None] != c[7][None, :]).astype(r2.dtype)
+            one = r[6][:, None] * c[6][None, :] * not_self * diff_mol
+            within = (rr < rc).astype(r2.dtype) * one
+
+            sig_ij = 0.5 * (r[4][:, None] + c[4][None, :])
+            eps_ij = jnp.sqrt(r[5][:, None] * c[5][None, :] + _EPS)
+            sr6 = (sig_ij * inv_r) ** 6
+            sr6c = (sig_ij * (1.0 / rc)) ** 6
+            e_lj = 4.0 * eps_ij * ((sr6 * sr6 - sr6) - (sr6c * sr6c - sr6c))
+            qq = r[3][:, None] * c[3][None, :]
+            e_rf = ke * qq * (inv_r + k_rf * rr * rr - c_rf)
+            e_row = 0.5 * jnp.sum((e_lj + e_rf) * within,
+                                  axis=1, keepdims=True)
+
+            w_lj = 4.0 * eps_ij * (-12.0 * sr6 * sr6 + 6.0 * sr6) * inv_r
+            w_rf = ke * qq * (-inv_r * inv_r + 2.0 * k_rf * rr)
+            W = (w_lj + w_rf) * within * inv_r
+            f0 = -jnp.sum(W * dd0, axis=1, keepdims=True)
+            f1 = -jnp.sum(W * dd1, axis=1, keepdims=True)
+            f2 = -jnp.sum(W * dd2, axis=1, keepdims=True)
+            e_ref[pl.ds(zc * M, M), :] = e_row
+            F_ref[pl.ds(zc * M, M), :] = jnp.concatenate([f0, f1, f2], axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, nz, body, 0)
+
+    vmem = pltpu.VMEM
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
+    row_spec = pl.BlockSpec((C_FEAT, rows_per_block),
+                            (lambda i, j: (0, i * grid.ny + j)),
+                            memory_space=vmem)
+    ghost_specs = [
+        pl.BlockSpec(
+            (C_FEAT, run_width),
+            (lambda i, j, dx=dx, dy=dy: (0, (i + dx + 1) * Gy + (j + dy + 1))),
+            memory_space=vmem,
+        )
+        for dx, dy in _NEIGHBOR_RUNS
+    ]
+    out_e_spec = pl.BlockSpec((rows_per_block, 1),
+                              (lambda i, j: (i * grid.ny + j, 0)),
+                              memory_space=vmem)
+    out_F_spec = pl.BlockSpec((rows_per_block, 3),
+                              (lambda i, j: (i * grid.ny + j, 0)),
+                              memory_space=vmem)
+
+    S = grid.n_slots
+    # analytic cost: pairs = S * 27M, ~45 flops each (LJ+RF+forces)
+    cost = pl.CostEstimate(
+        flops=int(S) * 27 * M * 45,
+        bytes_accessed=(C_FEAT * S + 9 * C_FEAT * (grid.nx + 2) * Gy * run_width
+                        + 4 * S) * 4,
+        transcendentals=int(S) * 27 * M,
+    )
+
+    def sweep(slots, ghost):
+        return pl.pallas_call(
+            kernel,
+            grid=(grid.nx, grid.ny),
+            compiler_params=params,
+            cost_estimate=cost,
+            out_shape=(jax.ShapeDtypeStruct((S, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((S, 3), jnp.float32)),
+            in_specs=[row_spec] + ghost_specs,
+            out_specs=(out_e_spec, out_F_spec),
+            interpret=interpret,
+        )(slots, *([ghost] * 9))
+
+    return sweep
+
+
+def build_cell_force_fn(
+    system: System,
+    *,
+    interpret: bool = False,
+    occupancy_margin: float = 1.4,
+) -> Callable:
+    """Jitted ``fn(x (N,3)) -> (energy, forces (N,3))`` for the FULL
+    periodic potential via the cell-list kernel (pair stage) + sparse
+    exclusion corrections + XLA bonded terms.
+
+    Matches build_periodic_force_fn (the dense sweep) bit-for-physics:
+    same LJ shift, reaction field, 1-4 semantics; parity tested in
+    tests/unit/test_pallas_cells.py."""
+    if system.box is None:
+        raise ValueError("build_cell_force_fn needs system.box")
+    n = system.n_atoms
+    grid = make_cell_grid(tuple(float(b) for b in system.box),
+                          float(system.cutoff), n,
+                          occupancy_margin=occupancy_margin)
+    sweep = _build_cell_sweep(grid, system, interpret)
+
+    q = jnp.asarray(np.asarray(system.charges, np.float32))
+    sig = jnp.asarray(np.asarray(system.lj_sigma, np.float32))
+    eps = jnp.asarray(np.asarray(system.lj_eps, np.float32))
+    groups_np = molecule_groups(system)
+    groups = jnp.asarray(groups_np)
+
+    excl_idx, excl_se, excl_sl, excl_counted = exclusion_pairs(
+        system, groups_np
+    )
+    e_i = jnp.asarray(excl_idx[:, 0])
+    e_j = jnp.asarray(excl_idx[:, 1])
+    se = jnp.asarray(excl_se)
+    sl = jnp.asarray(excl_sl)
+    counted = jnp.asarray(excl_counted)
+
+    bx, by, bz = (float(b) for b in system.box)
+    box_arr = jnp.asarray([bx, by, bz], jnp.float32)
+    rc = float(system.cutoff)
+    eps_rf = float(system.solvent_dielectric)
+    k_rf = (eps_rf - 1.0) / ((2.0 * eps_rf + 1.0) * rc**3)
+    c_rf = 1.0 / rc + k_rf * rc * rc
+    ke = COULOMB_CONSTANT_KJ_NM_PER_MOL_E2 / float(system.solute_dielectric)
+
+    def correction_energy(x):
+        """What the uniform kernel counted for scaled pairs, replaced by
+        the dense-kernel semantics (md/pallas_periodic.py:110-117):
+        LJ scaled by sl inside the cutoff; electrostatics = RF if
+        se >= 1 else UNCUT plain Coulomb * se (1-4 pairs)."""
+        if excl_idx.shape[0] == 0:
+            return jnp.zeros((), x.dtype)
+        d = x[e_i] - x[e_j]
+        d = d - box_arr * jnp.round(d / box_arr)
+        r2 = jnp.sum(d * d, axis=1)
+        r = jnp.sqrt(r2 + _EPS)
+        inv_r = 1.0 / r
+        within = (r < rc).astype(x.dtype)
+        sig_ij = 0.5 * (sig[e_i] + sig[e_j])
+        eps_ij = jnp.sqrt(eps[e_i] * eps[e_j] + _EPS)
+        sr6 = (sig_ij * inv_r) ** 6
+        sr6c = (sig_ij * (1.0 / rc)) ** 6
+        lj_full = 4.0 * eps_ij * ((sr6 * sr6 - sr6) - (sr6c * sr6c - sr6c))
+        qq = q[e_i] * q[e_j]
+        rf = ke * qq * (inv_r + k_rf * r * r - c_rf)
+        # what the kernel summed: the full term for different-group
+        # pairs, nothing for same-group (masked in-kernel)
+        kernel_counted = (lj_full + rf) * within * counted
+        full = (se >= 1.0).astype(x.dtype)
+        want = (lj_full * sl * within
+                + rf * within * full
+                + ke * qq * inv_r * se * (1.0 - full))
+        return jnp.sum(want - kernel_counted)
+
+    from .forces import angle_energy, bond_energy, torsion_energy
+
+    def bonded_energy(x):
+        return (bond_energy(system, x) + angle_energy(system, x)
+                + torsion_energy(system, x))
+
+    @jax.jit
+    def force_fn(x):
+        x = x.astype(jnp.float32)
+        slot, _, overflow, xw = bin_atoms(grid, x)
+        slots = scatter_features(grid, xw, slot, q, sig, eps, groups)
+        ghost = ghost_pad(grid, slots)
+        e_rows, F_slots = sweep(slots, ghost)
+        F_pair = F_slots[slot]
+        e_c, g_c = jax.value_and_grad(correction_energy)(x)
+        e_b, g_b = jax.value_and_grad(bonded_energy)(x)
+        # a cell overflow silently drops interactions -> poison loudly
+        poison = jnp.where(overflow, jnp.nan, 0.0).astype(jnp.float32)
+        energy = jnp.sum(e_rows) + e_c + e_b + poison
+        forces = F_pair - g_c - g_b + poison
+        return energy, forces
+
+    force_fn.grid = grid  # introspection for tests/benchmarks
+    return force_fn
+
+
+__all__ = ["build_cell_force_fn"]

@@ -7,4 +7,7 @@ from .remd import (
     run_replica_exchange,
 )
 
-__all__ = ["RemdConfig", "RemdResult", "ReplicaExchange", "run_replica_exchange"]
+from .ladder import suggest_temperature_ladder
+
+__all__ = ["RemdConfig", "RemdResult", "ReplicaExchange",
+           "run_replica_exchange", "suggest_temperature_ladder"]

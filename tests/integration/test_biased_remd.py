@@ -31,6 +31,7 @@ def alanine():
     return system, positions, topo, TopologyInfo.from_topology(topo)
 
 
+@pytest.mark.slow
 def test_deeptica_biased_remd_end_to_end(alanine):
     system, positions, topo, info = alanine
 
@@ -71,6 +72,7 @@ def test_deeptica_biased_remd_end_to_end(alanine):
     assert 0.0 <= out.mean_acceptance <= 1.0
 
 
+@pytest.mark.slow
 def test_metadynamics_biased_md(alanine):
     """Well-tempered metadynamics in DeepTICA CV space inside plain MD."""
     from pmarlo_tpu.md.integrate import run_md, thermalize

@@ -36,6 +36,7 @@ def _make_dataset(n_shards=5, frames=200, seed=0):
     return shards
 
 
+@pytest.mark.slow
 def test_discretize_accounting():
     shards = _make_dataset()
     result = discretize_dataset(shards, n_states=4, lag=2, seed=0)
@@ -60,6 +61,7 @@ def test_discretize_rejects_nonfinite():
         discretize_dataset(shards, n_states=4, lag=1)
 
 
+@pytest.mark.slow
 def test_low_count_pruning():
     shards = _make_dataset(1, frames=100)
     result = discretize_dataset(shards, n_states=8, lag=1, min_state_count=5)

@@ -22,6 +22,7 @@ def _check(system, positions, tol=1e-4):
     assert np.abs(np.asarray(f) - f_ref).max() / scale < tol
 
 
+@pytest.mark.slow
 def test_alanine_matches_autodiff(alanine_system):
     system, positions, _ = alanine_system
     _check(system, positions)
@@ -39,6 +40,7 @@ def test_perturbed_configurations_match(alanine_system):
         _check(system, x)
 
 
+@pytest.mark.slow
 def test_chignolin_matches_autodiff():
     from pmarlo_tpu.data import chignolin_path
     from pmarlo_tpu.io.pdb import read_pdb

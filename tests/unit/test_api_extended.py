@@ -78,6 +78,7 @@ def test_feature_cache_eviction(alanine_md):
     assert len(F._FEATURE_CACHE) == 0
 
 
+@pytest.mark.slow
 def test_analyze_msm_end_to_end(alanine_md, tmp_path):
     traj, top = alanine_md
     msm = api.analyze_msm(

@@ -38,6 +38,7 @@ def _check_parity(system, x, atol_e=1e-3, atol_f=1e-3):
                                atol=atol_f, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_alanine_parity():
     system, x = build_system(alanine_dipeptide_structure())
     _check_parity(system, jnp.asarray(x, jnp.float32))
@@ -51,6 +52,7 @@ def test_alanine_perturbed_parity():
         _check_parity(system, jnp.asarray(xp, jnp.float32))
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not CHIGNOLIN.exists(), reason="chignolin not mounted")
 def test_chignolin_parity():
     from pmarlo_tpu.io.pdb import read_pdb

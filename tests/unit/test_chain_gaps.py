@@ -49,6 +49,7 @@ def test_gap_not_bonded_across():
         assert d < 2.5, (topo.atom_names[int(a)], topo.atom_names[int(b)], d)
 
 
+@pytest.mark.slow
 def test_gap_fragments_have_finite_energy():
     import jax.numpy as jnp
 

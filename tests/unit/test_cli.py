@@ -31,6 +31,7 @@ def test_cli_no_command_defaults_to_info(capsys):
     assert main([]) == 0
 
 
+@pytest.mark.slow
 def test_cli_run_segment(tmp_path, capsys):
     from pmarlo_tpu.data import alanine_dipeptide_structure
     from pmarlo_tpu.io.pdb import write_pdb

@@ -55,6 +55,7 @@ def test_rattle_removes_bond_velocities(constrained_system):
     assert radial.max() < 1e-4
 
 
+@pytest.mark.slow
 def test_constrained_dynamics_2fs_hmr15(constrained_system):
     """The reference protocol: 2 fs, HMR 1.5, H-bonds constrained —
     dynamics must stay stable and on the constraint manifold."""

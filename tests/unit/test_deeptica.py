@@ -61,6 +61,7 @@ def test_whitening_strict_flags():
         apply_output_transform(np.zeros((5, 2)), {"mean": np.zeros(2)})
 
 
+@pytest.mark.slow
 def test_train_smoke_and_persistence(tmp_path):
     rng = np.random.default_rng(3)
     # hidden slow mode in 3 observed dims

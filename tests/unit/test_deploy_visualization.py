@@ -28,6 +28,7 @@ def test_deploy_worker_tpt_mode(tmp_path):
     assert result["n_conformations"] >= 1
 
 
+@pytest.mark.slow
 def test_deploy_worker_deeptica_mode(tmp_path):
     result = deploy_worker.run_mode(4, tmp_path)
     assert result["status"] == "completed"

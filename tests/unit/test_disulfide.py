@@ -71,6 +71,7 @@ def disulfide_structure():
     return PDBStructure(residues=res_a + res_b)
 
 
+@pytest.mark.slow
 def test_disulfide_detection_and_build(disulfide_structure):
     from pmarlo_tpu.protein.protein import Protein
 

@@ -158,6 +158,7 @@ def test_water_box_minimizes_to_negative_energy(small_box):
     assert bool(jnp.isfinite(xmin).all())
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not CHIGNOLIN.exists(), reason="chignolin not mounted")
 def test_solvated_protein_md_stable():
     from pmarlo_tpu.md.constraints import (
@@ -217,6 +218,7 @@ def test_solvated_pdb_round_trip(tmp_path):
     assert system.n_atoms == p1.structure.n_atoms
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not CHIGNOLIN.exists(), reason="chignolin not mounted")
 def test_run_segment_auto_detects_explicit(tmp_path):
     from pmarlo_tpu.md.simulation import run_segment
@@ -235,6 +237,7 @@ def test_run_segment_auto_detects_explicit(tmp_path):
     assert bool(np.isfinite(np.asarray(res["positions"])).all())
 
 
+@pytest.mark.slow
 def test_constrained_thermostat_equilibrium():
     """Zero-force rigid-water box must sit at the target temperature —
     the g-BAOAB ordering regression (pre-fix: ~400 K and NaN at 2 fs
@@ -292,6 +295,7 @@ def test_exact_water_solver_static():
     assert bool(jnp.isfinite(vp).all())
 
 
+@pytest.mark.slow
 def test_sol_named_waters_route_explicit(tmp_path):
     """GROMACS-style SOL/OW/HW naming with a CRYST1 box must hit the
     explicit-solvent path, not silently drop waters (ADVICE r2 #2)."""

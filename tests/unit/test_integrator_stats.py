@@ -11,6 +11,7 @@ from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 from pmarlo_tpu.constants import BOLTZMANN_CONSTANT_KJ_PER_MOL
 from pmarlo_tpu.md.integrate import MDState, langevin_step
@@ -24,6 +25,7 @@ def _scan_steps(system, state, n_steps, **kw):
     return jax.lax.scan(step, state, None, length=n_steps)
 
 
+@pytest.mark.slow
 def test_harmonic_oscillator_configurational_variance():
     """<x^2> == kT/k for a particle in a harmonic well (BAOAB invariant)."""
     k_spring = 100.0  # kJ/mol/nm^2

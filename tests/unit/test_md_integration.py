@@ -21,6 +21,7 @@ def test_minimize_reduces_energy(alanine_system):
     assert np.isfinite(np.asarray(x_min)).all()
 
 
+@pytest.mark.slow
 def test_md_stays_finite_and_thermalizes(alanine_system):
     system, positions, _ = alanine_system
     x_min, _ = minimize_energy(system, positions, max_iterations=200)

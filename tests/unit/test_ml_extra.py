@@ -45,6 +45,7 @@ def trained(slow_data, tmp_path_factory):
     return model, model.training_history, slow_data
 
 
+@pytest.mark.slow
 def test_training_improves_score(trained):
     _, history, _ = trained
     epochs = history["epochs"]

@@ -80,6 +80,7 @@ def test_lag_exceeding_length_raises():
         build_msm(np.zeros(5, dtype=int), lag=10, n_states=2)
 
 
+@pytest.mark.slow
 def test_its_recovers_timescale(double_well_dtrajs):
     dtrajs, _ = double_well_dtrajs
     its = compute_implied_timescales(
@@ -145,6 +146,7 @@ def test_msm_builder(double_well_dtrajs):
     assert (labels >= 0).all() and (labels < 8).all()
 
 
+@pytest.mark.slow
 def test_silhouette_and_auto_k():
     from pmarlo_tpu.msm.clustering import cluster_microstates, silhouette_score
 
@@ -160,6 +162,7 @@ def test_silhouette_and_auto_k():
     assert res.silhouette > 0.9
 
 
+@pytest.mark.slow
 def test_enhanced_auto_lag(double_well_dtrajs):
     from pmarlo_tpu.msm.enhanced import EnhancedMSM
 

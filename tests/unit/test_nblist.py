@@ -24,6 +24,7 @@ def system_and_positions(request):
     return build_system(topo, gb_model=request.param)
 
 
+@pytest.mark.slow
 def test_dense_parity_energy_forces(system_and_positions):
     system, x = system_and_positions
     nl = NB.build_neighbor_list(x, cutoff=50.0, capacity=system.n_atoms)
@@ -94,6 +95,7 @@ def test_exclusion_tables_match_scale_matrices(system_and_positions):
     np.testing.assert_allclose(rebuilt_sl, sl_dense, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_run_md_nb_stable(system_and_positions):
     from pmarlo_tpu.md.integrate import thermalize
     from pmarlo_tpu.md.minimize import minimize_energy

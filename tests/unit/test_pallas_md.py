@@ -70,6 +70,7 @@ def _consts(system, p):
     }
 
 
+@pytest.mark.slow
 def test_forces_planes_match_analytic(alanine_system):
     system, pos, _ = alanine_system
     p = make_dense_params(system)
@@ -86,6 +87,7 @@ def test_forces_planes_match_analytic(alanine_system):
     assert float(jnp.abs(f_plane - f_ref).max()) / scale < 1e-4
 
 
+@pytest.mark.slow
 def test_forces_planes_packed_match_analytic(alanine_system):
     system, pos, _ = alanine_system
     p = make_dense_params(system)
@@ -105,6 +107,7 @@ def test_forces_planes_packed_match_analytic(alanine_system):
     assert float(jnp.abs(f_packed - f_ref).max()) / scale < 1e-4
 
 
+@pytest.mark.slow
 def test_forces_planes_vacuum(alanine_system):
     system, pos, _ = alanine_system
     vac = dataclasses.replace(system, use_gb=False)
@@ -145,6 +148,7 @@ def test_pallas_chunk_on_tpu(alanine_system):
     assert np.isfinite(np.asarray(eo)).all()
 
 
+@pytest.mark.slow
 def test_bias_planes_match_xla_autodiff(alanine_system, topology_info):
     """The in-kernel DeepTICA bias (manual backprop through the MLP chained
     into analytic dihedral gradients) must equal jax.grad of the XLA
@@ -219,6 +223,7 @@ def _tiny_model():
     )
 
 
+@pytest.mark.slow
 def test_metadynamics_bias_planes_match_xla(alanine_system, topology_info):
     from pmarlo_tpu.bias import MetadynamicsBias
     from pmarlo_tpu.bias.harmonic import (

@@ -25,6 +25,7 @@ def system_and_positions(request):
     return build_system(topo, gb_model=request.param)
 
 
+@pytest.mark.slow
 def test_pair_kernel_dense_parity(system_and_positions):
     system, x = system_and_positions
     fn = build_pair_force_fn(system, tile=128, interpret=True)
@@ -35,6 +36,7 @@ def test_pair_kernel_dense_parity(system_and_positions):
     assert np.isfinite(np.asarray(f)).all()
 
 
+@pytest.mark.slow
 def test_pair_kernel_padding_independent(system_and_positions):
     """Results must not depend on the pad amount (tile size)."""
     system, x = system_and_positions
@@ -44,6 +46,7 @@ def test_pair_kernel_padding_independent(system_and_positions):
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_pair_kernel_translation_parity(system_and_positions):
     """At translated coordinates the kernel still matches the dense path
     exactly (absolute translation invariance itself is limited by f32

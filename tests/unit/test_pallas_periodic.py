@@ -32,6 +32,7 @@ def solvated():
     return system, jnp.asarray(x, jnp.float32)
 
 
+@pytest.mark.slow
 def test_energy_parity(solvated):
     system, x = solvated
     fn = build_periodic_force_fn(system, tile=128, interpret=True)
@@ -45,6 +46,7 @@ def test_energy_parity(solvated):
     )
 
 
+@pytest.mark.slow
 def test_parity_at_perturbed_configuration(solvated):
     # parity must hold away from the lattice-regular start too (catches
     # min-image branches that only trigger once molecules drift)

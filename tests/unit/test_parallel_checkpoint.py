@@ -43,6 +43,7 @@ def test_sharded_covariances_match_serial(mesh):
     np.testing.assert_allclose(Ctt, Cttr, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_histogram_matches_numpy(mesh):
     rng = np.random.default_rng(2)
     values = rng.normal(size=(8, 500)).astype(np.float32)
@@ -54,6 +55,7 @@ def test_sharded_histogram_matches_numpy(mesh):
     np.testing.assert_allclose(H[1:-1], H_ref[1:-1], atol=2)
 
 
+@pytest.mark.slow
 def test_remd_checkpoint_roundtrip(tmp_path, alanine_system):
     from pmarlo_tpu.bias.metadynamics import MetadynamicsBias
     from pmarlo_tpu.remd.checkpoint import load_checkpoint, save_checkpoint

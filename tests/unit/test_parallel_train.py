@@ -51,6 +51,7 @@ def _serial_step(params, opt_state, tx, cfg, z0, zt):
     return optax.apply_updates(params, updates), opt_state, loss
 
 
+@pytest.mark.slow
 def test_dp_step_matches_serial(mesh, pairs):
     # SGD(lr=1) makes params_new = params - grad: parameter parity IS
     # gradient parity (adam would amplify 1e-8 gradient noise on the
@@ -76,6 +77,7 @@ def test_dp_step_matches_serial(mesh, pairs):
         )
 
 
+@pytest.mark.slow
 def test_dp_training_reduces_loss(mesh, pairs):
     z0, zt = pairs
     cfg = DeepTICAConfig(lag=5, n_out=1, hidden=(16,), seed=1,

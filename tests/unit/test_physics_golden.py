@@ -137,6 +137,7 @@ def test_angle_and_torsion_tables():
     )
 
 
+@pytest.mark.slow
 def test_gb_born_self_energy():
     """A single ion's GB energy is the Born equation:
     E = -0.5 ke (1 - 1/eps_w) q^2 / B with B = rho = R - offset
@@ -164,6 +165,7 @@ def test_gb_screened_coulomb_limit():
     assert e == pytest.approx(born + sa + cross, rel=1e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("gb_model", ["obc2", "gbn2"])
 def test_finite_difference_forces_alanine(gb_model):
     """Central-difference force oracle on the full alanine system in

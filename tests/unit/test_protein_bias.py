@@ -87,6 +87,7 @@ def test_metadynamics_reproject():
     assert int(st2.n_hills) == 1
 
 
+@pytest.mark.slow
 def test_biased_md_shifts_sampling(alanine_system, topology_info):
     """Bias actually steers dynamics: harmonic wall on the phi dihedral."""
     from pmarlo_tpu.features.builtins import phi_psi_indices

@@ -214,6 +214,7 @@ def test_remd_custom_force_fn(alanine_system_module):
                         use_pallas=True)
 
 
+@pytest.mark.slow
 def test_heating_and_equilibration_phases(alanine_system_module):
     system, positions, _ = alanine_system_module
     cfg = RemdConfig(
@@ -231,6 +232,7 @@ def test_heating_and_equilibration_phases(alanine_system_module):
     assert np.all(T > 100.0) and np.all(T < 1000.0)
 
 
+@pytest.mark.slow
 def test_rung_energies_track_ladder(alanine_system_module):
     # equipartition: hotter rungs sample higher potential energy, and
     # rung-major recording keeps each rung at its ladder temperature
@@ -248,3 +250,53 @@ def test_rung_energies_track_ladder(alanine_system_module):
     assert np.corrcoef(mean_pe, ladder)[0, 1] > 0.8, (mean_pe, ladder)
     # strictly increasing end-to-end
     assert mean_pe[-1] > mean_pe[0]
+
+
+def test_predicted_acceptance_formula():
+    """Gaussian two-rung acceptance: exact limits — identical rungs
+    accept always; hugely separated rungs never."""
+    from pmarlo_tpu.remd.ladder import predicted_acceptance
+
+    e_mean = lambda T: 100.0 * T       # linear E(T), C = 100 kJ/mol/K
+    e_std = lambda T: 50.0
+    assert predicted_acceptance(300.0, 300.0001, e_mean, e_std) > 0.99
+    assert predicted_acceptance(300.0, 600.0, e_mean, e_std) < 1e-6
+    # monotone decreasing in gap
+    accs = [predicted_acceptance(300.0, 300.0 + d, e_mean, e_std)
+            for d in (1.0, 3.0, 10.0, 30.0)]
+    assert all(a > b for a, b in zip(accs, accs[1:]))
+
+
+@pytest.mark.slow
+def test_suggest_ladder_hits_target(alanine_system_module):
+    """The designed ladder's predicted neighbor acceptance must sit at
+    the target, and the measured acceptance of a short REMD run with
+    that ladder must land in a generous band around it (the 3gd8 ~0%
+    regression scenario, ROUND2_NOTES)."""
+    from pmarlo_tpu.remd.ladder import suggest_temperature_ladder
+    from pmarlo_tpu.remd.remd import RemdConfig, ReplicaExchange
+
+    import jax.numpy as jnp
+
+    system, x, _ = alanine_system_module
+    x = jnp.asarray(x)
+    ladder, predicted = suggest_temperature_ladder(
+        system, x, t_min=300.0, t_max=450.0, target_acceptance=0.35,
+        probe_steps=400, seed=1,
+    )
+    assert ladder[0] == 300.0 and ladder[-1] == 450.0
+    assert np.all(np.diff(ladder) > 0)
+    # every designed neighbor gap predicts ~the target (last may exceed)
+    assert all(p >= 0.3 for p in predicted)
+    assert all(p <= 0.9 for p in predicted[:-1]) or len(predicted) == 1
+
+    cfg = RemdConfig(
+        n_replicas=len(ladder), temperatures=tuple(float(t) for t in ladder),
+        exchange_frequency=20, report_interval=20, seed=3,
+    )
+    remd = ReplicaExchange(system, x, cfg, minimize=False)
+    res = remd.run(n_steps=800)
+    acc = res.acceptance_matrix
+    acc = acc[np.isfinite(acc)]
+    # small-sample band: target 0.35 measured over ~40 attempts/pair
+    assert 0.1 < float(np.mean(acc)) < 0.8, res.acceptance_matrix

@@ -40,6 +40,7 @@ def chain_dtrajs():
     return [_two_state_chain(rng, 3000) for _ in range(4)]
 
 
+@pytest.mark.slow
 def test_selector_picks_feasible_lag(chain_dtrajs):
     res = select_optimal_lag_ck_its(chain_dtrajs, ck_factors=(2, 3))
     assert isinstance(res, CKITSSelectionResult)
@@ -59,6 +60,7 @@ def test_selector_rejects_too_short():
                                   candidate_lags=[5, 10])
 
 
+@pytest.mark.slow
 def test_selector_single_array_input(chain_dtrajs):
     res = select_optimal_lag_ck_its(chain_dtrajs[0])
     assert res.selected_lag >= 1
