@@ -36,15 +36,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-C_FEAT = 8  # x, y, z, charge, sigma, eps, mask, molecule-group id
+C_FEAT = 8  # x, y, z, charge, sigma, eps, mask, atom index
 
-#: group ids: atoms of SMALL fully-excluded molecules (<= 3 atoms: waters,
-#: ions — every intra pair is a 1-2/1-3 exclusion) share one id and are
-#: masked inside the kernel, where an after-the-fact sparse subtraction
-#: would catastrophically cancel in f32 whenever a constrained O-H pair
-#: compresses (LJ ~ r^-12 reaches 1e14 at r ~ 0.02 nm). Polymer atoms get
-#: unique ids so the kernel counts all their pairs; their (few, bonded-
-#: geometry) exclusions are corrected sparsely at moderate magnitudes.
+#: Index-band exclusion handling. The kernel computes UNIFORM physics
+#: but masks every pair whose atom indices differ by <= band width D;
+#: those pairs are then added back in XLA at their WANTED (scaled)
+#: value via a banded O(N*D) pass. Rationale: excluded/1-4 pairs sit at
+#: bonded geometry where the full LJ term is enormous (r^-12 reaches
+#: 1e6-1e14 kJ/mol when a constrained bond compresses) — subtracting a
+#: kernel-counted term from XLA catastrophically cancels in f32 (force
+#: errors of hundreds of kJ/mol/nm measured on chignolin's TRP ring).
+#: Adding the band back at its wanted value involves no difference of
+#: large numbers: excluded pairs contribute an EXACT zero. Exclusions
+#: farther than D in index (disulfide bridges) stay in a sparse
+#: correction list — they sit at moderate distances where subtraction
+#: is safe. Waters/ions are automatically covered (indices adjacent).
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,30 +133,41 @@ def bin_atoms(grid: CellGrid, x: jax.Array):
     return slot, cid, overflow, xw
 
 
-def molecule_groups(system) -> np.ndarray:
-    """Per-atom molecule-group channel (see C_FEAT note).
+def exclusion_band_width(system, cap: int = 64) -> int:
+    """Smallest D covering the bulk of scaled/excluded pairs by index
+    distance, capped (pairs beyond the cap go to the sparse list)."""
+    se = np.asarray(system.scale_elec)
+    sl = np.asarray(system.scale_lj)
+    iu = np.triu_indices(se.shape[0], k=1)
+    scaled = (se[iu] < 1.0) | (sl[iu] < 1.0)
+    if not scaled.any():
+        return 1
+    dist = (iu[1] - iu[0])[scaled]
+    return int(min(int(dist.max()), cap))
 
-    Union-find over the bond graph; connected components of <= 3 atoms
-    (waters, ions) share their component id, larger molecules get unique
-    per-atom ids (n_atoms + atom index) so no polymer pair is masked.
-    Returned as float32 (ids stay exact well past 1e7)."""
-    n = system.n_atoms
-    parent = np.arange(n)
 
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
+def banded_scales(
+    system, D: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-offset scale arrays for the banded add-back pass plus the
+    far-pair sparse correction list.
 
-    for i, j in np.asarray(system.bond_idx).reshape(-1, 2):
-        ri, rj = find(int(i)), find(int(j))
-        if ri != rj:
-            parent[ri] = rj
-    roots = np.asarray([find(a) for a in range(n)])
-    sizes = np.bincount(roots, minlength=n)
-    group = np.where(sizes[roots] <= 3, roots, n + np.arange(n))
-    return group.astype(np.float32)
+    Returns (band_se (N, D), band_sl (N, D), far_idx (P, 2), far_se,
+    far_sl): band_se[i, k-1] = scale_elec[i, i+k] (1.0 past the end);
+    ``far`` collects scaled pairs with index distance > D."""
+    se = np.asarray(system.scale_elec)
+    sl = np.asarray(system.scale_lj)
+    n = se.shape[0]
+    band_se = np.ones((n, D), np.float32)
+    band_sl = np.ones((n, D), np.float32)
+    for k in range(1, D + 1):
+        band_se[: n - k, k - 1] = se[np.arange(n - k), np.arange(k, n)]
+        band_sl[: n - k, k - 1] = sl[np.arange(n - k), np.arange(k, n)]
+    iu = np.triu_indices(n, k=1)
+    far = ((iu[1] - iu[0]) > D) & ((se[iu] < 1.0) | (sl[iu] < 1.0))
+    far_idx = np.stack([iu[0][far], iu[1][far]], axis=1).astype(np.int32)
+    return (band_se, band_sl, far_idx,
+            se[iu][far].astype(np.float32), sl[iu][far].astype(np.float32))
 
 
 def scatter_features(
@@ -160,11 +177,11 @@ def scatter_features(
     charges: jax.Array,
     sigma: jax.Array,
     eps: jax.Array,
-    groups: jax.Array,       # (N,) molecule-group channel
 ):
     """Scatter per-atom features into the (C_FEAT, S) slot array.
-    Empty slots carry mask 0, group id -1, and coordinates far outside
-    the box so their distances never fall under the cutoff even against
+    Empty slots carry mask 0, atom index -1e6 (never within the
+    exclusion band of a real index), and coordinates far outside the
+    box so their distances never fall under the cutoff even against
     other padding."""
     S = grid.n_slots
     n = xw.shape[0]
@@ -172,13 +189,13 @@ def scatter_features(
         xw[:, 0], xw[:, 1], xw[:, 2],
         charges.astype(xw.dtype), sigma.astype(xw.dtype),
         eps.astype(xw.dtype), jnp.ones(n, xw.dtype),
-        groups.astype(xw.dtype),
+        jnp.arange(n, dtype=xw.dtype),
     ], axis=1)                                            # (N, C)
     base = jnp.zeros((S, C_FEAT), xw.dtype)
     # park empty slots 100 box lengths away (any real-vs-empty or
     # empty-vs-empty distance then exceeds every cutoff)
     base = base.at[:, 0].set(-100.0 * grid.box[0])
-    base = base.at[:, 7].set(-1.0)
+    base = base.at[:, 7].set(-1e6)
     slots = base.at[slot].set(feat)
     return slots.T                                        # (C, S)
 
@@ -205,37 +222,10 @@ def ghost_pad(grid: CellGrid, slots: jax.Array) -> jax.Array:
     return g.reshape(C, -1)
 
 
-def exclusion_pairs(
-    system, groups: "np.ndarray | None" = None
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Sparse (i, j, scale_elec, scale_lj, counted) for every pair the
-    uniform kernel does not treat correctly (scale < 1 entries of the
-    dense matrices, i < j).
-
-    ``counted`` says whether the kernel summed the pair at full strength
-    (different molecule groups) — the correction then subtracts the full
-    term; a same-group pair was masked in-kernel, so only the wanted
-    scaled term is added back. Same-group pairs with BOTH scales zero
-    (the usual water case) are dropped entirely."""
-    se = np.asarray(system.scale_elec)
-    sl = np.asarray(system.scale_lj)
-    mask = (se < 1.0) | (sl < 1.0)
-    iu = np.triu_indices(se.shape[0], k=1)
-    keep = mask[iu]
-    i, j = iu[0][keep], iu[1][keep]
-    se_k = se[iu][keep].astype(np.float32)
-    sl_k = sl[iu][keep].astype(np.float32)
-    if groups is None:
-        groups = molecule_groups(system)
-    counted = (groups[i] != groups[j])
-    drop = (~counted) & (se_k == 0.0) & (sl_k == 0.0)
-    sel = ~drop
-    idx = np.stack([i[sel], j[sel]], axis=1).astype(np.int32)
-    return (idx, se_k[sel], sl_k[sel],
-            counted[sel].astype(np.float32))
 
 
 __all__ = [
     "C_FEAT", "CellGrid", "make_cell_grid", "bin_atoms",
-    "scatter_features", "ghost_pad", "exclusion_pairs", "molecule_groups",
+    "scatter_features", "ghost_pad", "exclusion_band_width",
+    "banded_scales",
 ]

@@ -42,10 +42,10 @@ from .cells import (
     C_FEAT,
     CellGrid,
     bin_atoms,
-    exclusion_pairs,
+    exclusion_band_width,
+    banded_scales,
     ghost_pad,
     make_cell_grid,
-    molecule_groups,
     scatter_features,
 )
 from .system import System
@@ -54,13 +54,34 @@ _EPS = 1e-12
 _NEIGHBOR_RUNS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
-def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool):
+def _erfc_as(x):
+    """Abramowitz-Stegun 7.1.26 rational erfc for x >= 0 (|eps| < 1.5e-7,
+    ample for f32) — guaranteed to lower in Mosaic (exp + arithmetic
+    only; lax.erfc has no TPU Pallas lowering)."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+              + t * (-1.453152027 + t * 1.061405429))))
+    return poly * jnp.exp(-x * x)
+
+
+_TWO_OVER_SQRT_PI = 1.1283791670955126
+
+
+def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool,
+                      elec_mode: str = "rf", alpha: float = 0.0,
+                      band: int = 0):
     """pallas_call computing per-slot energy rows and forces from the
     sorted slot array + its ghost. Returns fn(slots, ghost) ->
-    (e (S, 1), F (S, 3))."""
+    (e (S, 1), F (S, 3)).
+
+    ``elec_mode``: "rf" — shifted reaction-field Coulomb (OpenMM
+    CutoffPeriodic); "ewald" — erfc(alpha r)/r real-space Ewald (the PME
+    short-range part; md/pme.py supplies reciprocal/self terms)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if elec_mode not in ("rf", "ewald"):
+        raise ValueError(f"elec_mode must be rf|ewald, got {elec_mode!r}")
     M = grid.capacity
     nz = grid.nz
     Gy, Gz = grid.ny + 2, grid.nz + 2
@@ -97,11 +118,13 @@ def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool):
             not_self = (r2 > 1e-8).astype(r2.dtype)
             rr = jnp.where(r2 > 1e-8, jnp.sqrt(r2 + _EPS), 1.0)
             inv_r = 1.0 / rr
-            # same-molecule-group pairs (waters/ions) are fully excluded
-            # IN-KERNEL: subtracting their r^-12 terms afterwards would
+            # index-band pairs (|i-j| <= D: all exclusions/1-4s, waters
+            # included) are masked IN-KERNEL and added back exactly in
+            # XLA — subtracting their r^-12 terms afterwards would
             # catastrophically cancel in f32 (md/cells.py C_FEAT note)
-            diff_mol = (r[7][:, None] != c[7][None, :]).astype(r2.dtype)
-            one = r[6][:, None] * c[6][None, :] * not_self * diff_mol
+            idx_gap = jnp.abs(r[7][:, None] - c[7][None, :])
+            outside_band = (idx_gap > band).astype(r2.dtype)
+            one = r[6][:, None] * c[6][None, :] * not_self * outside_band
             within = (rr < rc).astype(r2.dtype) * one
 
             sig_ij = 0.5 * (r[4][:, None] + c[4][None, :])
@@ -110,13 +133,23 @@ def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool):
             sr6c = (sig_ij * (1.0 / rc)) ** 6
             e_lj = 4.0 * eps_ij * ((sr6 * sr6 - sr6) - (sr6c * sr6c - sr6c))
             qq = r[3][:, None] * c[3][None, :]
-            e_rf = ke * qq * (inv_r + k_rf * rr * rr - c_rf)
-            e_row = 0.5 * jnp.sum((e_lj + e_rf) * within,
+            if elec_mode == "rf":
+                e_el = ke * qq * (inv_r + k_rf * rr * rr - c_rf)
+                w_el = ke * qq * (-inv_r * inv_r + 2.0 * k_rf * rr)
+            else:  # ewald real-space: erfc(alpha r)/r
+                erfc_ar = _erfc_as(alpha * rr)
+                e_el = ke * qq * erfc_ar * inv_r
+                # d/dr [erfc(ar)/r] = -erfc(ar)/r^2 - (2a/sqrt(pi)) e^{-a^2 r^2}/r
+                w_el = -ke * qq * inv_r * (
+                    erfc_ar * inv_r
+                    + _TWO_OVER_SQRT_PI * alpha * jnp.exp(
+                        -(alpha * rr) * (alpha * rr))
+                )
+            e_row = 0.5 * jnp.sum((e_lj + e_el) * within,
                                   axis=1, keepdims=True)
 
             w_lj = 4.0 * eps_ij * (-12.0 * sr6 * sr6 + 6.0 * sr6) * inv_r
-            w_rf = ke * qq * (-inv_r * inv_r + 2.0 * k_rf * rr)
-            W = (w_lj + w_rf) * within * inv_r
+            W = (w_lj + w_el) * within * inv_r
             f0 = -jnp.sum(W * dd0, axis=1, keepdims=True)
             f1 = -jnp.sum(W * dd1, axis=1, keepdims=True)
             f2 = -jnp.sum(W * dd2, axis=1, keepdims=True)
@@ -177,36 +210,56 @@ def build_cell_force_fn(
     *,
     interpret: bool = False,
     occupancy_margin: float = 1.4,
+    electrostatics: str = "rf",
+    ewald_tolerance: float = 5e-4,
 ) -> Callable:
     """Jitted ``fn(x (N,3)) -> (energy, forces (N,3))`` for the FULL
     periodic potential via the cell-list kernel (pair stage) + sparse
     exclusion corrections + XLA bonded terms.
 
-    Matches build_periodic_force_fn (the dense sweep) bit-for-physics:
-    same LJ shift, reaction field, 1-4 semantics; parity tested in
-    tests/unit/test_pallas_cells.py."""
+    ``electrostatics="rf"`` matches build_periodic_force_fn (the dense
+    sweep) bit-for-physics: same LJ shift, reaction field, 1-4
+    semantics; parity tested in tests/unit/test_pallas_cells.py.
+    ``electrostatics="pme"`` runs full smooth-PME: erfc real-space in
+    the kernel + FFT reciprocal / self / background terms (md/pme.py) —
+    the OpenMM default for solvated systems the reference relies on
+    (/root/reference/src/pmarlo/protein/protein.py:733)."""
     if system.box is None:
         raise ValueError("build_cell_force_fn needs system.box")
+    if electrostatics not in ("rf", "pme"):
+        raise ValueError(
+            f"electrostatics must be rf|pme, got {electrostatics!r}"
+        )
     n = system.n_atoms
     grid = make_cell_grid(tuple(float(b) for b in system.box),
                           float(system.cutoff), n,
                           occupancy_margin=occupancy_margin)
-    sweep = _build_cell_sweep(grid, system, interpret)
+    use_pme = electrostatics == "pme"
+    if use_pme:
+        from .pme import ewald_alpha, pme_grid_shape
+
+        alpha = ewald_alpha(float(system.cutoff), ewald_tolerance)
+        mesh_shape = pme_grid_shape(tuple(float(b) for b in system.box))
+    else:
+        alpha = 0.0
+        mesh_shape = None
+    D = exclusion_band_width(system)
+    sweep = _build_cell_sweep(
+        grid, system, interpret,
+        elec_mode="ewald" if use_pme else "rf", alpha=alpha, band=D,
+    )
 
     q = jnp.asarray(np.asarray(system.charges, np.float32))
     sig = jnp.asarray(np.asarray(system.lj_sigma, np.float32))
     eps = jnp.asarray(np.asarray(system.lj_eps, np.float32))
-    groups_np = molecule_groups(system)
-    groups = jnp.asarray(groups_np)
 
-    excl_idx, excl_se, excl_sl, excl_counted = exclusion_pairs(
-        system, groups_np
-    )
-    e_i = jnp.asarray(excl_idx[:, 0])
-    e_j = jnp.asarray(excl_idx[:, 1])
-    se = jnp.asarray(excl_se)
-    sl = jnp.asarray(excl_sl)
-    counted = jnp.asarray(excl_counted)
+    band_se_np, band_sl_np, far_idx, far_se, far_sl = banded_scales(system, D)
+    band_se = jnp.asarray(band_se_np)
+    band_sl = jnp.asarray(band_sl_np)
+    f_i = jnp.asarray(far_idx[:, 0])
+    f_j = jnp.asarray(far_idx[:, 1])
+    fse = jnp.asarray(far_se)
+    fsl = jnp.asarray(far_sl)
 
     bx, by, bz = (float(b) for b in system.box)
     box_arr = jnp.asarray([bx, by, bz], jnp.float32)
@@ -216,34 +269,78 @@ def build_cell_force_fn(
     c_rf = 1.0 / rc + k_rf * rc * rc
     ke = COULOMB_CONSTANT_KJ_NM_PER_MOL_E2 / float(system.solute_dielectric)
 
-    def correction_energy(x):
-        """What the uniform kernel counted for scaled pairs, replaced by
-        the dense-kernel semantics (md/pallas_periodic.py:110-117):
-        LJ scaled by sl inside the cutoff; electrostatics = RF if
-        se >= 1 else UNCUT plain Coulomb * se (1-4 pairs)."""
-        if excl_idx.shape[0] == 0:
-            return jnp.zeros((), x.dtype)
-        d = x[e_i] - x[e_j]
-        d = d - box_arr * jnp.round(d / box_arr)
-        r2 = jnp.sum(d * d, axis=1)
-        r = jnp.sqrt(r2 + _EPS)
+    def _wanted_pair_energy(r, qq, sig_ij, eps_ij, se_p, sl_p, valid):
+        """Wanted force-field energy for explicit pairs (dense-kernel
+        semantics, md/pallas_periodic.py:110-117): shifted LJ * sl
+        inside the cutoff; electrostatics = mode term if se >= 1 else
+        uncut bare Coulomb * se (1-4 pairs). ``valid`` masks padding.
+        No differences of large numbers: excluded pairs contribute an
+        exact zero (sl = se = 0)."""
         inv_r = 1.0 / r
-        within = (r < rc).astype(x.dtype)
-        sig_ij = 0.5 * (sig[e_i] + sig[e_j])
-        eps_ij = jnp.sqrt(eps[e_i] * eps[e_j] + _EPS)
+        within = (r < rc).astype(r.dtype) * valid
         sr6 = (sig_ij * inv_r) ** 6
         sr6c = (sig_ij * (1.0 / rc)) ** 6
-        lj_full = 4.0 * eps_ij * ((sr6 * sr6 - sr6) - (sr6c * sr6c - sr6c))
-        qq = q[e_i] * q[e_j]
-        rf = ke * qq * (inv_r + k_rf * r * r - c_rf)
-        # what the kernel summed: the full term for different-group
-        # pairs, nothing for same-group (masked in-kernel)
-        kernel_counted = (lj_full + rf) * within * counted
-        full = (se >= 1.0).astype(x.dtype)
-        want = (lj_full * sl * within
-                + rf * within * full
-                + ke * qq * inv_r * se * (1.0 - full))
-        return jnp.sum(want - kernel_counted)
+        lj = 4.0 * eps_ij * ((sr6 * sr6 - sr6) - (sr6c * sr6c - sr6c))
+        full = (se_p >= 1.0).astype(r.dtype)
+        e = lj * sl_p * within
+        if use_pme:
+            erfc_ar = _erfc_as(alpha * r)
+            # full-strength pairs: the erfc real part (reciprocal adds
+            # the erf part globally). Scaled pairs: se * bare Coulomb
+            # MINUS the erf part the reciprocal counted (bounded at
+            # r -> 0, safe).
+            e = e + full * ke * qq * erfc_ar * inv_r * within
+            e = e + (1.0 - full) * valid * (
+                ke * qq * inv_r * se_p
+                - ke * qq * (1.0 - erfc_ar) * inv_r
+            )
+        else:
+            rf = ke * qq * (inv_r + k_rf * r * r - c_rf)
+            e = e + rf * within * full
+            e = e + ke * qq * inv_r * se_p * (1.0 - full) * valid
+        return e
+
+    def correction_energy(x):
+        """Index-band add-back + far-pair corrections (md/cells.py
+        C_FEAT note). The kernel masked every |i-j| <= D pair: add the
+        band back at its WANTED value via an O(N*D) banded pass (no
+        cancellation). Far scaled pairs (|i-j| > D, e.g. disulfide
+        1-4s) were kernel-counted at full strength: subtract and
+        replace — they sit at moderate distances where f32 subtraction
+        is safe."""
+        # --- banded pass: pairs (i, i+k), k = 1..D -----------------------
+        N = x.shape[0]
+        offs = jnp.arange(1, D + 1)
+        idx = jnp.arange(N)
+        # partner index i+k, clamped; validity masks the tail
+        j_idx = jnp.minimum(idx[:, None] + offs[None, :], N - 1)   # (N, D)
+        valid = (idx[:, None] + offs[None, :] < N).astype(x.dtype)
+        xi = x[:, None, :]
+        xj = x[j_idx]                                               # (N, D, 3)
+        d = xi - xj
+        d = d - box_arr * jnp.round(d / box_arr)
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+        qq = q[:, None] * q[j_idx]
+        sig_ij = 0.5 * (sig[:, None] + sig[j_idx])
+        eps_ij = jnp.sqrt(eps[:, None] * eps[j_idx] + _EPS)
+        e_band = jnp.sum(_wanted_pair_energy(
+            r, qq, sig_ij, eps_ij, band_se, band_sl, valid
+        ))
+
+        # --- far scaled pairs: subtract kernel-counted, add wanted -------
+        if far_idx.shape[0] == 0:
+            return e_band
+        dff = x[f_i] - x[f_j]
+        dff = dff - box_arr * jnp.round(dff / box_arr)
+        rf_r = jnp.sqrt(jnp.sum(dff * dff, axis=-1) + _EPS)
+        qq_f = q[f_i] * q[f_j]
+        sig_f = 0.5 * (sig[f_i] + sig[f_j])
+        eps_f = jnp.sqrt(eps[f_i] * eps[f_j] + _EPS)
+        ones = jnp.ones_like(rf_r)
+        want = _wanted_pair_energy(rf_r, qq_f, sig_f, eps_f, fse, fsl, ones)
+        counted = _wanted_pair_energy(rf_r, qq_f, sig_f, eps_f,
+                                      ones, ones, ones)
+        return e_band + jnp.sum(want - counted)
 
     from .forces import angle_energy, bond_energy, torsion_energy
 
@@ -251,11 +348,22 @@ def build_cell_force_fn(
         return (bond_energy(system, x) + angle_energy(system, x)
                 + torsion_energy(system, x))
 
+    if use_pme:
+        from .pme import background_energy, reciprocal_energy, self_energy
+
+        box_t = tuple(float(b) for b in system.box)
+        e_static = float(self_energy(q, alpha)) + float(
+            background_energy(q, box_t, alpha)
+        )
+
+        def mesh_energy(x):
+            return reciprocal_energy(x, q, box_t, alpha, mesh_shape)
+
     @jax.jit
     def force_fn(x):
         x = x.astype(jnp.float32)
         slot, _, overflow, xw = bin_atoms(grid, x)
-        slots = scatter_features(grid, xw, slot, q, sig, eps, groups)
+        slots = scatter_features(grid, xw, slot, q, sig, eps)
         ghost = ghost_pad(grid, slots)
         e_rows, F_slots = sweep(slots, ghost)
         F_pair = F_slots[slot]
@@ -265,9 +373,14 @@ def build_cell_force_fn(
         poison = jnp.where(overflow, jnp.nan, 0.0).astype(jnp.float32)
         energy = jnp.sum(e_rows) + e_c + e_b + poison
         forces = F_pair - g_c - g_b + poison
+        if use_pme:
+            e_m, g_m = jax.value_and_grad(mesh_energy)(x)
+            energy = energy + e_m + e_static
+            forces = forces - g_m
         return energy, forces
 
     force_fn.grid = grid  # introspection for tests/benchmarks
+    force_fn.electrostatics = electrostatics
     return force_fn
 
 

@@ -1,0 +1,233 @@
+"""Smooth particle-mesh Ewald electrostatics for the periodic path.
+
+The round-2 explicit-solvent path used reaction-field Coulomb only
+(md/pallas_periodic.py) — a documented approximation. This module adds
+full Ewald electrostatics the TPU-native way (VERDICT r2 next-round
+item #3; reference anchor: the OpenMM System built for solvated prep
+defaults to PME, /root/reference/src/pmarlo/protein/protein.py:733):
+
+* real space: ke * q_i q_j * erfc(alpha r)/r inside the cutoff —
+  computed by the cell-list kernel in its "ewald" electrostatics mode
+  (md/pallas_cells.py) or by the dense XLA reference here;
+* reciprocal space: SMOOTH PME (Essmann et al. 1995) — 4th-order
+  cardinal-B-spline charge spreading onto a (K1, K2, K3) grid,
+  ``jnp.fft.fftn`` (the MXU-adjacent FFT path XLA optimizes well),
+  influence function exp(-pi^2 m^2/alpha^2)/m^2 with B-spline
+  deconvolution |b1 b2 b3|^2;
+* self energy, net-charge background, and sparse excluded-pair
+  corrections (subtract erf(alpha r)/r for pairs the reciprocal sum
+  should not count — bounded as r -> 0, so no cancellation hazard).
+
+Forces come from ``jax.grad`` of the reciprocal energy: charge
+spreading and the FFT are differentiable, so the classic
+interpolate-the-field force pass is simply autodiff — the same
+architectural collapse the framework applies to CV biasing
+(SURVEY.md section 7 design stance).
+
+Validation: tests/unit/test_pme.py — Madelung constant of the NaCl
+rocksalt lattice to 4 decimal places, dense-reference parity, and the
+measured RF-vs-PME delta on a TIP3P box.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import COULOMB_CONSTANT_KJ_NM_PER_MOL_E2 as KE
+
+SPLINE_ORDER = 4
+
+
+def ewald_alpha(cutoff: float, tolerance: float = 5e-4) -> float:
+    """OpenMM's alpha choice: erfc(alpha rc)/rc ~ tolerance
+    (NonbondedForce ewaldErrorTolerance semantics)."""
+    return math.sqrt(-math.log(2.0 * tolerance)) / cutoff
+
+
+def pme_grid_shape(
+    box: Tuple[float, float, float], spacing: float = 0.11
+) -> Tuple[int, int, int]:
+    """Mesh dims: ~0.11 nm spacing, rounded up to a multiple of 8
+    (FFT-friendly and sublane-aligned)."""
+    def dim(L):
+        k = int(np.ceil(L / spacing))
+        return max(((k + 7) // 8) * 8, 16)
+
+    return tuple(dim(float(L)) for L in box)
+
+
+def _bspline4(t: jax.Array) -> jax.Array:
+    """Cardinal B-spline M4 weights for fractional offset t in [0,1):
+    returns (..., 4) weights for grid points floor(u)-1 .. floor(u)+2."""
+    w0 = (1.0 - t) ** 3 / 6.0
+    w1 = (3.0 * t**3 - 6.0 * t**2 + 4.0) / 6.0
+    w2 = (-3.0 * t**3 + 3.0 * t**2 + 3.0 * t + 1.0) / 6.0
+    w3 = t**3 / 6.0
+    return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
+def _bspline_bsq(K: int) -> np.ndarray:
+    """|b(m)|^2 deconvolution factors for order-4 splines on a K grid
+    (Essmann eq. 4.4): b(m) = e^{2 pi i 3 m/K} / sum_k M4(k+1) e^{2 pi i m k/K}."""
+    m = np.arange(K)
+    M = np.array([1.0 / 6.0, 4.0 / 6.0, 1.0 / 6.0])
+    denom = np.zeros(K, dtype=np.complex128)
+    for k in range(3):
+        denom += M[k] * np.exp(2j * np.pi * m * k / K)
+    bsq = 1.0 / np.maximum(np.abs(denom) ** 2, 1e-14)
+    # odd-K edge modes where the denominator vanishes are dropped by the
+    # influence function anyway; clamp for safety
+    return bsq
+
+
+def spread_charges(
+    x: jax.Array, q: jax.Array,
+    box: Tuple[float, float, float],
+    shape: Tuple[int, int, int],
+) -> jax.Array:
+    """Scatter-add charges onto the mesh with M4 spline weights.
+
+    Differentiable in ``x`` (weights are polynomials of the fractional
+    coordinates), which is what makes grad-based PME forces work."""
+    K1, K2, K3 = shape
+    L = jnp.asarray(box, x.dtype)
+    u = x / L * jnp.asarray([K1, K2, K3], x.dtype)
+    u0 = jnp.floor(u)
+    t = u - u0
+    w = _bspline4(t)                                     # (N, 3, 4)
+    base = u0.astype(jnp.int32) - 1                      # leftmost point
+    offs = jnp.arange(4, dtype=jnp.int32)
+    ix = (base[:, 0:1] + offs[None, :]) % K1             # (N, 4)
+    iy = (base[:, 1:2] + offs[None, :]) % K2
+    iz = (base[:, 2:3] + offs[None, :]) % K3
+    wq = q[:, None, None, None] * (
+        w[:, 0, :, None, None] * w[:, 1, None, :, None] * w[:, 2, None, None, :]
+    )                                                    # (N, 4, 4, 4)
+    flat = ((ix[:, :, None, None] * K2 + iy[:, None, :, None]) * K3
+            + iz[:, None, None, :])                      # (N, 4, 4, 4)
+    grid = jnp.zeros(K1 * K2 * K3, x.dtype)
+    grid = grid.at[flat.reshape(-1)].add(wq.reshape(-1))
+    return grid.reshape(K1, K2, K3)
+
+
+def reciprocal_energy(
+    x: jax.Array, q: jax.Array,
+    box: Tuple[float, float, float],
+    alpha: float,
+    shape: Tuple[int, int, int],
+) -> jax.Array:
+    """Smooth-PME reciprocal-space energy (Essmann eq. 4.7):
+    E = ke/(2 pi V) * sum_{m != 0} exp(-pi^2 m^2/alpha^2)/m^2 B(m) |F[Q](m)|^2."""
+    K1, K2, K3 = shape
+    bx, by, bz = (float(b) for b in box)
+    V = bx * by * bz
+    Q = spread_charges(x, q, box, shape)
+    F = jnp.fft.fftn(Q)
+
+    def freqs(K, L):
+        m = np.fft.fftfreq(K) * K            # 0, 1, ..., -1
+        return (m / L).astype(np.float64)
+
+    m1 = freqs(K1, bx)[:, None, None]
+    m2 = freqs(K2, by)[None, :, None]
+    m3 = freqs(K3, bz)[None, None, :]
+    msq = m1 * m1 + m2 * m2 + m3 * m3
+    B = (_bspline_bsq(K1)[:, None, None]
+         * _bspline_bsq(K2)[None, :, None]
+         * _bspline_bsq(K3)[None, None, :])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        infl = np.exp(-np.pi**2 * msq / alpha**2) / msq * B
+    infl[0, 0, 0] = 0.0
+    infl = jnp.asarray(infl.astype(np.float32))
+    return (KE / (2.0 * np.pi * V)) * jnp.sum(infl * jnp.abs(F) ** 2)
+
+
+def self_energy(q: jax.Array, alpha: float) -> jax.Array:
+    return -KE * alpha / math.sqrt(math.pi) * jnp.sum(q * q)
+
+
+def background_energy(q: jax.Array, box, alpha: float) -> jax.Array:
+    """Neutralizing-background term for net-charge cells."""
+    V = float(box[0]) * float(box[1]) * float(box[2])
+    return -KE * math.pi / (2.0 * alpha**2 * V) * jnp.sum(q) ** 2
+
+
+def real_space_energy_dense(
+    x: jax.Array, q: jax.Array,
+    box: Tuple[float, float, float],
+    cutoff: float, alpha: float,
+    exclude_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Dense XLA reference for the Ewald real-space sum (min-image,
+    erfc(alpha r)/r inside rc). ``exclude_mask`` (N, N) of 1s for pairs
+    to SKIP (still counted by the reciprocal sum; callers correct)."""
+    L = jnp.asarray(box, x.dtype)
+    d = x[:, None, :] - x[None, :, :]
+    d = d - L * jnp.round(d / L)
+    r2 = jnp.sum(d * d, axis=-1)
+    n = x.shape[0]
+    eye = jnp.eye(n, dtype=x.dtype)
+    r = jnp.sqrt(jnp.where(r2 > 1e-12, r2, 1.0))
+    within = (r < cutoff).astype(x.dtype) * (1.0 - eye)
+    if exclude_mask is not None:
+        within = within * (1.0 - exclude_mask)
+    e = KE * q[:, None] * q[None, :] * jax.lax.erfc(alpha * r) / r
+    return 0.5 * jnp.sum(e * within)
+
+
+def excluded_pair_correction(
+    x: jax.Array, q: jax.Array,
+    box: Tuple[float, float, float],
+    alpha: float,
+    e_i: jax.Array, e_j: jax.Array, se: jax.Array,
+) -> jax.Array:
+    """For pairs with electrostatic scale se < 1 the reciprocal sum
+    counted a full erf(alpha r)/r interaction that the force field does
+    not want: subtract it and add the scaled bare-Coulomb part for 1-4
+    pairs. erf(alpha r)/r -> 2 alpha/sqrt(pi) as r -> 0: bounded, so
+    this sparse subtraction has none of the LJ r^-12 cancellation
+    hazard."""
+    if e_i.shape[0] == 0:
+        return jnp.zeros((), x.dtype)
+    L = jnp.asarray(box, x.dtype)
+    d = x[e_i] - x[e_j]
+    d = d - L * jnp.round(d / L)
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+    qq = q[e_i] * q[e_j]
+    erf_term = KE * qq * jax.lax.erf(alpha * r) / r
+    bare = KE * qq / r
+    # want se * bare total; reciprocal provided erf_term; real-space
+    # kernel provided nothing for these pairs (masked/corrected there)
+    return jnp.sum(se * bare - erf_term)
+
+
+def ewald_energy_dense(
+    x: jax.Array, q: jax.Array,
+    box: Tuple[float, float, float],
+    cutoff: float,
+    *,
+    alpha: Optional[float] = None,
+    shape: Optional[Tuple[int, int, int]] = None,
+) -> jax.Array:
+    """Complete PME electrostatic energy with the dense real-space
+    reference — the validation path (Madelung tests) and the oracle the
+    cell-kernel PME mode is checked against."""
+    a = ewald_alpha(cutoff) if alpha is None else alpha
+    s = pme_grid_shape(box) if shape is None else shape
+    return (real_space_energy_dense(x, q, box, cutoff, a)
+            + reciprocal_energy(x, q, box, a, s)
+            + self_energy(q, a)
+            + background_energy(q, box, a))
+
+
+__all__ = [
+    "SPLINE_ORDER", "ewald_alpha", "pme_grid_shape", "spread_charges",
+    "reciprocal_energy", "self_energy", "background_energy",
+    "real_space_energy_dense", "excluded_pair_correction",
+    "ewald_energy_dense",
+]

@@ -43,6 +43,7 @@ def run_segment(
     gb_model: str = "gbn2",
     force_path: str = "auto",
     cutoff: float = 0.9,
+    nonbonded: str = "auto",
 ) -> Dict:
     """Run one Langevin segment. Returns a dict with device-resident
     trajectory arrays and summary scalars.
@@ -59,9 +60,12 @@ def run_segment(
 
     A solvated input (CRYST1 box + waters, e.g. from
     ``Protein.save_structure`` after ``prepare(solvate=True)``) switches
-    automatically to the EXPLICIT-solvent periodic path: min-image LJ +
-    reaction field at ``cutoff``, rigid TIP3P via roll-layout SHAKE,
-    periodic Pallas kernel.
+    automatically to the EXPLICIT-solvent periodic path: LJ + Coulomb at
+    ``cutoff``, rigid TIP3P via roll-layout SHAKE, Pallas kernels.
+    ``nonbonded`` selects the explicit-path engine: "dense" (O(N^2)
+    sweep + reaction field), "cells" (O(N) cell-list kernel + reaction
+    field), "pme" (cell-list kernel + smooth-PME electrostatics), or
+    "auto" (cells past 3000 atoms, dense below).
     """
     from ..io.pdb import read_pdb
     from .topology import _WATER_NAMES
@@ -74,14 +78,31 @@ def run_segment(
 
     if explicit:
         from .constraints import build_h_constraints
-        from .pallas_periodic import build_periodic_force_fn
 
         system, positions = build_system(
             structure, box=structure.box, cutoff=cutoff
         )
-        base_fn = build_periodic_force_fn(
-            system, interpret=jax.default_backend() != "tpu"
-        )
+        interpret = jax.default_backend() != "tpu"
+        if nonbonded == "auto":
+            # the dense sweep streams (N, N) exclusion matrices — past a
+            # few thousand atoms the O(N) cell kernel wins on both
+            # compute and memory
+            nonbonded = "cells" if system.n_atoms >= 3000 else "dense"
+        if nonbonded == "dense":
+            from .pallas_periodic import build_periodic_force_fn
+
+            base_fn = build_periodic_force_fn(system, interpret=interpret)
+        elif nonbonded in ("cells", "pme"):
+            from .pallas_cells import build_cell_force_fn
+
+            base_fn = build_cell_force_fn(
+                system, interpret=interpret,
+                electrostatics="pme" if nonbonded == "pme" else "rf",
+            )
+        else:
+            raise ValueError(
+                f"nonbonded must be auto|dense|cells|pme, got {nonbonded!r}"
+            )
         if bias_fn is not None:
             def _force_fn(x, _f=base_fn):
                 e, f = _f(x)

@@ -76,14 +76,11 @@ def test_binning_roundtrip(water_system):
     assert not bool(overflow)
     # slots unique
     assert np.unique(np.asarray(slot)).size == system.n_atoms
-    from pmarlo_tpu.md.cells import molecule_groups
-
     slots = scatter_features(
         g, xw, slot,
         jnp.asarray(system.charges, jnp.float32),
         jnp.asarray(system.lj_sigma, jnp.float32),
         jnp.asarray(system.lj_eps, jnp.float32),
-        jnp.asarray(molecule_groups(system)),
     )
     # every atom's coordinates land in its slot
     np.testing.assert_allclose(
@@ -159,9 +156,10 @@ def test_overflow_poisons_loudly():
     s, box = _water_box(4)
     system, x = build_system(s, box=box, cutoff=0.45, hydrogen_mass=None)
     fn = build_cell_force_fn(system, interpret=True, occupancy_margin=1.0)
-    # pile at the box CENTER so wrapping can't spread atoms over the
-    # corner cells — one cell must overflow its capacity
-    center = np.asarray(box, float) / 2.0
+    # pile INSIDE one cell (its center, a quarter-box in) so neither
+    # wrapping nor cell boundaries can spread the atoms — that cell
+    # must overflow its capacity
+    center = np.asarray(box, float) / 4.0
     x_piled = jnp.asarray(
         center + 0.02 * np.random.default_rng(0).normal(
             size=(system.n_atoms, 3)),
@@ -189,3 +187,96 @@ def test_solvated_chignolin_parity():
     np.testing.assert_allclose(
         np.asarray(f), -np.asarray(g_ref), atol=0.1, rtol=1e-3
     )
+
+
+def test_pme_mode_parity_water(water_system):
+    """Cell kernel in PME mode vs the dense Ewald oracle (md/pme.py):
+    electrostatics swap to erfc/r + reciprocal + self + corrections; LJ
+    unchanged. Reference = zero-charge dense path (pure LJ) + dense
+    Ewald electrostatics with per-pair exclusion adjustments."""
+    import dataclasses
+
+    from pmarlo_tpu.constants import COULOMB_CONSTANT_KJ_NM_PER_MOL_E2 as KE
+    from pmarlo_tpu.md.pme import (
+        background_energy,
+        ewald_alpha,
+        pme_grid_shape,
+        real_space_energy_dense,
+        reciprocal_energy,
+        self_energy,
+    )
+
+    system, x = water_system
+    fn = build_cell_force_fn(system, interpret=True, electrostatics="pme")
+    e, f = fn(x)
+    assert np.isfinite(float(e)) and np.isfinite(np.asarray(f)).all()
+
+    box = tuple(float(b) for b in system.box)
+    rc = float(system.cutoff)
+    alpha = ewald_alpha(rc)
+    shape = pme_grid_shape(box)
+    q = jnp.asarray(system.charges, jnp.float32)
+
+    # pure-LJ dense reference (charges zeroed)
+    sys_lj = dataclasses.replace(
+        system, charges=jnp.zeros_like(jnp.asarray(system.charges))
+    )
+    e_lj_ref, g_lj_ref = jax.value_and_grad(
+        lambda p: potential_energy(sys_lj, p)
+    )(x)
+
+    # dense Ewald electrostatics with exclusions removed from real space
+    se = np.asarray(system.scale_elec)
+    excl = jnp.asarray((se < 1.0).astype(np.float32))
+
+    def e_elec(p):
+        er = real_space_energy_dense(p, q, box, rc, alpha,
+                                     exclude_mask=excl)
+        em = reciprocal_energy(p, q, box, alpha, shape)
+        # per-pair erf subtraction + scaled 1-4 add-back
+        iu = np.triu_indices(se.shape[0], k=1)
+        keep = se[iu] < 1.0
+        ei = jnp.asarray(iu[0][keep])
+        ej = jnp.asarray(iu[1][keep])
+        sev = jnp.asarray(se[iu][keep].astype(np.float32))
+        L = jnp.asarray(box, jnp.float32)
+        d = p[ei] - p[ej]
+        d = d - L * jnp.round(d / L)
+        r = jnp.sqrt(jnp.sum(d * d, axis=1) + 1e-12)
+        qq = q[ei] * q[ej]
+        corr = jnp.sum(sev * KE * qq / r
+                       - KE * qq * jax.lax.erf(alpha * r) / r)
+        return (er + em + corr + self_energy(q, alpha)
+                + background_energy(q, box, alpha))
+
+    e_el_ref, g_el_ref = jax.value_and_grad(e_elec)(x)
+    e_ref = float(e_lj_ref) + float(e_el_ref)
+    assert abs(float(e) - e_ref) < max(0.3, 2e-4 * abs(e_ref)), (
+        float(e), e_ref
+    )
+    np.testing.assert_allclose(
+        np.asarray(f), -np.asarray(g_lj_ref + g_el_ref), atol=1.0, rtol=5e-3
+    )
+
+
+@pytest.mark.slow
+def test_run_segment_cell_and_pme_paths(tmp_path):
+    """End-to-end MD through run_segment on the cell-list and PME
+    engines: finite trajectories, temperature near target."""
+    from pmarlo_tpu.io.pdb import write_pdb
+    from pmarlo_tpu.md.simulation import run_segment
+
+    s, box = _water_box(4)
+    coords = s.coordinates()
+    names = [a.name for r in s.residues for a in r.atoms]
+    rnames = [a.resname for r in s.residues for a in r.atoms]
+    rids = [a.resid for r in s.residues for a in r.atoms]
+    p = write_pdb(tmp_path / "w.pdb", coords, names, rnames, rids, box=box)
+    for nb in ("cells", "pme"):
+        res = run_segment(
+            p, n_steps=60, report_interval=30, minimize_iterations=30,
+            dt_ps=0.001, cutoff=0.45, nonbonded=nb,
+        )
+        pos = np.asarray(res["positions"])
+        assert np.isfinite(pos).all(), nb
+        assert 100.0 < float(res["temperature"][-1]) < 600.0, nb
