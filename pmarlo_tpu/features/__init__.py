@@ -27,6 +27,10 @@ from .structure import (
     shrake_rupley_sasa,
     hydrogen_bonds,
     ss_fractions,
+    ss_fractions_dssp,
+    dssp,
+    kabsch_sander_hbonds,
+    baker_hubbard,
 )
 from .pairs import lagged_time_pairs, make_training_pairs_from_trajectory
 from .ramachandran import compute_ramachandran, compute_ramachandran_fes, periodic_hist2d

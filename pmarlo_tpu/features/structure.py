@@ -176,6 +176,230 @@ def ss_fractions(
     return jnp.mean(stack, axis=1)
 
 
+# --- Kabsch-Sander DSSP (reference builtins.py:219 uses mdtraj's DSSP) -----
+
+#: K&S electrostatic H-bond model: E = q1 q2 f (1/rON + 1/rCH - 1/rOH
+#: - 1/rCN) with q1 q2 f = 27.888 kcal/mol*A; bond when E < -0.5 kcal/mol
+_KS_COUPLING_KCAL_A = 27.888
+_KS_CUTOFF_KCAL = -0.5
+_NH_BOND_NM = 0.101
+
+
+def _backbone_indices(
+    top: TopologyInfo,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(R, 4) [N, CA, C, O] indices per residue (-1 where missing) and the
+    (R,) index of the amide H (-1 when absent — synthesized from the
+    previous C=O direction, the standard DSSP reconstruction)."""
+    order = []
+    index = {}
+    for i, (rid, name) in enumerate(zip(top.residue_ids, top.atom_names)):
+        if rid not in index:
+            index[rid] = {}
+            order.append(rid)
+        if name in ("N", "CA", "C", "O", "H", "HN") and name not in index[rid]:
+            index[rid][name] = i
+    bb = np.full((len(order), 4), -1, np.int64)
+    hh = np.full(len(order), -1, np.int64)
+    resnames = []
+    rid_to_name = {}
+    for i, (rid, rn) in enumerate(zip(top.residue_ids, top.residue_names)):
+        rid_to_name.setdefault(rid, rn)
+    for r, rid in enumerate(order):
+        atoms = index[rid]
+        for c, name in enumerate(("N", "CA", "C", "O")):
+            bb[r, c] = atoms.get(name, -1)
+        hh[r] = atoms.get("H", atoms.get("HN", -1))
+        resnames.append(rid_to_name[rid])
+    return bb, hh, np.asarray(resnames)
+
+
+def kabsch_sander_hbonds(
+    traj: jax.Array, top: TopologyInfo
+) -> Tuple[jax.Array, np.ndarray]:
+    """(T, R, R) boolean: HB[t, i, j] = C=O of residue i accepts a
+    backbone H-bond from N-H of residue j (K&S energy < -0.5 kcal/mol).
+
+    The amide H is taken from the structure when present, otherwise
+    placed 1.01 A from N along the previous peptide's C->O... C=O
+    direction (h = n + 0.101 nm * unit(c_prev - o_prev)), exactly the
+    Kabsch-Sander reconstruction. Prolines and chain starts never
+    donate."""
+    bb, hh, resnames = _backbone_indices(top)
+    R = bb.shape[0]
+    valid = (bb >= 0).all(axis=1)
+    # donors: need previous residue's C/O for H synthesis (or explicit H)
+    has_h = hh >= 0
+    prev_ok = np.zeros(R, bool)
+    prev_ok[1:] = valid[:-1]
+    can_donate = valid & (resnames != "PRO") & (has_h | prev_ok)
+
+    safe_bb = np.where(bb >= 0, bb, 0)
+    safe_h = np.where(hh >= 0, hh, 0)
+    bb_j = jnp.asarray(safe_bb)
+    hh_j = jnp.asarray(safe_h)
+    has_h_j = jnp.asarray(has_h)
+    valid_j = jnp.asarray(valid)
+    donate_j = jnp.asarray(can_donate)
+
+    def one_frame(x):
+        n = x[bb_j[:, 0]]
+        c = x[bb_j[:, 2]]
+        o = x[bb_j[:, 3]]
+        # synthesized H: previous residue's C=O direction
+        co_prev = jnp.roll(c, 1, axis=0) - jnp.roll(o, 1, axis=0)
+        co_prev = co_prev / (jnp.linalg.norm(co_prev, axis=1,
+                                             keepdims=True) + _EPS)
+        h_syn = n + _NH_BOND_NM * co_prev
+        h = jnp.where(has_h_j[:, None], x[hh_j], h_syn)
+
+        def inv_dist(a, b):
+            d = a[None, :, :] - b[:, None, :]     # (i=acceptor, j=donor)
+            return 1.0 / (10.0 * jnp.sqrt(jnp.sum(d * d, axis=-1)) + _EPS)
+
+        # E[i, j]: CO of i (acceptor) with NH of j (donor); distances in A
+        e = _KS_COUPLING_KCAL_A * (
+            inv_dist(n, o) + inv_dist(h, c) - inv_dist(h, o) - inv_dist(n, c)
+        )
+        hb = e < _KS_CUTOFF_KCAL
+        mask = (valid_j[:, None] & donate_j[None, :])
+        ij = jnp.arange(R)
+        near = jnp.abs(ij[:, None] - ij[None, :]) < 2
+        return hb & mask & ~near
+
+    return jax.vmap(one_frame)(jnp.atleast_3d(traj)), resnames
+
+
+def dssp(traj: jax.Array, top: TopologyInfo) -> jax.Array:
+    """(T, R) simplified DSSP codes per residue: 0 = coil, 1 = helix
+    (H/G/I), 2 = strand (E/B) — mdtraj's ``dssp(simplified=True)``
+    classes, computed from Kabsch-Sander backbone H-bond energies.
+
+    Patterns (Kabsch & Sander 1983):
+    * n-turn(i) = HB(i, i+n), n in {3, 4, 5}; two consecutive n-turns
+      make a helix over the spanned residues (all map to 'H' in the
+      simplified alphabet);
+    * parallel bridge(i, j): HB(i-1, j) & HB(j, i+1) or HB(j-1, i) &
+      HB(i, j+1); antiparallel: HB(i, j) & HB(j, i) or HB(i-1, j+1) &
+      HB(j-1, i+1); bridged residues are strand.
+    Priority: 4-helix > strand > 3/5-helix (the DSSP override order
+    collapsed to the simplified alphabet)."""
+    hb, _ = kabsch_sander_hbonds(traj, top)
+    T, R, _ = hb.shape
+
+    def shift(m, di, dj):
+        """m[i + di, j + dj] with False padding."""
+        return jnp.roll(jnp.roll(m, -di, axis=1), -dj, axis=2) & _edge_ok(
+            R, di, dj
+        )
+
+    def _edge_ok(R_, di, dj):
+        i = jnp.arange(R_)
+        oki = (i + di >= 0) & (i + di < R_)
+        okj = (i + dj >= 0) & (i + dj < R_)
+        return oki[:, None] & okj[None, :]
+
+    ij = jnp.arange(R)
+    diag = ij[None, :] - ij[:, None]             # j - i
+
+    def turn(n):
+        # turn_n[t, i] = HB[t, i, i + n]
+        sel = diag == n
+        return jnp.any(hb & sel[None], axis=2)
+
+    t3, t4, t5 = turn(3), turn(4), turn(5)
+
+    def helix_from_turns(t, n):
+        # consecutive turns at i-1 and i mark residues i .. i+n-1
+        start = jnp.pad(t[:, :-1] & t[:, 1:], ((0, 0), (1, 0)))
+        m = jnp.zeros_like(start)
+        for k in range(n):
+            m = m | jnp.roll(start, k, axis=1) & (
+                jnp.arange(R)[None, :] >= k
+            )
+        return m
+
+    helix4 = helix_from_turns(t4, 4)
+    helix3 = helix_from_turns(t3, 3)
+    helix5 = helix_from_turns(t5, 5)
+
+    far = jnp.abs(diag) >= 3
+    hbT = hb.swapaxes(1, 2)                       # hbT[i, j] = HB(j, i)
+    # parallel: HB(i-1, j) & HB(j, i+1)  or  HB(j-1, i) & HB(i, j+1)
+    par = (shift(hb, -1, 0) & shift(hbT, 1, 0)) | (
+        shift(hbT, 0, -1) & shift(hb, 0, 1)
+    )
+    # antiparallel: HB(i, j) & HB(j, i)  or  HB(i-1, j+1) & HB(j-1, i+1)
+    anti = (hb & hbT) | (shift(hb, -1, 1) & shift(hbT, 1, -1))
+    bridge = jnp.any((par | anti) & far[None], axis=2)
+
+    strand = bridge & ~helix4
+    helix = helix4 | ((helix3 | helix5) & ~strand)
+    return jnp.where(helix, 1, jnp.where(strand, 2, 0)).astype(jnp.int8)
+
+
+def ss_fractions_dssp(traj: jax.Array, top: TopologyInfo) -> jax.Array:
+    """(T, 3) fractions of (helix, strand, coil) residues per frame from
+    the Kabsch-Sander DSSP assignment (reference parity path; the
+    phi/psi heuristic ``ss_fractions`` remains as the fast path)."""
+    codes = dssp(traj, top)
+    h = jnp.mean((codes == 1).astype(jnp.float32), axis=1)
+    e = jnp.mean((codes == 2).astype(jnp.float32), axis=1)
+    return jnp.stack([h, e, 1.0 - h - e], axis=1)
+
+
+def baker_hubbard(
+    traj: jax.Array,
+    top: TopologyInfo,
+    *,
+    freq: float = 0.1,
+    distance_cutoff_nm: float = 0.25,
+    angle_cutoff_deg: float = 120.0,
+) -> np.ndarray:
+    """Identify hydrogen bonds present in >= ``freq`` of frames
+    (mdtraj.baker_hubbard semantics: H..A < 2.5 A and D-H..A > 120 deg).
+    Returns (K, 3) [donor-heavy, H, acceptor] index triplets.
+
+    The per-frame criterion is the same geometric test as
+    :func:`hydrogen_bonds`; this adds the occupancy filter over the
+    trajectory that defines the Baker-Hubbard method."""
+    if top.bonds is None:
+        raise ValueError("baker_hubbard needs topology bonds")
+    donors, acceptors = find_donors_acceptors(
+        top.atom_names, [ _element_of(n) for n in top.atom_names ], top.bonds
+    )
+    if donors.shape[0] == 0 or acceptors.shape[0] == 0:
+        return np.zeros((0, 3), np.int64)
+    donors_j = jnp.asarray(donors)
+    acceptors_j = jnp.asarray(acceptors)
+    cos_cut = jnp.cos(jnp.deg2rad(angle_cutoff_deg))
+
+    def one_frame(x):
+        d_heavy = x[donors_j[:, 0]]
+        d_h = x[donors_j[:, 1]]
+        acc = x[acceptors_j]
+        ha = acc[None, :, :] - d_h[:, None, :]
+        dist = jnp.sqrt(jnp.sum(ha * ha, axis=-1) + _EPS)
+        hd = d_heavy - d_h
+        hd_n = hd / jnp.sqrt(jnp.sum(hd * hd, axis=-1, keepdims=True) + _EPS)
+        ha_n = ha / dist[..., None]
+        cos_angle = jnp.sum(hd_n[:, None, :] * ha_n, axis=-1)
+        same = donors_j[:, 0][:, None] == acceptors_j[None, :]
+        return (dist < distance_cutoff_nm) & (cos_angle < cos_cut) & ~same
+
+    present = jax.vmap(one_frame)(jnp.atleast_3d(traj))
+    occupancy = np.asarray(jnp.mean(present.astype(jnp.float32), axis=0))
+    di, ai = np.where(occupancy >= freq)
+    return np.stack([
+        donors[di, 0], donors[di, 1], np.asarray(acceptors)[ai]
+    ], axis=1).astype(np.int64)
+
+
+def _element_of(name: str) -> str:
+    stripped = name.lstrip("0123456789")
+    return (stripped[:1] or "X").upper()
+
+
 # --- registry entries ------------------------------------------------------------
 
 @register_feature("sasa")

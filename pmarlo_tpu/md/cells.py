@@ -133,16 +133,44 @@ def bin_atoms(grid: CellGrid, x: jax.Array):
     return slot, cid, overflow, xw
 
 
+def _scaled_pair_list(system) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(idx (P, 2) i<j, se (P,), sl (P,)) for every pair with a scale
+    below 1, built from the SPARSE exclusion lists — never materializes
+    an (N, N) matrix (a 25k-atom box would need gigabytes)."""
+    from .ff_params import SCEE, SCNB
+
+    parts_idx, parts_se, parts_sl = [], [], []
+    e12 = np.asarray(system.excl12_idx).reshape(-1, 2)
+    if e12.size:
+        e12 = np.sort(e12, axis=1)
+        parts_idx.append(e12)
+        parts_se.append(np.zeros(e12.shape[0], np.float32))
+        parts_sl.append(np.zeros(e12.shape[0], np.float32))
+    p14 = np.asarray(system.pair14_idx).reshape(-1, 2)
+    if p14.size:
+        p14 = np.sort(p14, axis=1)
+        parts_idx.append(p14)
+        parts_se.append(np.full(p14.shape[0], SCEE, np.float32))
+        parts_sl.append(np.full(p14.shape[0], SCNB, np.float32))
+    if not parts_idx:
+        return (np.zeros((0, 2), np.int32), np.zeros(0, np.float32),
+                np.zeros(0, np.float32))
+    idx = np.concatenate(parts_idx).astype(np.int32)
+    se = np.concatenate(parts_se)
+    sl = np.concatenate(parts_sl)
+    # dedupe (1-4 lists never overlap 1-2/1-3 by construction, but be safe)
+    key = idx[:, 0].astype(np.int64) * (idx.max() + 1) + idx[:, 1]
+    _, first = np.unique(key, return_index=True)
+    return idx[first], se[first], sl[first]
+
+
 def exclusion_band_width(system, cap: int = 64) -> int:
     """Smallest D covering the bulk of scaled/excluded pairs by index
     distance, capped (pairs beyond the cap go to the sparse list)."""
-    se = np.asarray(system.scale_elec)
-    sl = np.asarray(system.scale_lj)
-    iu = np.triu_indices(se.shape[0], k=1)
-    scaled = (se[iu] < 1.0) | (sl[iu] < 1.0)
-    if not scaled.any():
+    idx, _, _ = _scaled_pair_list(system)
+    if idx.shape[0] == 0:
         return 1
-    dist = (iu[1] - iu[0])[scaled]
+    dist = idx[:, 1] - idx[:, 0]
     return int(min(int(dist.max()), cap))
 
 
@@ -153,21 +181,22 @@ def banded_scales(
     far-pair sparse correction list.
 
     Returns (band_se (N, D), band_sl (N, D), far_idx (P, 2), far_se,
-    far_sl): band_se[i, k-1] = scale_elec[i, i+k] (1.0 past the end);
-    ``far`` collects scaled pairs with index distance > D."""
-    se = np.asarray(system.scale_elec)
-    sl = np.asarray(system.scale_lj)
-    n = se.shape[0]
+    far_sl): band_se[i, k-1] = scale of pair (i, i+k) (1.0 when
+    unscaled/past the end); ``far`` collects scaled pairs with index
+    distance > D. Built entirely from the sparse lists: O(N*D) memory."""
+    idx, se, sl = _scaled_pair_list(system)
+    n = system.n_atoms
     band_se = np.ones((n, D), np.float32)
     band_sl = np.ones((n, D), np.float32)
-    for k in range(1, D + 1):
-        band_se[: n - k, k - 1] = se[np.arange(n - k), np.arange(k, n)]
-        band_sl[: n - k, k - 1] = sl[np.arange(n - k), np.arange(k, n)]
-    iu = np.triu_indices(n, k=1)
-    far = ((iu[1] - iu[0]) > D) & ((se[iu] < 1.0) | (sl[iu] < 1.0))
-    far_idx = np.stack([iu[0][far], iu[1][far]], axis=1).astype(np.int32)
-    return (band_se, band_sl, far_idx,
-            se[iu][far].astype(np.float32), sl[iu][far].astype(np.float32))
+    dist = idx[:, 1] - idx[:, 0] if idx.size else np.zeros(0, np.int64)
+    near = dist <= D
+    if idx.size:
+        band_se[idx[near, 0], dist[near] - 1] = se[near]
+        band_sl[idx[near, 0], dist[near] - 1] = sl[near]
+    far_idx = idx[~near] if idx.size else np.zeros((0, 2), np.int32)
+    far_se = se[~near] if idx.size else np.zeros(0, np.float32)
+    far_sl = sl[~near] if idx.size else np.zeros(0, np.float32)
+    return band_se, band_sl, far_idx.astype(np.int32), far_se, far_sl
 
 
 def scatter_features(

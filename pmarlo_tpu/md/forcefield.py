@@ -114,7 +114,7 @@ def _torsion_arrays(topology: Topology):
     )
 
 
-def _nonbonded_arrays(topology: Topology):
+def _nonbonded_arrays(topology: Topology, dense_scales: bool = True):
     n = topology.n_atoms
     sigma = np.zeros(n)
     eps = np.zeros(n)
@@ -125,6 +125,11 @@ def _nonbonded_arrays(topology: Topology):
             raise ForceFieldError(f"no LJ parameters for atom type {t!r}")
         sigma[i] = 2.0 * rmin_half * (2.0 ** (-1.0 / 6.0)) * _ANG_TO_NM
         eps[i] = eps_kcal * _KCAL
+    if not dense_scales:
+        # large systems: the sparse excl12/pair14 lists carry the same
+        # information (md/cells.py builds its banded scales from them);
+        # a 25k-atom solvated box would need 2 x 2.5 GB here otherwise
+        return sigma, eps, None, None
     excl, pairs14 = topology.exclusion_maps()
     scale_e = np.ones((n, n))
     scale_l = np.ones((n, n))
@@ -210,6 +215,7 @@ def build_system(
     box: Optional[Tuple[float, float, float]] = None,
     cutoff: float = 0.9,
     dtype=jnp.float32,
+    dense_scales: Optional[bool] = None,
 ) -> Tuple[System, jnp.ndarray]:
     """Build a ``System`` and initial positions from a PDB path/structure.
 
@@ -241,7 +247,13 @@ def build_system(
     bond_idx, bond_k, bond_r0 = _bond_arrays(topology)
     angle_idx, angle_k, angle_t0 = _angle_arrays(topology)
     torsion_idx, torsion_k, torsion_n, torsion_phase = _torsion_arrays(topology)
-    sigma, eps, scale_e, scale_l = _nonbonded_arrays(topology)
+    if dense_scales is None:
+        # (N, N) matrices cost 2 * N^2 * 8 B to build; past ~12k atoms
+        # only the sparse-list cell path is viable anyway
+        dense_scales = topology.n_atoms <= 12_000
+    sigma, eps, scale_e, scale_l = _nonbonded_arrays(
+        topology, dense_scales=dense_scales
+    )
     if implicit_solvent:
         gb_radii, gb_screen, gb_extras = _gb_arrays(topology, gb_model=gb_model)
     else:
@@ -279,8 +291,10 @@ def build_system(
         torsion_phase=jnp.asarray(torsion_phase, dtype=dtype),
         lj_sigma=jnp.asarray(sigma, dtype=dtype),
         lj_eps=jnp.asarray(eps, dtype=dtype),
-        scale_elec=jnp.asarray(scale_e, dtype=dtype),
-        scale_lj=jnp.asarray(scale_l, dtype=dtype),
+        scale_elec=(None if scale_e is None
+                    else jnp.asarray(scale_e, dtype=dtype)),
+        scale_lj=(None if scale_l is None
+                  else jnp.asarray(scale_l, dtype=dtype)),
         gb_radii=jnp.asarray(gb_radii, dtype=dtype),
         gb_screen=jnp.asarray(gb_screen, dtype=dtype),
         gb_alpha=(None if gb_extras is None

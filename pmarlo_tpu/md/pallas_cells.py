@@ -97,19 +97,12 @@ def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool,
     def kernel(rows_ref, *refs):
         g_refs = refs[:9]
         e_ref, F_ref = refs[9], refs[10]
-        rows = rows_ref[...]                      # (7, nz*M)
-        cols = jnp.concatenate([g[...] for g in g_refs], axis=1)
-        # cols: (7, 9*Gz*M); neighbor-run r's ghost window for row-cell zc
-        # is cols[:, r*run_width + zc*M : ... + 3*M]
+        # slice REFS with pl.ds (dynamic_slice on values has no Mosaic
+        # lowering); ghost z-window [zc, zc+3) per neighbor run
 
         def body(zc, _):
-            r = jax.lax.dynamic_slice_in_dim(rows, zc * M, M, axis=1)  # (7, M)
-            win = [
-                jax.lax.dynamic_slice_in_dim(
-                    cols, k * run_width + zc * M, 3 * M, axis=1
-                )
-                for k in range(9)
-            ]
+            r = rows_ref[:, pl.ds(zc * M, M)]     # (7, M)
+            win = [g[:, pl.ds(zc * M, 3 * M)] for g in g_refs]
             c = jnp.concatenate(win, axis=1)      # (7, 27M)
             dd0 = r[0][:, None] - c[0][None, :]
             dd1 = r[1][:, None] - c[1][None, :]

@@ -49,11 +49,15 @@ class System:
     # --- nonbonded (dense pairwise) ---
     lj_sigma: jax.Array          # (N,) nm
     lj_eps: jax.Array            # (N,) kJ/mol
-    scale_elec: jax.Array        # (N, N) 0 for excluded, 1/1.2 for 1-4, 1 otherwise
-    scale_lj: jax.Array          # (N, N) 0 for excluded, 1/2 for 1-4, 1 otherwise
     # --- GB implicit solvent (OBC/GBn2 family) ---
     gb_radii: jax.Array          # (N,) nm intrinsic Born radii (offset NOT applied)
     gb_screen: jax.Array         # (N,) HCT/GBn2 screening factors
+    #: dense (N, N) pair-scale matrices (0 excluded, 1/1.2 or 1/2 for
+    #: 1-4, 1 otherwise). None for large systems — the O(N) cell path
+    #: (md/cells.py) works from the sparse excl12_idx/pair14_idx lists
+    #: instead, and dense paths raise a clear error.
+    scale_elec: Optional[jax.Array] = None
+    scale_lj: Optional[jax.Array] = None
     #: per-atom tanh-rescale coefficients. None -> global OBC2 constants.
     #: GBn2 (reference implicit/gbn2.xml) uses per-element values
     #: (md/gbn2.py GBN2_ALPHA_BETA_GAMMA).
