@@ -94,6 +94,8 @@ class PDBStructure:
     n_models: int = 1
     #: orthorhombic box lengths (nm) from CRYST1, when present
     box: "Tuple[float, float, float] | None" = None
+    #: chain -> SEQRES residue names (loop modeling, protein/loops.py)
+    seqres: "Dict[str, List[str]] | None" = None
 
     @property
     def n_atoms(self) -> int:
@@ -139,8 +141,13 @@ def read_pdb(path: "str | Path", model: int = 1) -> PDBStructure:
     in_wanted_model = True
     box = None
 
+    seqres: Dict[str, List[str]] = {}
     for line in path.read_text().splitlines():
         record = line[:6]
+        if record.startswith("SEQRES"):
+            chain_id = line[11].strip() or "A"
+            seqres.setdefault(chain_id, []).extend(line[19:].split())
+            continue
         if record.startswith("CRYST1"):
             try:
                 a = float(line[6:15]) / 10.0
@@ -206,7 +213,7 @@ def read_pdb(path: "str | Path", model: int = 1) -> PDBStructure:
     if not residues:
         raise ValueError(f"no ATOM records found in {path} (model {model})")
     return PDBStructure(residues=residues, n_models=max(n_models, 1),
-                        box=box)
+                        box=box, seqres=seqres or None)
 
 
 def write_pdb(

@@ -86,7 +86,8 @@ def assign_protonation_states(
                 ],
             )
         renamed.append(res)
-    return PDBStructure(residues=renamed, n_models=structure.n_models)
+    return PDBStructure(residues=renamed, n_models=structure.n_models,
+                        box=structure.box, seqres=structure.seqres)
 
 
 def _template_graph(tmpl) -> Dict[str, List[str]]:
@@ -202,7 +203,8 @@ def _assign_disulfides(structure: PDBStructure) -> PDBStructure:
                 ],
             )
         out.append(res)
-    return PDBStructure(residues=out, n_models=structure.n_models)
+    return PDBStructure(residues=out, n_models=structure.n_models,
+                        box=structure.box, seqres=structure.seqres)
 
 
 def add_hydrogens(
@@ -324,7 +326,8 @@ def add_hydrogens(
             name=res.name, resid=res.resid, chain=res.chain,
             atoms=kept + added,
         ))
-    return PDBStructure(residues=new_residues, n_models=structure.n_models)
+    return PDBStructure(residues=new_residues, n_models=structure.n_models,
+                        box=structure.box, seqres=structure.seqres)
 
 
 __all__ = ["add_hydrogens", "assign_protonation_states"]

@@ -80,7 +80,8 @@ def replace_nonstandard(structure: PDBStructure) -> PDBStructure:
         out.append(PDBResidue(
             name=parent, resid=res.resid, chain=res.chain, atoms=atoms,
         ))
-    return PDBStructure(residues=out, n_models=structure.n_models)
+    return PDBStructure(residues=out, n_models=structure.n_models,
+                        box=structure.box, seqres=structure.seqres)
 
 
 __all__ = ["replace_nonstandard", "substitution_for"]

@@ -24,11 +24,15 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+import logging
+
 from ..io.pdb import PDBStructure, read_pdb, write_pdb
 from ..md.forcefield import build_system
 from ..md.topology import Topology, build_topology
 from ..utils.errors import TopologyError
 from .descriptors import compute_descriptors
+
+logger = logging.getLogger("pmarlo_tpu")
 
 # --- sequence property tables -------------------------------------------------
 
@@ -172,6 +176,8 @@ class Protein:
                                          or r.name in NONPOLYMER))
                 ],
                 n_models=structure.n_models,
+                box=structure.box,
+                seqres=structure.seqres,
             )
         if not structure.residues:
             raise TopologyError("no protein residues after cleanup")
@@ -303,10 +309,10 @@ class Protein:
         reference protein.py:354-356).
 
         Detection combines residue numbering discontinuities with broken
-        peptide geometry (C->N beyond 2.4 A). Unlike PDBFixer (which
-        rebuilds gap residues from SEQRES), gaps here are REPORTED and
-        the topology splits into fragments at each break — a documented
-        deviation; loop modeling is out of scope."""
+        peptide geometry (C->N beyond 2.4 A). ``add_missing_residues``
+        then rebuilds the absent residues (PDBFixer addMissingResidues
+        parity via CCD loop closure, protein/loops.py); unrepaired gaps
+        split the topology into fragments at each break."""
         self._require_prepared()
         gaps: Dict[Tuple[str, int, int], int] = {}
         by_chain: Dict[str, List] = {}
@@ -326,6 +332,45 @@ class Protein:
                 if broken or n_gap > 0:
                     gaps[(chain, prev.resid, nxt.resid)] = max(n_gap, 1)
         return gaps
+
+    def add_missing_residues(
+        self,
+        sequences: Optional[Dict[Tuple[str, int, int], List[str]]] = None,
+        *,
+        tol_nm: float = 0.005,
+    ) -> Dict[Tuple[str, int, int], float]:
+        """Build the residues absent from every numbering gap (PDBFixer
+        findMissingResidues/addMissingResidues, reference
+        protein.py:354-365) by CCD loop closure (protein/loops.py).
+
+        Residue names per gap come from ``sequences``, else the PDB's
+        SEQRES records when alignable, else poly-ALA. Backbones are
+        built here; run ``prepare()`` afterwards so the standard repair
+        machinery fills side chains and hydrogens. Returns the per-gap
+        final anchor RMSD (nm)."""
+        from .loops import build_missing_loops
+
+        self._require_prepared()
+        gaps = self.find_missing_residues()
+        if not gaps:
+            return {}
+        new_structure, closures = build_missing_loops(
+            self.structure, gaps,
+            sequences=sequences, seqres=self.structure.seqres,
+            tol_nm=tol_nm,
+        )
+        bad = {k: v for k, v in closures.items() if v > 3 * tol_nm}
+        if bad:
+            logger.warning(
+                "loop closure above tolerance for gaps %s (RMSD nm)", bad
+            )
+        self.structure = new_structure
+        # the new residues carry backbone only: re-run preparation so
+        # side chains/hydrogens/template matching cover them (prepare
+        # restarts from ``source``, so point it at the rebuilt structure)
+        self.source = new_structure
+        self._prepared = False
+        return closures
 
     def save_prepared(self, path: "str | Path") -> Path:
         """Write the cleaned, canonically-ordered structure."""

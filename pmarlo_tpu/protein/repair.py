@@ -221,7 +221,8 @@ def repair_missing_atoms(structure: PDBStructure) -> PDBStructure:
             "cannot rebuild heavy atoms (no anchor chain): "
             + "; ".join(still_missing)
         )
-    return PDBStructure(residues=new_residues, n_models=structure.n_models)
+    return PDBStructure(residues=new_residues, n_models=structure.n_models,
+                        box=structure.box, seqres=structure.seqres)
 
 
 def _small_cycles(neigh: Dict[str, List[str]]) -> List[List[str]]:

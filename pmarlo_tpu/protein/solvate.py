@@ -187,7 +187,8 @@ def solvate_structure(
         ))
         next_resid += 1
 
-    solvated = PDBStructure(residues=residues, n_models=structure.n_models)
+    solvated = PDBStructure(residues=residues, n_models=structure.n_models,
+                            seqres=structure.seqres)
     return solvated, (float(box[0]), float(box[1]), float(box[2]))
 
 

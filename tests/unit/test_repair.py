@@ -115,3 +115,85 @@ def test_unanchorable_residue_raises(chignolin):
     r0.atoms = [a for a in r0.atoms if a.name.strip() == "N"]
     with pytest.raises(TopologyError):
         repair_missing_atoms(s)
+
+
+# --- loop modeling (PDBFixer addMissingResidues parity; VERDICT r2 #6) -----
+
+
+def test_ccd_closes_synthetic_gap():
+    """Delete 3 interior residues from 3gd8 and rebuild them: the loop
+    must close onto the anchors and restore peptide connectivity."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from pmarlo_tpu.io.pdb import read_pdb
+    from pmarlo_tpu.protein.loops import build_missing_loops
+
+    pdb = Path("/root/reference/tests/_assets/3gd8.pdb")
+    if not pdb.exists():
+        import pytest
+
+        pytest.skip("3gd8 not mounted")
+    s = read_pdb(pdb)
+    # remove residues 60..62 (interior, away from annotated helices' ends)
+    removed = [r for r in s.residues if r.chain == "A" and 60 <= r.resid <= 62]
+    assert len(removed) == 3
+    removed_names = [r.name for r in removed]
+    s.residues = [r for r in s.residues if r not in removed]
+
+    gaps = {("A", 59, 63): 3}
+    new_s, closures = build_missing_loops(
+        s, gaps, sequences={("A", 59, 63): removed_names}
+    )
+    assert closures[("A", 59, 63)] < 0.05          # nm anchor RMSD
+    rebuilt = {r.resid: r for r in new_s.residues
+               if r.chain == "A" and 60 <= r.resid <= 62}
+    assert sorted(rebuilt) == [60, 61, 62]
+    assert [rebuilt[k].name for k in (60, 61, 62)] == removed_names
+    # peptide connectivity across the splice: C(i) - N(i+1) ~ 1.33 A
+    by_rid = {r.resid: r for r in new_s.residues if r.chain == "A"}
+    for rid in (59, 60, 61, 62):
+        c = next(np.asarray(a.xyz) for a in by_rid[rid].atoms if a.name == "C")
+        n = next(np.asarray(a.xyz) for a in by_rid[rid + 1].atoms
+                 if a.name == "N")
+        d = float(np.linalg.norm(c - n))
+        assert 0.115 < d < 0.155, (rid, d)
+
+
+@pytest.mark.slow
+def test_add_missing_residues_end_to_end():
+    """Protein.add_missing_residues + prepare: the rebuilt structure
+    must template-match (side chains/H filled by repair) and produce a
+    finite-energy system."""
+    from pathlib import Path
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pmarlo_tpu.io.pdb import read_pdb
+    from pmarlo_tpu.md.forces import potential_energy
+    from pmarlo_tpu.protein.protein import Protein
+
+    pdb = Path("/root/reference/tests/_assets/3gd8.pdb")
+    if not pdb.exists():
+        pytest.skip("3gd8 not mounted")
+    s = read_pdb(pdb)
+    s.residues = [r for r in s.residues
+                  if not (r.chain == "A" and 60 <= r.resid <= 61)]
+    p = Protein(s).prepare()
+    closures = p.add_missing_residues()
+    assert closures and all(v < 0.02 for v in closures.values())
+    p.prepare()
+    rebuilt = {r.resid: r for r in p.structure.residues
+               if r.chain == "A" and r.resid in (60, 61)}
+    assert sorted(rebuilt) == [60, 61]
+    # side chains + hydrogens were filled by the standard repair path
+    for r in rebuilt.values():
+        names = {a.name for a in r.atoms}
+        assert {"N", "CA", "C", "O"} <= names
+        assert any(n.startswith("H") for n in names)
+        assert len(names) > 5 or r.name == "GLY" 
+    system, x = p.create_system()
+    e = float(potential_energy(system, jnp.asarray(x, jnp.float32)))
+    assert np.isfinite(e)
