@@ -354,8 +354,11 @@ def bench_protein_remd_ladder() -> dict:
         p = Protein(pdb, ph=7.0).prepare()
         system, x0 = p.create_system()
         fn = build_pair_force_fn(system, tile=256)
+        from pmarlo_tpu.md.minimize import minimize_energy
+
+        xmin, _ = minimize_energy(system, jnp.asarray(x0), force_fn=fn)
         ladder, predicted = suggest_temperature_ladder(
-            system, jnp.asarray(x0), t_min=300.0, t_max=306.0,
+            system, xmin, t_min=300.0, t_max=306.0,
             target_acceptance=0.3, probe_steps=300, force_fn=fn,
             max_rungs=8,
         )
@@ -365,8 +368,8 @@ def bench_protein_remd_ladder() -> dict:
             exchange_frequency=10, report_interval=10, dt_ps=DT_PS, seed=0,
             attempts_per_block=30,
         )
-        remd = ReplicaExchange(system, jnp.asarray(x0), cfg,
-                               force_fn=fn, minimize=True)
+        remd = ReplicaExchange(system, xmin, cfg,
+                               force_fn=fn, minimize=False)
         res = remd.run(n_steps=300)
         acc = res.acceptance_matrix
         acc = float(np.nanmean(acc[np.isfinite(acc)])) if np.isfinite(

@@ -86,18 +86,28 @@ def make_cell_grid(
     *,
     occupancy_margin: float = 1.4,
     min_headroom: int = 8,
+    lane_align: bool = False,
 ) -> CellGrid:
     """Choose the grid: max cells with edge >= cutoff per axis; capacity
-    from mean occupancy with margin (rounded up to a multiple of 8 for
-    sublane alignment). Density fluctuations in liquids are percent-level,
-    so a 40% margin plus headroom absorbs them; the force fn still raises
-    a loud NaN if a cell ever overflows."""
+    from mean occupancy with margin. Density fluctuations in liquids are
+    percent-level, so a 40% margin plus headroom absorbs them; the force
+    fn still raises a loud NaN if a cell ever overflows.
+
+    ``lane_align``: round capacity so the kernel's block widths
+    (nz * M rows, (nz+2) * M ghost run) are multiples of 128 — a Mosaic
+    lowering requirement on real TPUs (interpret mode only needs the
+    sublane multiple of 8)."""
     nx = max(int(np.floor(box[0] / cutoff)), 1)
     ny = max(int(np.floor(box[1] / cutoff)), 1)
     nz = max(int(np.floor(box[2] / cutoff)), 1)
     mean_occ = n_atoms / float(nx * ny * nz)
     cap = int(np.ceil(occupancy_margin * mean_occ)) + min_headroom
-    cap = ((cap + 7) // 8) * 8
+    if lane_align:
+        need = np.lcm(128 // int(np.gcd(nz, 128)),
+                      128 // int(np.gcd(nz + 2, 128)))
+        cap = ((cap + need - 1) // need) * need
+    else:
+        cap = ((cap + 7) // 8) * 8
     return CellGrid(box=tuple(float(b) for b in box), cutoff=float(cutoff),
                     nx=nx, ny=ny, nz=nz, capacity=cap)
 

@@ -226,7 +226,8 @@ def build_cell_force_fn(
     n = system.n_atoms
     grid = make_cell_grid(tuple(float(b) for b in system.box),
                           float(system.cutoff), n,
-                          occupancy_margin=occupancy_margin)
+                          occupancy_margin=occupancy_margin,
+                          lane_align=not interpret)
     use_pme = electrostatics == "pme"
     if use_pme:
         from .pme import ewald_alpha, pme_grid_shape

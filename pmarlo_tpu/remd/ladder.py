@@ -109,10 +109,17 @@ def probe_energy_statistics(
         return jnp.mean(tail), jnp.std(tail)
 
     means, stds = jax.jit(jax.vmap(run_one))(x0, keys, temps)
+    means_np = np.asarray(means, np.float64)
+    stds_np = np.asarray(stds, np.float64)
+    if not (np.isfinite(means_np).all() and np.isfinite(stds_np).all()):
+        raise ValueError(
+            "probe runs produced non-finite energies — minimize the "
+            "structure before probing (pass minimized positions)"
+        )
     return LadderProbe(
         temperatures=np.asarray(temps, np.float64),
-        e_mean=np.asarray(means, np.float64),
-        e_std=np.asarray(stds, np.float64),
+        e_mean=means_np,
+        e_std=stds_np,
     )
 
 

@@ -105,6 +105,7 @@ def test_binning_roundtrip(water_system):
     assert float(ghost[6].sum()) == float(expected)
 
 
+@pytest.mark.slow
 def test_energy_force_parity_water(water_system):
     system, x = water_system
     fn = build_cell_force_fn(system, interpret=True)
@@ -189,6 +190,7 @@ def test_solvated_chignolin_parity():
     )
 
 
+@pytest.mark.slow
 def test_pme_mode_parity_water(water_system):
     """Cell kernel in PME mode vs the dense Ewald oracle (md/pme.py):
     electrostatics swap to erfc/r + reciprocal + self + corrections; LJ

@@ -68,6 +68,7 @@ def test_madelung_alpha_independence():
     assert abs(e1 - e2) < 2e-3 * abs(e1), (e1, e2)
 
 
+@pytest.mark.slow
 def test_pme_force_consistency():
     """Autodiff PME forces must match finite differences of the energy
     (the reference's FD oracle pattern, tests/force/)."""

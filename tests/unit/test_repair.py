@@ -84,6 +84,7 @@ def test_repair_is_noop_on_complete_structure(chignolin):
     assert out is chignolin  # fast path: nothing missing, same object
 
 
+@pytest.mark.slow
 def test_prepare_with_repair_end_to_end(chignolin):
     import os
 

@@ -129,3 +129,28 @@ def test_hyperparameter_ensemble_recluster_grid(chain_dtrajs):
     pooled = out["pooled"]["rate"]
     assert pooled["n_samples"] == len(out["members"])
     assert 0 < pooled["ci_lower"] <= pooled["ci_upper"]
+
+
+def test_selector_per_lag_its_diagnostics(chain_dtrajs):
+    """Round-3 enrichment (reference ck_its_selector.py per-lag rows):
+    timescales, eigenvalue gap, diag mass, ITS consistency, and
+    failure_reason populate the evaluations."""
+    res = select_optimal_lag_ck_its(chain_dtrajs, candidate_lags=[1, 2, 4, 8])
+    evs = {e.lag: e for e in res.evaluations}
+    assert set(evs) == {1, 2, 4, 8}
+    for e in evs.values():
+        if e.feasible:
+            assert e.timescales and all(t > 0 for t in e.timescales)
+            assert e.diag_mass is not None and 0 < e.diag_mass <= 1
+    # consistency defined from the second candidate onward
+    later = [e for e in res.evaluations[1:] if e.timescales]
+    assert any(e.its_consistency is not None for e in later)
+    # diag mass decreases with lag (states decorrelate)
+    masses = [evs[l].diag_mass for l in (1, 8) if evs[l].diag_mass]
+    if len(masses) == 2:
+        assert masses[0] >= masses[1]
+    # an infeasible configuration reports why
+    tiny = [np.array([0, 1] * 4, dtype=np.int64)]
+    res2 = select_optimal_lag_ck_its(tiny, candidate_lags=[2])
+    bad = res2.evaluations[0]
+    assert bad.feasible or bad.failure_reason
