@@ -109,7 +109,7 @@ def make_cell_grid(
     else:
         cap = ((cap + 7) // 8) * 8
     return CellGrid(box=tuple(float(b) for b in box), cutoff=float(cutoff),
-                    nx=nx, ny=ny, nz=nz, capacity=cap)
+                    nx=int(nx), ny=int(ny), nz=int(nz), capacity=int(cap))
 
 
 def bin_atoms(grid: CellGrid, x: jax.Array):

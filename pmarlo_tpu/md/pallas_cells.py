@@ -176,10 +176,11 @@ def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool,
     S = grid.n_slots
     # analytic cost: pairs = S * 27M, ~45 flops each (LJ+RF+forces)
     cost = pl.CostEstimate(
-        flops=int(S) * 27 * M * 45,
-        bytes_accessed=(C_FEAT * S + 9 * C_FEAT * (grid.nx + 2) * Gy * run_width
-                        + 4 * S) * 4,
-        transcendentals=int(S) * 27 * M,
+        flops=int(S * 27 * M * 45),
+        bytes_accessed=int((C_FEAT * S
+                            + 9 * C_FEAT * (grid.nx + 2) * Gy * run_width
+                            + 4 * S) * 4),
+        transcendentals=int(S * 27 * M),
     )
 
     def sweep(slots, ghost):

@@ -85,34 +85,43 @@ def _bspline_bsq(K: int) -> np.ndarray:
     return bsq
 
 
+def _dense_axis_weights(u: jax.Array, K: int) -> jax.Array:
+    """(N, K) per-axis spline weight matrix: 4 nonzero columns per atom
+    built by one-hot comparison instead of scatter (TPU scatters of
+    64N mesh points dominated the round-3 PME profile at ~35 ms; this
+    formulation turns spreading into batched MXU matmuls)."""
+    u0 = jnp.floor(u)
+    t = u - u0
+    w = _bspline4(t)                                     # (N, 4)
+    base = u0.astype(jnp.int32) - 1
+    offs = jnp.arange(4, dtype=jnp.int32)
+    cols = (base[:, None] + offs[None, :]) % K           # (N, 4)
+    k = jnp.arange(K, dtype=jnp.int32)
+    onehot = (cols[:, :, None] == k[None, None, :]).astype(u.dtype)
+    return jnp.einsum("no,nok->nk", w, onehot)
+
+
 def spread_charges(
     x: jax.Array, q: jax.Array,
     box: Tuple[float, float, float],
     shape: Tuple[int, int, int],
 ) -> jax.Array:
-    """Scatter-add charges onto the mesh with M4 spline weights.
-
-    Differentiable in ``x`` (weights are polynomials of the fractional
-    coordinates), which is what makes grad-based PME forces work."""
+    """Charge spreading with M4 spline weights as separable matmuls:
+    Q[i, j, k] = sum_n (q_n Wz[n, k]) Wx[n, i] Wy[n, j] — one
+    (K1, N) x (N, K2) matmul per z-plane, batched. MXU-native and
+    differentiable in ``x`` (the force pass is just autodiff)."""
     K1, K2, K3 = shape
     L = jnp.asarray(box, x.dtype)
     u = x / L * jnp.asarray([K1, K2, K3], x.dtype)
-    u0 = jnp.floor(u)
-    t = u - u0
-    w = _bspline4(t)                                     # (N, 3, 4)
-    base = u0.astype(jnp.int32) - 1                      # leftmost point
-    offs = jnp.arange(4, dtype=jnp.int32)
-    ix = (base[:, 0:1] + offs[None, :]) % K1             # (N, 4)
-    iy = (base[:, 1:2] + offs[None, :]) % K2
-    iz = (base[:, 2:3] + offs[None, :]) % K3
-    wq = q[:, None, None, None] * (
-        w[:, 0, :, None, None] * w[:, 1, None, :, None] * w[:, 2, None, None, :]
-    )                                                    # (N, 4, 4, 4)
-    flat = ((ix[:, :, None, None] * K2 + iy[:, None, :, None]) * K3
-            + iz[:, None, None, :])                      # (N, 4, 4, 4)
-    grid = jnp.zeros(K1 * K2 * K3, x.dtype)
-    grid = grid.at[flat.reshape(-1)].add(wq.reshape(-1))
-    return grid.reshape(K1, K2, K3)
+    Wx = _dense_axis_weights(u[:, 0], K1)                # (N, K1)
+    Wy = _dense_axis_weights(u[:, 1], K2)
+    Wz = _dense_axis_weights(u[:, 2], K3) * q[:, None]   # charge folded in
+
+    def plane(wz_k):
+        return (Wx * wz_k[:, None]).T @ Wy               # (K1, K2)
+
+    Q = jax.vmap(plane, in_axes=1, out_axes=2)(Wz)       # (K1, K2, K3)
+    return Q
 
 
 def reciprocal_energy(
