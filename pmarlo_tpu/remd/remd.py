@@ -161,6 +161,7 @@ class ReplicaExchange:
         use_pallas: bool = False,
         pallas_bias: Optional[Dict] = None,
         force_fn: Optional[Callable] = None,
+        constraints=None,
     ):
         """``pallas_bias`` runs a DeepTICA harmonic-expansion CV bias INSIDE
         the fused kernel: {"model": DeepTICAModel (tanh MLP on cos/sin
@@ -171,8 +172,11 @@ class ReplicaExchange:
         ``force_fn`` overrides the per-replica force evaluation
         (``fn(x (N,3)) -> (energy, forces)``): pass
         ``md.pallas_pair.build_pair_force_fn(system)`` to run
-        protein-scale REMD — the tiled kernel batches over replicas via
-        the pallas vmap rule."""
+        protein-scale REMD, or ``md.pallas_cells.build_cell_force_fn``
+        for explicit-solvent REMD at scale — both kernels batch over
+        replicas via the pallas vmap rule. ``constraints`` (a spec from
+        ``md.constraints.build_h_constraints``) enables SHAKE/RATTLE in
+        every replica's integrator (rigid water at 2 fs)."""
         self.system = system
         self.config = config
         self.bias_fn = bias_fn
@@ -184,6 +188,12 @@ class ReplicaExchange:
         if force_fn is not None and use_pallas:
             raise ValueError("force_fn override and use_pallas are exclusive")
         self._force_fn = force_fn or make_force_fn(system, bias_fn, analytic=True)
+        self._constraints = constraints
+        if constraints is not None and use_pallas:
+            raise ValueError(
+                "constraints are integrated in the XLA path; the fused "
+                "pallas chunk does not SHAKE (use use_pallas=False)"
+            )
         self._jit_cache: Dict = {}
         if use_pallas and bias_fn is not None:
             raise ValueError(
@@ -270,11 +280,14 @@ class ReplicaExchange:
         dt, friction = self.config.dt_ps, self.config.friction_per_ps
         system, force_fn = self.system, self._force_fn
 
+        constraints = self._constraints
+
         def one_step(carry, _):
             def step_single(st, T):
                 return langevin_step(
                     system, st, dt=dt, friction=friction,
                     temperature_K=T, force_fn=force_fn,
+                    constraints=constraints,
                 )
             new_state, energy = jax.vmap(step_single)(carry, temps)
             return new_state, energy
