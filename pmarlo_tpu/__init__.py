@@ -41,10 +41,15 @@ _EXPORTS = {
                                 "build_periodic_force_fn"),
     "build_h_constraints": ("pmarlo_tpu.md.constraints",
                             "build_h_constraints"),
+    "build_cell_force_fn": ("pmarlo_tpu.md.pallas_cells",
+                            "build_cell_force_fn"),
+    "ewald_energy_dense": ("pmarlo_tpu.md.pme", "ewald_energy_dense"),
     # REMD
     "RemdConfig": ("pmarlo_tpu.remd.remd", "RemdConfig"),
     "ReplicaExchange": ("pmarlo_tpu.remd.remd", "ReplicaExchange"),
     "run_replica_exchange": ("pmarlo_tpu.remd.remd", "run_replica_exchange"),
+    "suggest_temperature_ladder": ("pmarlo_tpu.remd.ladder",
+                                   "suggest_temperature_ladder"),
     # dashboard (reference pmarlo_webapp)
     "export_dashboard": ("pmarlo_tpu.webapp", "export_static"),
     "serve_dashboard": ("pmarlo_tpu.webapp", "serve"),
@@ -55,6 +60,9 @@ _EXPORTS = {
     "parse_feature_spec": ("pmarlo_tpu.features.base", "parse_feature_spec"),
     "featurize_trajectory": ("pmarlo_tpu.features.featurize", "featurize_trajectory"),
     "compute_ramachandran": ("pmarlo_tpu.features.ramachandran", "compute_ramachandran"),
+    "dssp": ("pmarlo_tpu.features.structure", "dssp"),
+    "ss_fractions_dssp": ("pmarlo_tpu.features.structure", "ss_fractions_dssp"),
+    "baker_hubbard": ("pmarlo_tpu.features.structure", "baker_hubbard"),
     # ML CVs
     "DeepTICAConfig": ("pmarlo_tpu.ml.deeptica", "DeepTICAConfig"),
     "DeepTICAModel": ("pmarlo_tpu.ml.deeptica", "DeepTICAModel"),
