@@ -206,6 +206,7 @@ def build_cell_force_fn(
     occupancy_margin: float = 1.4,
     electrostatics: str = "rf",
     ewald_tolerance: float = 5e-4,
+    mesh: "jax.sharding.Mesh | None" = None,
 ) -> Callable:
     """Jitted ``fn(x (N,3)) -> (energy, forces (N,3))`` for the FULL
     periodic potential via the cell-list kernel (pair stage) + sparse
@@ -239,10 +240,66 @@ def build_cell_force_fn(
         alpha = 0.0
         mesh_shape = None
     D = exclusion_band_width(system)
-    sweep = _build_cell_sweep(
-        grid, system, interpret,
-        elec_mode="ewald" if use_pme else "rf", alpha=alpha, band=D,
-    )
+    if mesh is None:
+        sweep = _build_cell_sweep(
+            grid, system, interpret,
+            elec_mode="ewald" if use_pme else "rf", alpha=alpha, band=D,
+        )
+    else:
+        # SPATIAL DECOMPOSITION over one large system: shard the kernel
+        # grid's x-slabs across the mesh. Binning/ghosting stay
+        # replicated (O(N) prep, trivial next to the pair work); each
+        # device slices its own x-slab of rows plus the (x-1 .. x+Cxl)
+        # ghost window — halo data arrives via the replicated ghost, so
+        # no explicit collectives are needed inside the step — and runs
+        # the SAME kernel on a local grid. Output slot rows concatenate
+        # back through the shard_map out_spec.
+        import dataclasses as _dc
+
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map as _shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map as _shard_map
+
+        axis_name = mesh.axis_names[0]
+        n_dev = int(np.prod(mesh.devices.shape))
+        if grid.nx % n_dev != 0:
+            raise ValueError(
+                f"spatial decomposition needs n_cells_x ({grid.nx}) "
+                f"divisible by the mesh size ({n_dev})"
+            )
+        cxl = grid.nx // n_dev
+        local_grid = _dc.replace(grid, nx=cxl)
+        local_sweep = _build_cell_sweep(
+            local_grid, system, interpret,
+            elec_mode="ewald" if use_pme else "rf", alpha=alpha, band=D,
+        )
+        slab_rows = cxl * grid.ny * grid.nz * grid.capacity
+        ghost_col = (grid.ny + 2) * (grid.nz + 2) * grid.capacity
+
+        def _per_device(slots_rep, ghost_rep):
+            d = jax.lax.axis_index(axis_name)
+            rows = jax.lax.dynamic_slice_in_dim(
+                slots_rep, d * slab_rows, slab_rows, axis=1
+            )
+            # ghost x-layers [d*cxl, d*cxl + cxl + 2): the local slab's
+            # neighborhood including the halo layers
+            gslab = jax.lax.dynamic_slice_in_dim(
+                ghost_rep, d * cxl * ghost_col, (cxl + 2) * ghost_col,
+                axis=1,
+            )
+            return local_sweep(rows, gslab)
+
+        def sweep(slots, ghost):
+            # check_vma=False: the pallas_call inside can't annotate how
+            # its outputs vary across the mesh axis
+            return _shard_map(
+                _per_device, mesh=mesh,
+                in_specs=(P(), P()),
+                out_specs=(P(axis_name), P(axis_name)),
+                check_vma=False,
+            )(slots, ghost)
 
     q = jnp.asarray(np.asarray(system.charges, np.float32))
     sig = jnp.asarray(np.asarray(system.lj_sigma, np.float32))

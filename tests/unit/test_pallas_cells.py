@@ -282,3 +282,33 @@ def test_run_segment_cell_and_pme_paths(tmp_path):
         pos = np.asarray(res["positions"])
         assert np.isfinite(pos).all(), nb
         assert 100.0 < float(res["temperature"][-1]) < 600.0, nb
+
+
+@pytest.mark.slow
+def test_spatial_decomposition_parity():
+    """One large system sharded over the mesh by cell x-slabs
+    (round 3): each device runs the kernel on its slab against the
+    replicated ghost; results must match the unsharded run exactly."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (conftest sets XLA_FLAGS)")
+    # L / rc chosen so n_cells_x = 8 (divisible by the mesh)
+    s, _ = _water_box(11, spacing=0.33)
+    system, x = build_system(s, box=(3.73, 3.73, 3.73), cutoff=0.45,
+                             hydrogen_mass=None)
+    x = jnp.asarray(x, jnp.float32)
+    fn = build_cell_force_fn(system, interpret=True)
+    assert fn.grid.nx == 8
+    mesh = Mesh(np.array(jax.devices()[:8]), ("cells",))
+    fn_sh = build_cell_force_fn(system, interpret=True, mesh=mesh)
+    e0, f0 = fn(x)
+    e1, f1 = fn_sh(x)
+    assert abs(float(e0) - float(e1)) < 0.05
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=0.05)
+    # indivisible grids fail fast (the 5-box grid is 3 cells)
+    s5, box5 = _water_box(5)
+    system5, _ = build_system(s5, box=box5, cutoff=0.45, hydrogen_mass=None)
+    with pytest.raises(ValueError, match="divisible"):
+        build_cell_force_fn(system5, interpret=True, mesh=mesh)
