@@ -17,14 +17,13 @@ cell-list NonbondedForce plays for the reference,
 * build a ghost-padded, periodically-shifted copy of the slot arrays so
   the kernel needs no minimum-image arithmetic and every neighbor run is
   CONTIGUOUS in memory (ghost cells carry pre-shifted coordinates);
-* exclusions/1-4 scaling are handled OUTSIDE the kernel as a sparse
-  pair-list correction (O(number of bonded pairs)): the kernel computes
-  the uniform full interaction, XLA subtracts/replaces the few excluded
-  terms. This removes the (N, N) scale matrices entirely.
+* exclusions/1-4 scaling use the index-band scheme (see the C_FEAT
+  note below): in-kernel masking of |i-j| <= D pairs + an exact banded
+  XLA add-back, removing the (N, N) scale matrices entirely.
 
 Channel layout: the per-slot feature array is ``(C_FEAT, S)`` with
-channels [x, y, z, q, sigma, eps, mask] — channel-major so a kernel
-block is one 2D slice and coordinates arrive lane-contiguous.
+channels [x, y, z, q, sigma, eps, mask, atom-index] — channel-major so
+a kernel block is one 2D slice and coordinates arrive lane-contiguous.
 """
 
 from __future__ import annotations
