@@ -133,10 +133,20 @@ def bin_atoms(grid: CellGrid, x: jax.Array):
     # 11 ms force eval at 27k atoms):
     n = x.shape[0]
     shift = max(int(np.ceil(np.log2(max(n, 2)))), 1)
-    key = (cid.astype(jnp.int32) << shift) | jnp.arange(n, dtype=jnp.int32)
-    key_sorted = jax.lax.sort(key)
-    cid_sorted = key_sorted >> shift
-    atom_sorted = key_sorted & ((1 << shift) - 1)
+    if grid.n_cells << shift < 2**31:
+        # packed key fits i32 (27k atoms in 343 cells needs 24 bits)
+        key = ((cid.astype(jnp.int32) << shift)
+               | jnp.arange(n, dtype=jnp.int32))
+        key_sorted = jax.lax.sort(key)
+        cid_sorted = key_sorted >> shift
+        atom_sorted = key_sorted & ((1 << shift) - 1)
+    else:
+        # multi-million-atom fallback: stable key/payload sort (i64
+        # packing would silently truncate without jax_enable_x64)
+        cid_sorted, atom_sorted = jax.lax.sort(
+            (cid, jnp.arange(n, dtype=jnp.int32)),
+            num_keys=1, is_stable=True,
+        )
     # rank within each cid run: i - (start index of the run), run starts
     # found by a cummax of start positions (log-depth scan, no binary
     # search)
