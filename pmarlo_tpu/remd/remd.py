@@ -591,14 +591,36 @@ def run_replica_exchange(
     mesh: Optional[jax.sharding.Mesh] = None,
     implicit_solvent: bool = True,
     gb_model: str = "gbn2",
+    target_acceptance: Optional[float] = None,
 ) -> Tuple[RemdResult, System]:
-    """One-call REMD (reference CHANGELOG.md:22 run_replica_exchange)."""
+    """One-call REMD (reference CHANGELOG.md:22 run_replica_exchange).
+
+    ``target_acceptance`` replaces the config's geometric ladder with an
+    acceptance-targeted one designed from short energy-fluctuation
+    probes (remd/ladder.py) between the config's t_min and t_max."""
+    import dataclasses as _dc
+
     from ..md.forcefield import build_system
 
     config = config or RemdConfig()
     system, positions = build_system(
         pdb_file, implicit_solvent=implicit_solvent, gb_model=gb_model
     )
+    if target_acceptance is not None:
+        from ..md.minimize import minimize_energy as _minimize
+        from .ladder import suggest_temperature_ladder
+
+        xmin, _ = _minimize(system, jnp.asarray(positions))
+        lo = float(config.ladder()[0])
+        hi = float(config.ladder()[-1])
+        ladder, _pred = suggest_temperature_ladder(
+            system, xmin, t_min=lo, t_max=hi,
+            target_acceptance=target_acceptance,
+        )
+        config = _dc.replace(
+            config, temperatures=tuple(float(t) for t in ladder),
+            n_replicas=len(ladder),
+        )
     remd = ReplicaExchange(system, positions, config, bias_fn=bias_fn, mesh=mesh)
     return remd.run(n_steps), system
 

@@ -300,3 +300,28 @@ def test_suggest_ladder_hits_target(alanine_system_module):
     acc = acc[np.isfinite(acc)]
     # small-sample band: target 0.35 measured over ~40 attempts/pair
     assert 0.1 < float(np.mean(acc)) < 0.8, res.acceptance_matrix
+
+
+@pytest.mark.slow
+def test_run_replica_exchange_target_acceptance(tmp_path):
+    """One-call REMD with an acceptance-designed ladder."""
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.io.pdb import write_pdb
+    from pmarlo_tpu.remd.remd import run_replica_exchange
+
+    s = alanine_dipeptide_structure()
+    pdb = write_pdb(
+        tmp_path / "ala.pdb", s.coordinates(),
+        [a.name for r in s.residues for a in r.atoms],
+        [a.resname for r in s.residues for a in r.atoms],
+        [a.resid for r in s.residues for a in r.atoms],
+    )
+    cfg = RemdConfig(n_replicas=4, t_min=300, t_max=420,
+                     exchange_frequency=20, report_interval=20, seed=1)
+    res, system = run_replica_exchange(
+        pdb, n_steps=400, config=cfg, target_acceptance=0.35,
+    )
+    acc = res.acceptance_matrix
+    acc = acc[np.isfinite(acc)]
+    assert res.temperatures[0] == 300.0 and res.temperatures[-1] == 420.0
+    assert 0.1 < float(np.mean(acc)) < 0.85, res.acceptance_matrix
