@@ -190,27 +190,31 @@ def _backbone_indices(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(R, 4) [N, CA, C, O] indices per residue (-1 where missing) and the
     (R,) index of the amide H (-1 when absent — synthesized from the
-    previous C=O direction, the standard DSSP reconstruction)."""
-    order = []
-    index = {}
-    for i, (rid, name) in enumerate(zip(top.residue_ids, top.atom_names)):
-        if rid not in index:
-            index[rid] = {}
-            order.append(rid)
-        if name in ("N", "CA", "C", "O", "H", "HN") and name not in index[rid]:
-            index[rid][name] = i
-    bb = np.full((len(order), 4), -1, np.int64)
-    hh = np.full(len(order), -1, np.int64)
+    previous C=O direction, the standard DSSP reconstruction).
+
+    Residues are grouped SEQUENTIALLY by runs of equal residue id in
+    atom order — not by a resid-keyed dict, which would merge residues
+    from different chains that reuse the same numbering (homodimers
+    commonly number every chain 1..N)."""
+    groups: list = []
+    prev_rid = object()
+    for i, (rid, name, rn) in enumerate(zip(
+        top.residue_ids, top.atom_names, top.residue_names
+    )):
+        if rid != prev_rid:
+            groups.append((rid, rn, {}))
+            prev_rid = rid
+        atoms = groups[-1][2]
+        if name in ("N", "CA", "C", "O", "H", "HN") and name not in atoms:
+            atoms[name] = i
+    bb = np.full((len(groups), 4), -1, np.int64)
+    hh = np.full(len(groups), -1, np.int64)
     resnames = []
-    rid_to_name = {}
-    for i, (rid, rn) in enumerate(zip(top.residue_ids, top.residue_names)):
-        rid_to_name.setdefault(rid, rn)
-    for r, rid in enumerate(order):
-        atoms = index[rid]
+    for r, (_rid, rn, atoms) in enumerate(groups):
         for c, name in enumerate(("N", "CA", "C", "O")):
             bb[r, c] = atoms.get(name, -1)
         hh[r] = atoms.get("H", atoms.get("HN", -1))
-        resnames.append(rid_to_name[rid])
+        resnames.append(rn)
     return bb, hh, np.asarray(resnames)
 
 

@@ -93,6 +93,9 @@ def make_dense_params(system: System, dtype=jnp.float32) -> DenseParams:
     sigma_ij = 0.5 * (sigma[:, None] + sigma[None, :])
     eps_ij = np.sqrt(np.maximum(eps[:, None] * eps[None, :], 0.0))
     scale_l = np.asarray(system.scale_lj, dtype=np.float64)
+    from .system import require_dense_scales
+
+    require_dense_scales(system, "the analytic dense force path")
     scale_e = np.asarray(system.scale_elec, dtype=np.float64)
     q = np.asarray(system.charges, dtype=np.float64)
     ke = COULOMB_CONSTANT_KJ_NM_PER_MOL_E2 / system.solute_dielectric

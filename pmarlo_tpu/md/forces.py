@@ -89,6 +89,9 @@ def _pairwise_distances(positions: jax.Array) -> jax.Array:
 
 def nonbonded_energy(system: System, positions: jax.Array) -> jax.Array:
     """LJ 12-6 + Coulomb with per-pair scale matrices (dense, upper-tri)."""
+    from .system import require_dense_scales
+
+    require_dense_scales(system, "nonbonded_energy (dense XLA path)")
     r = _pairwise_distances(positions)
     n = r.shape[0]
     eye = jnp.eye(n, dtype=positions.dtype)
@@ -122,6 +125,9 @@ def periodic_nonbonded_energy(
     both terms; 1-4 Coulomb keeps the plain 1/r form (no RF shift),
     matching OpenMM's exception handling.
     """
+    from .system import require_dense_scales
+
+    require_dense_scales(system, "periodic_nonbonded_energy (dense XLA path)")
     if system.box is None:
         raise ValueError("periodic_nonbonded_energy needs system.box")
     box = jnp.asarray(system.box, dtype=positions.dtype)

@@ -143,6 +143,9 @@ def build_pair_force_fn(
     # dense exclusion scale tiles (streamed): rebuild padded from System
     se_full = np.ones((N, N), np.float32)
     sl_full = np.ones((N, N), np.float32)
+    from .system import require_dense_scales
+
+    require_dense_scales(system, "the tiled pair kernel (pallas_pair)")
     se_full[:n_real, :n_real] = np.asarray(system.scale_elec, np.float32)
     sl_full[:n_real, :n_real] = np.asarray(system.scale_lj, np.float32)
 

@@ -66,6 +66,9 @@ def build_periodic_force_fn(
 
     se_full = np.ones((N, N), np.float32)
     sl_full = np.ones((N, N), np.float32)
+    from .system import require_dense_scales
+
+    require_dense_scales(system, "the dense periodic kernel")
     se_full[:n_real, :n_real] = np.asarray(system.scale_elec, np.float32)
     sl_full[:n_real, :n_real] = np.asarray(system.scale_lj, np.float32)
     # padded slots must not interact

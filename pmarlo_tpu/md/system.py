@@ -123,6 +123,22 @@ class System:
         return d
 
 
+def require_dense_scales(system, context: str) -> None:
+    """Fail fast when a dense force path is used on a system built
+    without (N, N) scale matrices (build_system(dense_scales=False),
+    automatic past 12k atoms). Without this check np.asarray(None)
+    silently becomes a 0-d NaN and poisons every force."""
+    if system.scale_elec is None or system.scale_lj is None:
+        raise ValueError(
+            f"{context} needs the dense (N, N) scale matrices, but this "
+            f"System ({system.n_atoms} atoms) was built without them "
+            "(dense_scales=False, automatic past 12k atoms). Use the "
+            "O(N) cell path (md.pallas_cells.build_cell_force_fn / "
+            "run_segment(nonbonded='cells'|'pme')) or rebuild with "
+            "build_system(dense_scales=True)."
+        )
+
+
 def hydrogen_mass_repartition(
     masses: np.ndarray,
     bond_idx: np.ndarray,

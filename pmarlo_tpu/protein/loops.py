@@ -39,16 +39,6 @@ def _deg(x: float) -> float:
     return math.radians(x)
 
 
-def parse_seqres(path_text: str) -> Dict[str, List[str]]:
-    """chain -> SEQRES residue-name list."""
-    out: Dict[str, List[str]] = {}
-    for line in path_text.splitlines():
-        if line.startswith("SEQRES"):
-            chain = line[11].strip() or "A"
-            out.setdefault(chain, []).extend(line[19:].split())
-    return out
-
-
 def align_seqres_offset(
     seqres: List[str], residues: Sequence[PDBResidue]
 ) -> Optional[int]:
@@ -324,6 +314,6 @@ def build_missing_loops(
 
 
 __all__ = [
-    "build_missing_loops", "close_loop_ccd", "parse_seqres",
+    "build_missing_loops", "close_loop_ccd",
     "align_seqres_offset", "gap_sequence_from_seqres",
 ]

@@ -617,6 +617,15 @@ def run_replica_exchange(
             system, xmin, t_min=lo, t_max=hi,
             target_acceptance=target_acceptance,
         )
+        if mesh is not None:
+            n_dev = int(np.prod(mesh.devices.shape))
+            if len(ladder) % n_dev != 0:
+                raise ValueError(
+                    f"the designed ladder has {len(ladder)} rungs, which "
+                    f"does not shard over the {n_dev}-device mesh; drop "
+                    "the mesh, widen [t_min, t_max], or pass an explicit "
+                    "ladder sized for the mesh"
+                )
         config = _dc.replace(
             config, temperatures=tuple(float(t) for t in ladder),
             n_replicas=len(ladder),

@@ -157,3 +157,22 @@ def test_baker_hubbard_occupancy():
     found = baker_hubbard(traj, top, freq=0.4)
     assert found.shape[0] == 1 and tuple(found[0]) == (0, 1, 2)
     assert baker_hubbard(traj, top, freq=0.6).shape[0] == 0
+
+
+def test_dssp_multichain_duplicate_resids():
+    """Two chains numbered identically must NOT merge: a homodimer of
+    two ideal helices yields 2x the residues, both helical (code-review
+    r3 finding: resid-keyed grouping dropped all but the first chain)."""
+    x1, top1 = _ideal_backbone(12)
+    # second copy translated far away, SAME residue numbering
+    x2 = x1 + np.asarray([5.0, 0.0, 0.0], np.float32)
+    names = list(top1.atom_names) * 2
+    rids = list(top1.residue_ids) * 2
+    rnames = list(top1.residue_names) * 2
+    top = TopologyInfo(atom_names=names, residue_names=rnames,
+                       residue_ids=rids)
+    x = np.concatenate([x1, x2])
+    codes = np.asarray(dssp(jnp.asarray(x)[None], top))[0]
+    assert codes.shape[0] == 24          # both chains present
+    assert (codes[2:10] == 1).mean() > 0.7
+    assert (codes[14:22] == 1).mean() > 0.7

@@ -75,3 +75,24 @@ def test_chignolin_builds_if_available():
     from pmarlo_tpu.md.forces import potential_energy
 
     assert np.isfinite(float(potential_energy(system, positions)))
+
+
+def test_dense_paths_fail_fast_without_scale_matrices():
+    """Systems built with dense_scales=False must raise a clear error
+    from every dense force path instead of silently poisoning forces
+    with np.asarray(None) -> NaN (code-review r3 finding)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.md.forces import nonbonded_energy
+
+    system, x = build_system(alanine_dipeptide_structure(),
+                             dense_scales=False)
+    assert system.scale_elec is None
+    with pytest.raises(ValueError, match="dense"):
+        nonbonded_energy(system, jnp.asarray(x, jnp.float32))
+    from pmarlo_tpu.md.analytic import make_dense_params
+
+    with pytest.raises(ValueError, match="dense"):
+        make_dense_params(system)
