@@ -144,7 +144,8 @@ def _nonbonded_arrays(topology: Topology, dense_scales: bool = True):
     return sigma, eps, scale_e, scale_l
 
 
-def _gb_arrays(topology: Topology, gb_model: str = "obc2"):
+def _gb_arrays(topology: Topology, gb_model: str = "obc2",
+               dense_tables: bool = True):
     """Per-atom GB radii + screening, plus GBn2 extras.
 
     obc2: mbondi2 radii + HCT element screening.
@@ -198,11 +199,19 @@ def _gb_arrays(topology: Topology, gb_model: str = "obc2"):
         for e in topology.elements
     ])
     rho = radii - GBN2_OFFSET  # neck tables are indexed by offset radii
-    d0, m0 = lookup_neck(rho[:, None].repeat(n, 1), rho[None, :].repeat(n, 0))
     extras = {
         "alpha": abg[:, 0], "beta": abg[:, 1], "gamma": abg[:, 2],
-        "neck_d0": d0, "neck_m0": m0,
+        "neck_d0": None, "neck_m0": None,
     }
+    if dense_tables:
+        # (N, N) lookup for the dense XLA/fused paths; the tiled pair
+        # kernel derives (C, C) radius-class matrices instead and large
+        # systems skip this build entirely (2 x N^2 floats)
+        d0, m0 = lookup_neck(
+            rho[:, None].repeat(n, 1), rho[None, :].repeat(n, 0)
+        )
+        extras["neck_d0"] = d0
+        extras["neck_m0"] = m0
     return radii, screen, extras
 
 
@@ -244,18 +253,20 @@ def build_system(
         structure = source if isinstance(source, PDBStructure) else read_pdb(source)
         topology = build_topology(structure, keep_waters=box is not None)
 
+    if dense_scales is None:
+        # (N, N) matrices cost 2 * N^2 * 8 B to build; past ~12k atoms
+        # only the sparse-list cell/pair-kernel paths are viable anyway
+        dense_scales = topology.n_atoms <= 12_000
     bond_idx, bond_k, bond_r0 = _bond_arrays(topology)
     angle_idx, angle_k, angle_t0 = _angle_arrays(topology)
     torsion_idx, torsion_k, torsion_n, torsion_phase = _torsion_arrays(topology)
-    if dense_scales is None:
-        # (N, N) matrices cost 2 * N^2 * 8 B to build; past ~12k atoms
-        # only the sparse-list cell path is viable anyway
-        dense_scales = topology.n_atoms <= 12_000
     sigma, eps, scale_e, scale_l = _nonbonded_arrays(
         topology, dense_scales=dense_scales
     )
     if implicit_solvent:
-        gb_radii, gb_screen, gb_extras = _gb_arrays(topology, gb_model=gb_model)
+        gb_radii, gb_screen, gb_extras = _gb_arrays(
+            topology, gb_model=gb_model, dense_tables=dense_scales
+        )
     else:
         # explicit/vacuum path: GB unused (ions/waters have no GB radii)
         gb_radii = np.full(topology.n_atoms, 0.15)
@@ -304,8 +315,10 @@ def build_system(
         gb_gamma=(None if gb_extras is None
                   else jnp.asarray(gb_extras["gamma"], dtype=dtype)),
         gb_neck_d0=(None if gb_extras is None
+                    or gb_extras["neck_d0"] is None
                     else jnp.asarray(gb_extras["neck_d0"], dtype=dtype)),
         gb_neck_m0=(None if gb_extras is None
+                    or gb_extras["neck_m0"] is None
                     else jnp.asarray(gb_extras["neck_m0"], dtype=dtype)),
         excl12_idx=jnp.asarray(excl12_idx, dtype=jnp.int32),
         pair14_idx=jnp.asarray(pair14_idx, dtype=jnp.int32),

@@ -17,20 +17,25 @@ recomputed, never stored to HBM. Three sweeps per force evaluation:
      W = d(LJ+Coulomb+GB_direct)/dr + c_i dI_i/dr_ij + c_j dI_j/dr_ji,
 
 with the tiny XLA glue (tanh rescale, self/SA terms, chain coefficients)
-between sweeps. Per-step HBM traffic is O(N) plus the streamed exclusion
-scale tiles (the only O(N^2) data; ~90 MB/step at N=3350, ~0.1 ms).
+between sweeps. Per-step HBM traffic is O(N): since round 3 there is NO
+O(N^2) data anywhere — exclusions use the index-band scheme
+(md/cells.py C_FEAT note: LJ/Coulomb pairs with |i-j| <= D are masked
+in-kernel and added back exactly by a roll-based banded XLA pass; GB
+terms stay unmasked, Born screening counts bonded pairs) and GBn2 neck
+d0/m0 lookups are MXU matmuls over (C, C) radius-class matrices
+(d0_ij = onehot_i @ D0_class @ onehot_j^T). This unblocks implicit
+systems past the ~12k-atom (N, N)-matrix memory wall: a 16,750-atom
+GBn2 system builds in 3.4 s and evaluates at 67 ms/force (previously
+needed 8.8 GB of tables).
 
-GBn2 neck d0/m0 lookups become MXU matmuls: intrinsic radii take only a
-handful of distinct values, so d0_ij = onehot_i @ D0_class @ onehot_j^T
-with a (C, C) class matrix — no (N, N) neck tables in the kernel.
-
-Measured design note (v5e, 3gd8): replacing the streamed dense
-exclusion-scale tiles with scale-1 kernels + a sparse XLA correction
-over the ~17k excluded pairs was 14% SLOWER (3.05 vs 2.69 ms/step) —
-the streamed (tile, N) reads overlap fully with compute while the
-correction's gather/scatter-add pays serialized latency (the same
-effect that makes gather-based neighbor lists 40x worse here). Dense
-streaming is the right call on TPU; keep it.
+Measured design notes (v5e, 3gd8, 2.68 ms/step round-2 baseline):
+- round 2 tried scale-1 kernels + a SPARSE gather correction over the
+  ~17k excluded pairs: 14% slower — gathers serialize (the md/nblist.py
+  lesson). Streaming dense (N, N) scale tiles won then.
+- round 3's banded add-back with GATHERED partner rows cost 5.67
+  ms/step (same gather effect); with ROLLED partner rows it is 2.92
+  ms/step — within 9% of the dense-streaming design while eliminating
+  the O(N^2) memory entirely.
 
 Validation: energies/forces vs the dense XLA path (tests/unit/
 test_pallas_pair.py on CPU math via the shared formulas is not possible —
@@ -123,7 +128,9 @@ def build_pair_force_fn(
         bb = np.full(N, OBC2_BETA, np.float32)
         gb = np.full(N, OBC2_GAMMA, np.float32)
 
-    use_neck = system.gb_neck_scale != 0.0 and system.gb_neck_m0 is not None
+    # class matrices are derived from the per-atom radii here, so the
+    # (N, N) neck tables need not exist (large systems skip building them)
+    use_neck = system.gb_neck_scale != 0.0 and system.gb_model == "gbn2"
     if use_neck:
         from .gbn2 import lookup_neck
 
@@ -140,14 +147,19 @@ def build_pair_force_fn(
         D0c = np.zeros((1, 1)); M0c = np.zeros((1, 1))
         oh = np.zeros((N, C), np.float32)
 
-    # dense exclusion scale tiles (streamed): rebuild padded from System
-    se_full = np.ones((N, N), np.float32)
-    sl_full = np.ones((N, N), np.float32)
-    from .system import require_dense_scales
+    # index-band exclusions (md/cells.py C_FEAT note): LJ/Coulomb pairs
+    # with |i-j| <= D are masked in-kernel and added back exactly in XLA
+    # at their scaled value — no (N, N) scale tiles to build or stream,
+    # which unblocks implicit systems past ~12k atoms. GB terms are NOT
+    # masked: Born screening counts every pair, bonded included.
+    from .cells import banded_scales, exclusion_band_width
 
-    require_dense_scales(system, "the tiled pair kernel (pallas_pair)")
-    se_full[:n_real, :n_real] = np.asarray(system.scale_elec, np.float32)
-    sl_full[:n_real, :n_real] = np.asarray(system.scale_lj, np.float32)
+    band_D = exclusion_band_width(system)
+    band_se_np, band_sl_np, far_idx, far_se, far_sl = banded_scales(
+        system, band_D
+    )
+    idx_chan = np.full(N, -1e6, np.float32)
+    idx_chan[:n_real] = np.arange(n_real, dtype=np.float32)
 
     use_gb = bool(system.use_gb)
 
@@ -244,7 +256,7 @@ def build_pair_force_fn(
 
     # ---- sweep 2: pair energy + dEdB pair sum -----------------------------
     def energy_kernel(xi_ref, xf_ref, q_i_ref, q_j_ref, sig_i_ref,
-                      sig_j_ref, eps_i_ref, eps_j_ref, se_ref, sl_ref,
+                      sig_j_ref, eps_i_ref, eps_j_ref, ib_i_ref, ib_j_ref,
                       B_i_ref, B_j_ref, mask_i_ref, mask_j_ref,
                       e_ref, dEdB_ref):
         _, _, _, r, not_self = pair_geometry(xi_ref, xf_ref)
@@ -253,9 +265,11 @@ def build_pair_force_fn(
         sig_ij = 0.5 * (row(sig_i_ref) + col(sig_j_ref))
         eps_ij = jnp.sqrt(row(eps_i_ref) * col(eps_j_ref) + _EPS)
         sr6 = (sig_ij * inv_r) ** 6
-        e_lj = 4.0 * eps_ij * (sr6 * sr6 - sr6) * sl_ref[...]
+        # index-band mask (exclusions/1-4s added back in XLA)
+        ob = (jnp.abs(row(ib_i_ref) - col(ib_j_ref)) > band_D).astype(r.dtype)
+        e_lj = 4.0 * eps_ij * (sr6 * sr6 - sr6) * ob
         qq = row(q_i_ref) * col(q_j_ref)
-        e_el = ke * qq * inv_r * se_ref[...]
+        e_el = ke * qq * inv_r * ob
         e_row = 0.5 * jnp.sum((e_lj + e_el) * one, axis=1, keepdims=True)
         # (r is pushed to 1 nm at self/coincident slots, so e_lj is finite
         # everywhere and the mask multiply above is NaN-safe)
@@ -281,7 +295,7 @@ def build_pair_force_fn(
 
     # ---- sweep 3: forces ---------------------------------------------------
     def force_kernel(xi_ref, xf_ref, q_i_ref, q_j_ref, sig_i_ref, sig_j_ref,
-                     eps_i_ref, eps_j_ref, se_ref, sl_ref, B_i_ref, B_j_ref,
+                     eps_i_ref, eps_j_ref, ib_i_ref, ib_j_ref, B_i_ref, B_j_ref,
                      c_i_ref, c_j_ref, rho_i_ref, rho_j_ref, sr_i_ref,
                      sr_j_ref, mask_i_ref, mask_j_ref, oh_i_ref, oh_all_ref,
                      d0c_ref, m0c_ref, F_ref):
@@ -292,11 +306,12 @@ def build_pair_force_fn(
         sig_ij = 0.5 * (row(sig_i_ref) + col(sig_j_ref))
         eps_ij = jnp.sqrt(row(eps_i_ref) * col(eps_j_ref) + _EPS)
         sr6 = (sig_ij * inv_r) ** 6
-        # d(LJ)/dr + d(Coulomb)/dr (full unordered pair)
-        W = (4.0 * eps_ij * (-12.0 * sr6 * sr6 + 6.0 * sr6) * inv_r
-             * sl_ref[...])
+        ob = (jnp.abs(row(ib_i_ref) - col(ib_j_ref)) > band_D).astype(r.dtype)
+        # d(LJ)/dr + d(Coulomb)/dr (full unordered pair, band-masked;
+        # GB terms below stay unmasked — screening counts bonded pairs)
+        W = (4.0 * eps_ij * (-12.0 * sr6 * sr6 + 6.0 * sr6) * inv_r * ob)
         qq = row(q_i_ref) * col(q_j_ref)
-        W = W - ke * qq * inv_r2 * se_ref[...]
+        W = W - ke * qq * inv_r2 * ob
         if use_gb:
             Bi = row(B_i_ref)
             Bj = col(B_j_ref)
@@ -371,7 +386,7 @@ def build_pair_force_fn(
             jnp.asarray(row_arrays["q"]), jnp.asarray(col_arrays["q"]),
             jnp.asarray(row_arrays["sig"]), jnp.asarray(col_arrays["sig"]),
             jnp.asarray(row_arrays["eps"]), jnp.asarray(col_arrays["eps"]),
-            jnp.asarray(se_full), jnp.asarray(sl_full),
+            jnp.asarray(idx_chan[:, None]), jnp.asarray(idx_chan[None, :]),
             B[:, None], B[None, :],
             jnp.asarray(row_arrays["mask"]), jnp.asarray(col_arrays["mask"]),
         ]
@@ -380,7 +395,7 @@ def build_pair_force_fn(
             row_spec(1), bcast_spec((1, N)),
             row_spec(1), bcast_spec((1, N)),
             row_spec(1), bcast_spec((1, N)),
-            row_spec(N), row_spec(N),
+            row_spec(1), bcast_spec((1, N)),
             row_spec(1), bcast_spec((1, N)),
             row_spec(1), bcast_spec((1, N)),
         ]
@@ -398,7 +413,7 @@ def build_pair_force_fn(
             jnp.asarray(row_arrays["q"]), jnp.asarray(col_arrays["q"]),
             jnp.asarray(row_arrays["sig"]), jnp.asarray(col_arrays["sig"]),
             jnp.asarray(row_arrays["eps"]), jnp.asarray(col_arrays["eps"]),
-            jnp.asarray(se_full), jnp.asarray(sl_full),
+            jnp.asarray(idx_chan[:, None]), jnp.asarray(idx_chan[None, :]),
             B[:, None], B[None, :],
             c_chain[:, None], c_chain[None, :],
             jnp.asarray(row_arrays["rho"]), jnp.asarray(col_arrays["rho"]),
@@ -412,7 +427,7 @@ def build_pair_force_fn(
             row_spec(1), bcast_spec((1, N)),
             row_spec(1), bcast_spec((1, N)),
             row_spec(1), bcast_spec((1, N)),
-            row_spec(N), row_spec(N),
+            row_spec(1), bcast_spec((1, N)),
             row_spec(1), bcast_spec((1, N)),
             row_spec(1), bcast_spec((1, N)),
             row_spec(1), bcast_spec((1, N)),
@@ -445,6 +460,67 @@ def build_pair_force_fn(
     def bonded_energy(x):
         return (bond_energy(system, x) + angle_energy(system, x)
                 + torsion_energy(system, x))
+
+    band_se_j = jnp.asarray(band_se_np)
+    band_sl_j = jnp.asarray(band_sl_np)
+    fb_i = jnp.asarray(far_idx[:, 0])
+    fb_j = jnp.asarray(far_idx[:, 1])
+    fb_se = jnp.asarray(far_se)
+    fb_sl = jnp.asarray(far_sl)
+    q_real = jnp.asarray(q[:n_real])
+    sig_real = jnp.asarray(sig[:n_real])
+    eps_real = jnp.asarray(eps[:n_real])
+
+    def _wanted_implicit(r, qq, sig_ij, eps_ij, se_p, sl_p, valid):
+        """NoCutoff implicit-path pair energy at the wanted scaling
+        (plain Coulomb + unshifted LJ — the semantics the dense scale
+        tiles used to encode). Excluded pairs contribute an exact zero,
+        so nothing large ever cancels."""
+        inv_r = 1.0 / r
+        sr6 = (sig_ij * inv_r) ** 6
+        lj = 4.0 * eps_ij * (sr6 * sr6 - sr6)
+        return (lj * sl_p + ke * qq * inv_r * se_p) * valid
+
+    def correction_energy(x):
+        """Band add-back + far-pair replacement for the in-kernel
+        index-band mask (md/cells.py C_FEAT note). Partner rows come
+        from ROLLS, not gathers — a gathered (N, D, 3) partner array
+        measured ~3 ms/step on 3gd8 (the md/nblist.py lesson again);
+        rolls are contiguous shifts."""
+        idx = jnp.arange(n_real)
+        xj = jnp.stack(
+            [jnp.roll(x, -k, axis=0) for k in range(1, band_D + 1)], axis=1
+        )                                               # (N, D, 3)
+        qj = jnp.stack(
+            [jnp.roll(q_real, -k) for k in range(1, band_D + 1)], axis=1
+        )
+        sj = jnp.stack(
+            [jnp.roll(sig_real, -k) for k in range(1, band_D + 1)], axis=1
+        )
+        ej = jnp.stack(
+            [jnp.roll(eps_real, -k) for k in range(1, band_D + 1)], axis=1
+        )
+        offs = jnp.arange(1, band_D + 1)
+        valid = (idx[:, None] + offs[None, :] < n_real).astype(x.dtype)
+        d = x[:, None, :] - xj
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+        qq = q_real[:, None] * qj
+        sig_ij = 0.5 * (sig_real[:, None] + sj)
+        eps_ij = jnp.sqrt(eps_real[:, None] * ej + _EPS)
+        e = jnp.sum(_wanted_implicit(
+            r, qq, sig_ij, eps_ij, band_se_j, band_sl_j, valid))
+        if far_idx.shape[0]:
+            dff = x[fb_i] - x[fb_j]
+            rf = jnp.sqrt(jnp.sum(dff * dff, axis=-1) + _EPS)
+            qq_f = q_real[fb_i] * q_real[fb_j]
+            sig_f = 0.5 * (sig_real[fb_i] + sig_real[fb_j])
+            eps_f = jnp.sqrt(eps_real[fb_i] * eps_real[fb_j] + _EPS)
+            ones = jnp.ones_like(rf)
+            e = e + jnp.sum(
+                _wanted_implicit(rf, qq_f, sig_f, eps_f, fb_se, fb_sl, ones)
+                - _wanted_implicit(rf, qq_f, sig_f, eps_f, ones, ones, ones)
+            )
+        return e
 
     @jax.jit
     def force_fn(x):
@@ -479,9 +555,10 @@ def build_pair_force_fn(
             e_self = e_sa = jnp.zeros(())
             c_chain = jnp.zeros((N,), jnp.float32)
         F_pair = sweep3(xp, xf, B, c_chain)[:n_real]
+        e_c, g_c = jax.value_and_grad(correction_energy)(x)
         e_b, g_b = jax.value_and_grad(bonded_energy)(x)
-        energy = e_pair + e_self + e_sa + e_b
-        return energy, F_pair - g_b
+        energy = e_pair + e_c + e_self + e_sa + e_b
+        return energy, F_pair - g_c - g_b
 
     return force_fn
 

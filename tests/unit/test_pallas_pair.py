@@ -72,3 +72,27 @@ def test_radius_classes_cover_atoms(system_and_positions):
     # few distinct radii: the class-matmul trick stays cheap
     assert len(vals) <= 8
     np.testing.assert_allclose(onehot @ vals, np.round(rho, 9), atol=1e-6)
+
+
+def test_pair_kernel_without_dense_matrices():
+    """The pair kernel must produce identical physics from a System
+    built WITHOUT the (N, N) scale/neck matrices (dense_scales=False,
+    automatic past 12k atoms) — the index-band exclusions and the
+    radius-class neck lookups replace them (round 3)."""
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.md.forcefield import build_system
+
+    system, x = build_system(
+        alanine_dipeptide_structure(), gb_model="gbn2"
+    )
+
+    sparse_sys, x2 = build_system(
+        alanine_dipeptide_structure(), gb_model="gbn2", dense_scales=False
+    )
+    assert sparse_sys.scale_elec is None and sparse_sys.gb_neck_d0 is None
+    fn_dense = build_pair_force_fn(system, tile=128, interpret=True)
+    fn_sparse = build_pair_force_fn(sparse_sys, tile=128, interpret=True)
+    e0, f0 = fn_dense(jnp.asarray(x, jnp.float32))
+    e1, f1 = fn_sparse(jnp.asarray(x2, jnp.float32))
+    assert abs(float(e0) - float(e1)) < 1e-3, (float(e0), float(e1))
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=1e-3)
