@@ -217,7 +217,10 @@ def bench_explicit() -> dict:
     xmin, _ = minimize_energy(system, jnp.asarray(x0), max_iterations=50)
     st = thermalize(system, xmin, jax.random.PRNGKey(0), 300.0)
     spec = build_h_constraints(system)
-    fn = build_periodic_force_fn(system, tile=256)
+    from pmarlo_tpu.md.constraints import strip_constrained_bonded
+
+    fn = build_periodic_force_fn(strip_constrained_bonded(system),
+                                 tile=256)
 
     def body(s, _):
         s2, e = langevin_step(system, s, dt=DT_PS, friction=1.0,
@@ -253,9 +256,12 @@ def bench_cells_25k() -> dict:
     import jax.numpy as jnp
 
     from pmarlo_tpu.io.pdb import PDBAtom, PDBResidue, PDBStructure
-    from pmarlo_tpu.md.constraints import build_h_constraints
+    from pmarlo_tpu.md.constraints import (
+        build_h_constraints,
+        strip_constrained_bonded,
+    )
     from pmarlo_tpu.md.forcefield import build_system
-    from pmarlo_tpu.md.integrate import langevin_step, thermalize
+    from pmarlo_tpu.md.integrate import run_md, thermalize
     from pmarlo_tpu.md.pallas_cells import build_cell_force_fn
 
     n_side, spacing = 21, 0.31
@@ -280,31 +286,28 @@ def bench_cells_25k() -> dict:
     try:
         system, x0 = build_system(s, box=(L, L, L), cutoff=0.9,
                                   hydrogen_mass=None)
-        fn = build_cell_force_fn(system)
         spec = build_h_constraints(system)
+        # MD force path: constrained bonded terms stripped (OpenMM
+        # createSystem semantics) + skin-amortized binning via run_md
+        md_system = strip_constrained_bonded(system)
+        fn = build_cell_force_fn(md_system)
         st = thermalize(system, jnp.asarray(x0, jnp.float32),
                         jax.random.PRNGKey(0), 300.0)
 
-        def body(s_, _):
-            s2, e = langevin_step(system, s_, dt=DT_PS, friction=1.0,
-                                  temperature_K=300.0, constraints=spec,
-                                  force_fn=fn)
-            return s2, e
-
-        @jax.jit
-        def run100(s_):
-            return jax.lax.scan(body, s_, None, length=100)
-
-        out = run100(st)
-        jax.block_until_ready(out[0].positions)
+        out, _ = run_md(system, st, n_steps=100, dt=DT_PS, friction=1.0,
+                        temperature_K=300.0, report_interval=100,
+                        force_fn=fn, constraints=spec)
+        jax.block_until_ready(out.positions)
         t0 = time.perf_counter()
-        out = run100(out[0])
-        jax.block_until_ready(out[0].positions)
+        out, _ = run_md(system, out, n_steps=100, dt=DT_PS, friction=1.0,
+                        temperature_K=300.0, report_interval=100,
+                        force_fn=fn, constraints=spec)
+        jax.block_until_ready(out.positions)
         wall = time.perf_counter() - t0
         ms_step = wall / 100 * 1e3
 
         # PME force-eval cost (electrostatics upgrade path)
-        fn_pme = build_cell_force_fn(system, electrostatics="pme")
+        fn_pme = build_cell_force_fn(md_system, electrostatics="pme")
         e, f = fn_pme(jnp.asarray(x0, jnp.float32))
         jax.block_until_ready(e)
         t0 = time.perf_counter()

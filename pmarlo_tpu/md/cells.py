@@ -304,8 +304,35 @@ def ghost_pad(grid: CellGrid, slots: jax.Array) -> jax.Array:
 
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NeighborState:
+    """Cell-assignment state for skin-amortized binning.
+
+    The grid's cell edge exceeds the cutoff by a slack ("skin"); as long
+    as every atom has moved less than skin/2 since the assignment was
+    computed, any pair now within the cutoff was within cutoff + skin at
+    binning time and therefore still lands in the 27-cell neighborhood —
+    the assignment stays valid and the per-step sort/rank pass is
+    skipped. Wrapped coordinates advance as ``xw_ref + (x - x_ref)``
+    (raw displacement, no re-wrap), so an atom that drifts across the
+    periodic boundary keeps coordinates consistent with its binned cell
+    and the ghost shifts."""
+
+    slot: jax.Array      # (N,) flat slot index per atom
+    x_ref: jax.Array     # (N, 3) raw positions at the last rebin
+    xw_ref: jax.Array    # (N, 3) wrapped positions at the last rebin
+    overflow: jax.Array  # bool: a cell exceeded capacity at the rebin
+
+
+def free_skin(grid: CellGrid) -> float:
+    """Slack between the smallest cell edge and the cutoff — the skin
+    the grid supports with ZERO extra kernel work."""
+    return float(min(grid.cell_size) - grid.cutoff)
+
+
 __all__ = [
-    "C_FEAT", "CellGrid", "make_cell_grid", "bin_atoms",
+    "C_FEAT", "CellGrid", "NeighborState", "make_cell_grid", "bin_atoms",
     "scatter_features", "ghost_pad", "exclusion_band_width",
-    "banded_scales",
+    "banded_scales", "free_skin",
 ]

@@ -114,8 +114,14 @@ def langevin_step(
     bias_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     force_fn: Optional[Callable] = None,
     constraints=None,
+    force_state=None,
 ) -> Tuple[MDState, jax.Array]:
     """One BAOAB step. Returns (new_state, potential_energy).
+
+    With ``force_state`` (a stateful force fn's carry, e.g. the cell
+    kernel's skin-amortized ``NeighborState``), ``force_fn`` must have
+    the stateful signature ``fn(x, state) -> (energy, forces, state)``
+    and the return becomes ``(new_state, energy, new_force_state)``.
 
     With ``constraints`` (md.constraints.ConstraintSpec) the step runs
     g-BAOAB-style: SHAKE after each position half-step, RATTLE after each
@@ -134,7 +140,9 @@ def langevin_step(
     kT = BOLTZMANN_CONSTANT_KJ_PER_MOL * temperature_K
     m = system.masses[:, None]
 
-    if force_fn is not None:
+    if force_state is not None:
+        energy, f, force_state = force_fn(state.positions, force_state)
+    elif force_fn is not None:
         energy, f = force_fn(state.positions)
     else:
         energy, grad = jax.value_and_grad(
@@ -178,6 +186,8 @@ def langevin_step(
     # fold it into the next step's leading B (standard leapfrog-style fusion,
     # identical long-run sampling, one force eval per step).
     new_state = MDState(positions=x, velocities=v, key=key, step=state.step + 1)
+    if force_state is not None:
+        return new_state, energy, force_state
     return new_state, energy
 
 
@@ -236,17 +246,30 @@ def run_md(
         else:
             n_con = 0
 
+        # stateful force fns (cell kernel with a skin: init_state/apply)
+        # thread their neighbor state through the scan carry, so the
+        # binning pass runs only when an atom outruns the skin
+        stateful = hasattr(force_fn, "init_state")
+        step_force = force_fn.apply if stateful else force_fn
+
         def inner(carry, _):
-            st, temp = carry
-            new_state, energy = langevin_step(
-                system, st, dt=dt, friction=friction,
-                temperature_K=temp, force_fn=force_fn,
-                constraints=constraints,
-            )
-            return (new_state, temp), energy
+            st, temp, fstate = carry
+            if stateful:
+                new_state, energy, fstate = langevin_step(
+                    system, st, dt=dt, friction=friction,
+                    temperature_K=temp, force_fn=step_force,
+                    constraints=constraints, force_state=fstate,
+                )
+            else:
+                new_state, energy = langevin_step(
+                    system, st, dt=dt, friction=friction,
+                    temperature_K=temp, force_fn=step_force,
+                    constraints=constraints,
+                )
+            return (new_state, temp, fstate), energy
 
         def outer(carry, _):
-            (new_state, temp), energies = jax.lax.scan(
+            (new_state, temp, fstate), energies = jax.lax.scan(
                 inner, carry, None, length=report_interval
             )
             frame = {
@@ -256,12 +279,14 @@ def run_md(
                     system, new_state.velocities, n_con
                 ),
             }
-            return (new_state, temp), frame
+            return (new_state, temp, fstate), frame
 
         @jax.jit
         def scan_fn(st, temp):
-            (final, _), frames = jax.lax.scan(
-                outer, (st, temp), None, length=n_chunks
+            fstate = (force_fn.init_state(st.positions)
+                      if stateful else jnp.zeros(()))
+            (final, _, _), frames = jax.lax.scan(
+                outer, (st, temp, fstate), None, length=n_chunks
             )
             return final, frames
 

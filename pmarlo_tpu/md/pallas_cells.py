@@ -31,6 +31,7 @@ dense XLA path on water boxes and the solvated-chignolin system.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable
 
 import jax
@@ -41,9 +42,11 @@ from ..constants import COULOMB_CONSTANT_KJ_NM_PER_MOL_E2
 from .cells import (
     C_FEAT,
     CellGrid,
+    NeighborState,
     bin_atoms,
     exclusion_band_width,
     banded_scales,
+    free_skin,
     ghost_pad,
     make_cell_grid,
     scatter_features,
@@ -207,6 +210,8 @@ def build_cell_force_fn(
     electrostatics: str = "rf",
     ewald_tolerance: float = 5e-4,
     mesh: "jax.sharding.Mesh | None" = None,
+    skin: "str | float" = "auto",
+    min_skin: float = 0.015,
 ) -> Callable:
     """Jitted ``fn(x (N,3)) -> (energy, forces (N,3))`` for the FULL
     periodic potential via the cell-list kernel (pair stage) + sparse
@@ -226,10 +231,44 @@ def build_cell_force_fn(
             f"electrostatics must be rf|pme, got {electrostatics!r}"
         )
     n = system.n_atoms
-    grid = make_cell_grid(tuple(float(b) for b in system.box),
-                          float(system.cutoff), n,
+    box_f = tuple(float(b) for b in system.box)
+    grid = make_cell_grid(box_f, float(system.cutoff), n,
                           occupancy_margin=occupancy_margin,
                           lane_align=not interpret)
+    # Skin-amortized binning (NeighborState): most grids already have
+    # free slack (cell edge = box/floor(box/rc) > rc) that costs zero
+    # extra kernel work; only when the box divides too evenly do we
+    # coarsen the grid to buy a minimum skin.
+    if skin == "auto":
+        sk = free_skin(grid)
+        if 0.0 < sk < min_skin:
+            coarser = make_cell_grid(
+                box_f, float(system.cutoff) + min_skin, n,
+                occupancy_margin=occupancy_margin,
+                lane_align=not interpret,
+            )
+            if min(coarser.nx, coarser.ny, coarser.nz) >= 3:
+                grid = dataclasses.replace(
+                    coarser, cutoff=float(system.cutoff)
+                )
+                sk = free_skin(grid)
+    else:
+        sk = float(skin)
+        if sk > 0.0:
+            grid = dataclasses.replace(
+                make_cell_grid(box_f, float(system.cutoff) + sk, n,
+                               occupancy_margin=occupancy_margin,
+                               lane_align=not interpret),
+                cutoff=float(system.cutoff),
+            )
+            sk = free_skin(grid)
+    if min(grid.nx, grid.ny, grid.nz) < 3:
+        # a 2-cell axis would alias the +1/-1 neighbor columns onto the
+        # same cell; skinning must never break the neighborhood cover
+        grid = make_cell_grid(box_f, float(system.cutoff), n,
+                              occupancy_margin=occupancy_margin,
+                              lane_align=not interpret)
+        sk = max(free_skin(grid), 0.0)
     use_pme = electrostatics == "pme"
     if use_pme:
         from .pme import ewald_alpha, pme_grid_shape
@@ -359,25 +398,29 @@ def build_cell_force_fn(
         cancellation). Far scaled pairs (|i-j| > D, e.g. disulfide
         1-4s) were kernel-counted at full strength: subtract and
         replace — they sit at moderate distances where f32 subtraction
-        is safe."""
-        # --- banded pass: pairs (i, i+k), k = 1..D -----------------------
+        is safe.
+
+        Offsets are walked as ``jnp.roll`` lane shifts rather than an
+        (N, D) index gather: rolls (and their autodiff transpose —
+        another roll) keep the pass scatter/gather-free, measured 5x
+        faster in-scan at 27k atoms (2.52 -> 0.53 ms)."""
+        # --- banded pass: pairs (i, i+k), k = 1..D as rolls --------------
         N = x.shape[0]
-        offs = jnp.arange(1, D + 1)
-        idx = jnp.arange(N)
-        # partner index i+k, clamped; validity masks the tail
-        j_idx = jnp.minimum(idx[:, None] + offs[None, :], N - 1)   # (N, D)
-        valid = (idx[:, None] + offs[None, :] < N).astype(x.dtype)
-        xi = x[:, None, :]
-        xj = x[j_idx]                                               # (N, D, 3)
-        d = xi - xj
-        d = d - box_arr * jnp.round(d / box_arr)
-        r = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
-        qq = q[:, None] * q[j_idx]
-        sig_ij = 0.5 * (sig[:, None] + sig[j_idx])
-        eps_ij = jnp.sqrt(eps[:, None] * eps[j_idx] + _EPS)
-        e_band = jnp.sum(_wanted_pair_energy(
-            r, qq, sig_ij, eps_ij, band_se, band_sl, valid
-        ))
+        iota = jnp.arange(N)
+        e_band = jnp.asarray(0.0, x.dtype)
+        for k in range(1, D + 1):
+            xj = jnp.roll(x, -k, axis=0)
+            valid = (iota + k < N).astype(x.dtype)
+            d = x - xj
+            d = d - box_arr * jnp.round(d / box_arr)
+            r = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+            qq = q * jnp.roll(q, -k)
+            sig_ij = 0.5 * (sig + jnp.roll(sig, -k))
+            eps_ij = jnp.sqrt(eps * jnp.roll(eps, -k) + _EPS)
+            e_band = e_band + jnp.sum(_wanted_pair_energy(
+                r, qq, sig_ij, eps_ij, band_se[:, k - 1],
+                band_sl[:, k - 1], valid
+            ))
 
         # --- far scaled pairs: subtract kernel-counted, add wanted -------
         if far_idx.shape[0] == 0:
@@ -411,10 +454,7 @@ def build_cell_force_fn(
         def mesh_energy(x):
             return reciprocal_energy(x, q, box_t, alpha, mesh_shape)
 
-    @jax.jit
-    def force_fn(x):
-        x = x.astype(jnp.float32)
-        slot, _, overflow, xw = bin_atoms(grid, x)
+    def _eval(x, slot, xw, overflow):
         slots = scatter_features(grid, xw, slot, q, sig, eps)
         ghost = ghost_pad(grid, slots)
         e_rows, F_slots = sweep(slots, ghost)
@@ -431,8 +471,42 @@ def build_cell_force_fn(
             forces = forces - g_m
         return energy, forces
 
+    def _fresh_state(x):
+        slot, _, overflow, xw = bin_atoms(grid, x)
+        return NeighborState(slot=slot, x_ref=x, xw_ref=xw,
+                             overflow=overflow)
+
+    @jax.jit
+    def force_fn(x):
+        x = x.astype(jnp.float32)
+        st = _fresh_state(x)
+        return _eval(x, st.slot, st.xw_ref, st.overflow)
+
+    @jax.jit
+    def init_state(x):
+        return _fresh_state(x.astype(jnp.float32))
+
+    @jax.jit
+    def apply(x, st):
+        """Skin-amortized evaluation: reuse the cell assignment until
+        some atom has moved skin/2 from its rebin reference (exact
+        check per step, so the 27-neighborhood cover never breaks;
+        see cells.NeighborState)."""
+        x = x.astype(jnp.float32)
+        disp = x - st.x_ref
+        need = jnp.max(jnp.sum(disp * disp, axis=1)) > (0.5 * sk) ** 2
+        st = jax.lax.cond(need, lambda _: _fresh_state(x),
+                          lambda s: s, st)
+        xw = st.xw_ref + (x - st.x_ref)
+        e, f = _eval(x, st.slot, xw, st.overflow)
+        return e, f, st
+
     force_fn.grid = grid  # introspection for tests/benchmarks
     force_fn.electrostatics = electrostatics
+    force_fn.skin = sk
+    if sk > 0.0:
+        force_fn.init_state = init_state
+        force_fn.apply = apply
     return force_fn
 
 

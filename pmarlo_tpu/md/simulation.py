@@ -88,29 +88,54 @@ def run_segment(
             # few thousand atoms the O(N) cell kernel wins on both
             # compute and memory
             nonbonded = "cells" if system.n_atoms >= 3000 else "dense"
+        constraints = build_h_constraints(system)
+        # MD forces drop bonded terms the constraints replace (OpenMM
+        # createSystem semantics); minimization keeps the FULL system —
+        # unconstrained relaxation needs the stiff X-H bonds
+        from .constraints import strip_constrained_bonded
+
+        md_system = (strip_constrained_bonded(system)
+                     if constraints is not None else system)
         if nonbonded == "dense":
             from .pallas_periodic import build_periodic_force_fn
 
             base_fn = build_periodic_force_fn(system, interpret=interpret)
+            md_base_fn = (
+                build_periodic_force_fn(md_system, interpret=interpret)
+                if md_system is not system else base_fn
+            )
         elif nonbonded in ("cells", "pme"):
             from .pallas_cells import build_cell_force_fn
 
+            elec = "pme" if nonbonded == "pme" else "rf"
             base_fn = build_cell_force_fn(
-                system, interpret=interpret,
-                electrostatics="pme" if nonbonded == "pme" else "rf",
+                system, interpret=interpret, electrostatics=elec,
+            )
+            md_base_fn = (
+                build_cell_force_fn(
+                    md_system, interpret=interpret, electrostatics=elec,
+                )
+                if md_system is not system else base_fn
             )
         else:
             raise ValueError(
                 f"nonbonded must be auto|dense|cells|pme, got {nonbonded!r}"
             )
         if bias_fn is not None:
-            def _force_fn(x, _f=base_fn):
+            def _force_fn(x, _f=md_base_fn):
                 e, f = _f(x)
                 be, bg = jax.value_and_grad(bias_fn)(x)
                 return e + be, f - bg
+            if hasattr(md_base_fn, "init_state"):
+                # preserve the skin-amortized stateful path under bias
+                def _apply(x, st, _f=md_base_fn):
+                    e, f, st = _f.apply(x, st)
+                    be, bg = jax.value_and_grad(bias_fn)(x)
+                    return e + be, f - bg, st
+                _force_fn.init_state = md_base_fn.init_state
+                _force_fn.apply = _apply
         else:
-            _force_fn = base_fn
-        constraints = build_h_constraints(system)
+            _force_fn = md_base_fn
         key = jax.random.PRNGKey(seed)
         # minimize through the same tiled periodic kernel MD uses — the
         # dense XLA energy would cap solvated size by minimizer memory

@@ -146,3 +146,49 @@ def test_water_block_requires_canonical_order():
     system, _ = build_system(alanine_dipeptide_structure())
     spec = build_h_constraints(system)
     assert isinstance(spec, RolledConstraintSpec)
+
+
+def test_strip_constrained_bonded():
+    # OpenMM createSystem semantics: constrained X-H bonds and
+    # rigid-water angles carry no bonded force terms in the MD system
+    from pmarlo_tpu.md.constraints import strip_constrained_bonded
+    from pmarlo_tpu.protein.solvate import solvate_structure
+
+    struct = alanine_dipeptide_structure()
+    solvated, box = solvate_structure(struct, padding=0.8)
+    system, x = build_system(solvated, box=box, cutoff=0.7,
+                             hydrogen_mass=None)
+    stripped = strip_constrained_bonded(system)
+    bonds = np.asarray(system.bond_idx)
+    sbonds = np.asarray(stripped.bond_idx)
+    from pmarlo_tpu.md.ff_params import TYPE_ELEMENTS
+
+    is_h = np.asarray([
+        TYPE_ELEMENTS.get(t, "X") == "H" for t in system.atom_types
+    ])
+    n_h_bonds = int((is_h[bonds[:, 0]] | is_h[bonds[:, 1]]).sum())
+    assert sbonds.shape[0] == bonds.shape[0] - n_h_bonds
+    assert not (is_h[sbonds[:, 0]] | is_h[sbonds[:, 1]]).any()
+    # every remaining angle has at least one non-water atom
+    water = np.asarray([
+        rn in ("HOH", "WAT") for rn in system.residue_names
+    ])
+    sang = np.asarray(stripped.angle_idx)
+    assert not (water[sang[:, 0]] & water[sang[:, 1]]
+                & water[sang[:, 2]]).any()
+    # protein angles (incl. those with H) survive
+    ang = np.asarray(system.angle_idx)
+    n_water_angles = int((water[ang[:, 0]] & water[ang[:, 1]]
+                          & water[ang[:, 2]]).sum())
+    assert sang.shape[0] == ang.shape[0] - n_water_angles
+    # at constraint-satisfied geometry the dropped terms carry ~0 energy
+    from pmarlo_tpu.md.constraints import shake
+    from pmarlo_tpu.md.forces import angle_energy, bond_energy
+
+    spec = build_h_constraints(system)
+    xc = shake(spec, jnp.asarray(x, jnp.float32),
+               jnp.asarray(x, jnp.float32))
+    e_full = float(bond_energy(system, xc) + angle_energy(system, xc))
+    e_strip = float(bond_energy(stripped, xc) + angle_energy(stripped, xc))
+    # dropped terms are near their minima: small absolute difference
+    assert abs(e_full - e_strip) < 0.5 * max(1, n_h_bonds) * 0.05

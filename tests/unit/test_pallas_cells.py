@@ -312,3 +312,78 @@ def test_spatial_decomposition_parity():
     system5, _ = build_system(s5, box=box5, cutoff=0.45, hydrogen_mass=None)
     with pytest.raises(ValueError, match="divisible"):
         build_cell_force_fn(system5, interpret=True, mesh=mesh)
+
+
+def test_skin_amortized_state_parity(water_system):
+    # fn.apply with a reused cell assignment must match the stateless
+    # path exactly while atoms stay within skin/2, and must rebin
+    # (transparently, same answers) once they drift past it
+    system, x = water_system
+    fn = build_cell_force_fn(system, interpret=True)
+    assert fn.skin > 0.0, "water fixture grid should have free slack"
+    st = fn.init_state(x)
+    e0, f0, st = fn.apply(x, st)
+    e_ref, f_ref = fn(x)
+    assert abs(float(e0) - float(e_ref)) < 1e-3
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f_ref),
+                               atol=1e-3)
+    rng = np.random.default_rng(1)
+    # small drift (clamped well under skin/2): assignment must be reused
+    drift = rng.normal(0, fn.skin / 10, (system.n_atoms, 3))
+    drift = np.clip(drift, -0.2 * fn.skin, 0.2 * fn.skin)
+    xp = jnp.asarray(np.asarray(x) + drift, jnp.float32)
+    e1, f1, st1 = fn.apply(xp, st)
+    np.testing.assert_array_equal(np.asarray(st1.x_ref),
+                                  np.asarray(st.x_ref))  # no rebin
+    e1_ref, f1_ref = fn(xp)
+    assert abs(float(e1) - float(e1_ref)) < max(
+        1e-3, 1e-5 * abs(float(e1_ref)))
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f1_ref),
+                               atol=5e-2, rtol=1e-3)
+    # large drift (> skin/2 for some atom): rebin fires, parity holds
+    big = np.asarray(x) + rng.normal(0, 1.2 * fn.skin, (system.n_atoms, 3))
+    xb = jnp.asarray(big, jnp.float32)
+    e2, f2, st2 = fn.apply(xb, st1)
+    assert not np.array_equal(np.asarray(st2.x_ref),
+                              np.asarray(st1.x_ref))  # rebinned
+    e2_ref, f2_ref = fn(xb)
+    assert abs(float(e2) - float(e2_ref)) < max(
+        1e-3, 1e-5 * abs(float(e2_ref)))
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f2_ref),
+                               atol=5e-2, rtol=1e-3)
+
+
+def test_skin_state_wrap_crossing(water_system):
+    # an atom drifting ACROSS the periodic boundary between rebins keeps
+    # consistent coordinates (xw_ref + raw displacement, no re-wrap)
+    system, x = water_system
+    fn = build_cell_force_fn(system, interpret=True)
+    xn = np.asarray(x)
+    # put one water's O just inside the box face, then push it across
+    i = int(np.argmax(xn[:, 0]))
+    st = fn.init_state(jnp.asarray(xn, jnp.float32))
+    push = np.zeros_like(xn)
+    push[i - (i % 3): i - (i % 3) + 3, 0] = 0.4 * fn.skin
+    xp = jnp.asarray(xn + push, jnp.float32)
+    e, f, _ = fn.apply(xp, st)
+    e_ref, f_ref = fn(xp)
+    assert abs(float(e) - float(e_ref)) < max(
+        1e-3, 1e-5 * abs(float(e_ref)))
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref),
+                               atol=5e-2, rtol=1e-3)
+
+
+def test_run_md_threads_neighbor_state(water_system):
+    # run_md must pick up the stateful path and produce finite dynamics
+    from pmarlo_tpu.md.integrate import run_md, thermalize
+
+    system, x = water_system
+    fn = build_cell_force_fn(system, interpret=True)
+    assert hasattr(fn, "init_state")
+    st = thermalize(system, x, jax.random.PRNGKey(0), 300.0)
+    final, frames = run_md(
+        system, st, n_steps=4, dt=0.001, friction=1.0,
+        temperature_K=300.0, report_interval=2, force_fn=fn,
+    )
+    assert np.isfinite(np.asarray(frames["potential_energy"])).all()
+    assert np.isfinite(np.asarray(final.positions)).all()
