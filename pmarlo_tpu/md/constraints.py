@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .system import System
+from .topology import _WATER_NAMES
 
 
 @jax.tree_util.register_dataclass
@@ -66,7 +67,7 @@ def build_h_constraints(
     by_res: dict = {}
     for i, (rn, an) in enumerate(zip(system.residue_names,
                                      system.atom_names)):
-        if rn in ("HOH", "WAT"):
+        if rn in _WATER_NAMES:
             by_res.setdefault(system.residue_ids[i], {})[an] = i
     for atoms in by_res.values():
         if "H1" in atoms and "H2" in atoms:
@@ -85,7 +86,7 @@ def build_h_constraints(
         # coupled constraint triangles — see RigidWaterSpec); everything
         # else keeps the roll-layout Jacobi (star graphs converge)
         water_atoms = np.asarray([
-            rn in ("HOH", "WAT")
+            rn in _WATER_NAMES
             for rn in system.residue_names
         ])
         water_spec = None
@@ -583,7 +584,7 @@ def strip_constrained_bonded(system: System) -> System:
                 bond_r0=jnp.asarray(np.asarray(system.bond_r0)[keep_b]),
             )
     water_atoms = np.asarray([
-        rn in ("HOH", "WAT") for rn in system.residue_names
+        rn in _WATER_NAMES for rn in system.residue_names
     ])
     angles = np.asarray(system.angle_idx).reshape(-1, 3)
     if angles.shape[0] and water_atoms.any():

@@ -192,3 +192,48 @@ def test_strip_constrained_bonded():
     e_strip = float(bond_energy(stripped, xc) + angle_energy(stripped, xc))
     # dropped terms are near their minima: small absolute difference
     assert abs(e_full - e_strip) < 0.5 * max(1, n_h_bonds) * 0.05
+
+
+def test_sol_named_waters_get_rigid_treatment():
+    # GROMACS-style naming (resname SOL, atoms OW/HW1/HW2) must route
+    # through the same rigid-water path as HOH: H-H closure constraint,
+    # exact water solver, and angle stripping (shared _WATER_NAMES set)
+    from pmarlo_tpu.io.pdb import PDBAtom, PDBResidue, PDBStructure
+    from pmarlo_tpu.md.constraints import (
+        CompositeConstraintSpec,
+        RigidWaterSpec,
+        strip_constrained_bonded,
+    )
+
+    def atom(name, resid, xyz, element):
+        return PDBAtom(name=name, resname="SOL", resid=resid, chain="A",
+                       xyz=xyz, element=element)
+
+    residues = []
+    rid = 1
+    for i in range(3):
+        for j in range(3):
+            for k in range(3):
+                ox = (0.2 + i * 0.31, 0.2 + j * 0.31, 0.2 + k * 0.31)
+                residues.append(PDBResidue(
+                    name="SOL", resid=rid, chain="A", atoms=[
+                        atom("OW", rid, ox, "O"),
+                        atom("HW1", rid,
+                             (ox[0] + 0.09572, ox[1], ox[2]), "H"),
+                        atom("HW2", rid,
+                             (ox[0] - 0.0239, ox[1] + 0.0927, ox[2]),
+                             "H"),
+                    ]))
+                rid += 1
+    s = PDBStructure(residues=residues)
+    L = 3 * 0.31 + 0.2
+    system, x = build_system(s, box=(L, L, L), cutoff=0.45,
+                             hydrogen_mass=None)
+    spec = build_h_constraints(system)
+    water = (spec.water if isinstance(spec, CompositeConstraintSpec)
+             else spec)
+    assert isinstance(water, RigidWaterSpec)
+    assert water.n_waters == 27
+    stripped = strip_constrained_bonded(system)
+    assert np.asarray(stripped.angle_idx).shape[0] == 0
+    assert np.asarray(stripped.bond_idx).shape[0] == 0
