@@ -592,30 +592,101 @@ def run_replica_exchange(
     implicit_solvent: bool = True,
     gb_model: str = "gbn2",
     target_acceptance: Optional[float] = None,
+    cutoff: float = 0.9,
+    nonbonded: str = "auto",
 ) -> Tuple[RemdResult, System]:
     """One-call REMD (reference CHANGELOG.md:22 run_replica_exchange).
 
     ``target_acceptance`` replaces the config's geometric ladder with an
     acceptance-targeted one designed from short energy-fluctuation
-    probes (remd/ladder.py) between the config's t_min and t_max."""
+    probes (remd/ladder.py) between the config's t_min and t_max.
+
+    A solvated input (CRYST1 box + waters) switches automatically to
+    EXPLICIT-solvent REMD, mirroring ``run_segment``'s detection: the
+    periodic LJ+Coulomb potential at ``cutoff``, rigid TIP3P via SHAKE
+    in every replica, constrained bonded terms stripped from the MD
+    force path, and ``nonbonded`` engine selection ("dense" O(N^2)
+    sweep, "cells" O(N) cell-list kernel, "pme" cells + smooth-PME, or
+    "auto": cells past 3000 atoms). Ladder probes and Metropolis swaps
+    run through the same force path."""
     import dataclasses as _dc
 
+    from ..io.pdb import read_pdb
     from ..md.forcefield import build_system
+    from ..md.topology import _WATER_NAMES
 
     config = config or RemdConfig()
-    system, positions = build_system(
-        pdb_file, implicit_solvent=implicit_solvent, gb_model=gb_model
-    )
+    structure = read_pdb(pdb_file) if not hasattr(pdb_file, "residues") \
+        else pdb_file
+    has_waters = any(r.name in _WATER_NAMES for r in structure.residues)
+    explicit = structure.box is not None and has_waters
+
+    constraints = None
+    force_fn = None
+    minimize_fn = None
+    if explicit:
+        from ..md.constraints import (
+            build_h_constraints,
+            strip_constrained_bonded,
+        )
+
+        system, positions = build_system(
+            structure, box=structure.box, cutoff=cutoff
+        )
+        interpret = jax.default_backend() != "tpu"
+        if nonbonded == "auto":
+            nonbonded = "cells" if system.n_atoms >= 3000 else "dense"
+        constraints = build_h_constraints(system)
+        md_system = (strip_constrained_bonded(system)
+                     if constraints is not None else system)
+        if nonbonded == "dense":
+            from ..md.pallas_periodic import build_periodic_force_fn
+
+            minimize_fn = build_periodic_force_fn(system,
+                                                  interpret=interpret)
+            force_fn = (build_periodic_force_fn(md_system,
+                                                interpret=interpret)
+                        if md_system is not system else minimize_fn)
+        elif nonbonded in ("cells", "pme"):
+            from ..md.pallas_cells import build_cell_force_fn
+
+            elec = "pme" if nonbonded == "pme" else "rf"
+            minimize_fn = build_cell_force_fn(
+                system, interpret=interpret, electrostatics=elec
+            )
+            force_fn = (build_cell_force_fn(md_system, interpret=interpret,
+                                            electrostatics=elec)
+                        if md_system is not system else minimize_fn)
+        else:
+            raise ValueError(
+                f"nonbonded must be auto|dense|cells|pme, got {nonbonded!r}"
+            )
+    else:
+        system, positions = build_system(
+            structure, implicit_solvent=implicit_solvent, gb_model=gb_model
+        )
+    if explicit:
+        from ..md.minimize import minimize_energy as _minimize
+
+        # minimize through the FULL system's periodic kernel (the MD
+        # system has the stiff X-H bonds stripped), then hand the
+        # relaxed coordinates to the driver with minimize=False
+        positions, _ = _minimize(system, jnp.asarray(positions),
+                                 force_fn=minimize_fn)
     if target_acceptance is not None:
         from ..md.minimize import minimize_energy as _minimize
         from .ladder import suggest_temperature_ladder
 
-        xmin, _ = _minimize(system, jnp.asarray(positions))
+        xmin = (jnp.asarray(positions) if explicit
+                else _minimize(system, jnp.asarray(positions),
+                               force_fn=minimize_fn)[0])
         lo = float(config.ladder()[0])
         hi = float(config.ladder()[-1])
         ladder, _pred = suggest_temperature_ladder(
             system, xmin, t_min=lo, t_max=hi,
             target_acceptance=target_acceptance,
+            force_fn=force_fn, constraints=constraints,
+            dt_ps=config.dt_ps,
         )
         if mesh is not None:
             n_dev = int(np.prod(mesh.devices.shape))
@@ -630,7 +701,14 @@ def run_replica_exchange(
             config, temperatures=tuple(float(t) for t in ladder),
             n_replicas=len(ladder),
         )
-    remd = ReplicaExchange(system, positions, config, bias_fn=bias_fn, mesh=mesh)
+    if explicit:
+        remd = ReplicaExchange(
+            system, positions, config, bias_fn=bias_fn, mesh=mesh,
+            force_fn=force_fn, constraints=constraints, minimize=False,
+        )
+    else:
+        remd = ReplicaExchange(system, positions, config, bias_fn=bias_fn,
+                               mesh=mesh)
     return remd.run(n_steps), system
 
 

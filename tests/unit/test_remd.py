@@ -325,3 +325,45 @@ def test_run_replica_exchange_target_acceptance(tmp_path):
     acc = acc[np.isfinite(acc)]
     assert res.temperatures[0] == 300.0 and res.temperatures[-1] == 420.0
     assert 0.1 < float(np.mean(acc)) < 0.85, res.acceptance_matrix
+
+
+def test_run_replica_exchange_explicit_solvent(tmp_path):
+    """Solvated input (CRYST1 + waters) auto-routes the one-call REMD
+    facade to the explicit path: periodic force fn + rigid-water SHAKE
+    in every replica (mirrors run_segment's detection)."""
+    from pmarlo_tpu.io.pdb import PDBAtom, PDBResidue, PDBStructure, write_pdb
+    from pmarlo_tpu.remd.remd import run_replica_exchange
+
+    residues, rid = [], 1
+    for i in range(3):
+        for j in range(3):
+            for k in range(3):
+                o = (0.15 + i * 0.31, 0.15 + j * 0.31, 0.15 + k * 0.31)
+                mk = lambda n, x, y, z, e: PDBAtom(
+                    name=n, resname="HOH", resid=rid, chain="W",
+                    xyz=(x, y, z), element=e)
+                residues.append(PDBResidue(
+                    name="HOH", resid=rid, chain="W",
+                    atoms=[mk("O", *o, "O"),
+                           mk("H1", o[0] + 0.09572, o[1], o[2], "H"),
+                           mk("H2", o[0] - 0.02399, o[1] + 0.09266,
+                              o[2], "H")]))
+                rid += 1
+    s = PDBStructure(residues=residues)
+    L = 3 * 0.31 + 0.1
+    pdb = write_pdb(
+        tmp_path / "waterbox.pdb", s.coordinates(),
+        [a.name for r in s.residues for a in r.atoms],
+        [a.resname for r in s.residues for a in r.atoms],
+        [a.resid for r in s.residues for a in r.atoms],
+        box=(L, L, L),
+    )
+    cfg = RemdConfig(n_replicas=2, t_min=300, t_max=360,
+                     exchange_frequency=10, report_interval=10,
+                     dt_ps=0.001, seed=0)
+    res, system = run_replica_exchange(
+        pdb, n_steps=40, config=cfg, cutoff=0.45,
+    )
+    assert system.box is not None
+    assert np.isfinite(res.positions).all()
+    assert res.positions.shape[1] == 2
