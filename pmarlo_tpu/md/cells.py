@@ -102,9 +102,14 @@ def make_cell_grid(
     mean_occ = n_atoms / float(nx * ny * nz)
     cap = int(np.ceil(occupancy_margin * mean_occ)) + min_headroom
     if lane_align:
-        need = np.lcm(128 // int(np.gcd(nz, 128)),
-                      128 // int(np.gcd(nz + 2, 128)))
-        cap = ((cap + need - 1) // need) * need
+        # the kernel slices the z-column rows at offsets zc * M
+        # (pallas_cells kernel: rows_ref[:, pl.ds(zc * M, M)]), and
+        # Mosaic must statically prove every such offset is 128-aligned
+        # — which requires M itself to be a multiple of 128. (The
+        # weaker nz*M / (nz+2)*M rule compiled only when nz happened to
+        # make each zc*M aligned, e.g. the 7x7x7/M=128 grid; a 4-cell
+        # axis with M=192 was refused.)
+        cap = ((cap + 127) // 128) * 128
     else:
         cap = ((cap + 7) // 8) * 8
     return CellGrid(box=tuple(float(b) for b in box), cutoff=float(cutoff),

@@ -501,12 +501,36 @@ def build_cell_force_fn(
         e, f = _eval(x, st.slot, xw, st.overflow)
         return e, f, st
 
+    @jax.jit
+    def init_state_batched(xs):
+        return jax.vmap(_fresh_state)(xs.astype(jnp.float32))
+
+    @jax.jit
+    def apply_batched(xs, st):
+        """Replica-batched skin amortization. ``lax.cond`` under vmap
+        lowers to a both-branches select, which would re-bin every step
+        and defeat the amortization — so the rebin predicate is reduced
+        over ALL replicas and the cond sits OUTSIDE the vmap: when any
+        replica outruns skin/2 (including after an accepted exchange
+        permutes configurations across rung slots), every replica
+        rebins together."""
+        xs = xs.astype(jnp.float32)
+        disp = xs - st.x_ref
+        need = jnp.max(jnp.sum(disp * disp, axis=-1)) > (0.5 * sk) ** 2
+        st = jax.lax.cond(need, lambda _: jax.vmap(_fresh_state)(xs),
+                          lambda s: s, st)
+        xw = st.xw_ref + (xs - st.x_ref)
+        e, f = jax.vmap(_eval)(xs, st.slot, xw, st.overflow)
+        return e, f, st
+
     force_fn.grid = grid  # introspection for tests/benchmarks
     force_fn.electrostatics = electrostatics
     force_fn.skin = sk
     if sk > 0.0:
         force_fn.init_state = init_state
         force_fn.apply = apply
+        force_fn.init_state_batched = init_state_batched
+        force_fn.apply_batched = apply_batched
     return force_fn
 
 

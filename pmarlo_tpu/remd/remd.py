@@ -281,18 +281,47 @@ class ReplicaExchange:
         system, force_fn = self.system, self._force_fn
 
         constraints = self._constraints
+        # cell-kernel skin amortization over the replica axis: the force
+        # is evaluated ONCE per step for all replicas through
+        # apply_batched (rebin cond hoisted outside the vmap) and handed
+        # to each replica's integrator as a precomputed (E, F) pair —
+        # langevin_step evaluates its force_fn exactly once, at the
+        # pre-step positions, so the closure is exact
+        batched = getattr(force_fn, "apply_batched", None)
 
-        def one_step(carry, _):
-            def step_single(st, T):
-                return langevin_step(
-                    system, st, dt=dt, friction=friction,
-                    temperature_K=T, force_fn=force_fn,
-                    constraints=constraints,
+        if batched is not None:
+            def one_step(carry, _):
+                states, fstate = carry
+                e_b, f_b, fstate = batched(states.positions, fstate)
+
+                def step_single(st, T, ei, fi):
+                    return langevin_step(
+                        system, st, dt=dt, friction=friction,
+                        temperature_K=T,
+                        force_fn=lambda _x: (ei, fi),
+                        constraints=constraints,
+                    )
+                new_states, energy = jax.vmap(step_single)(
+                    states, temps, e_b, f_b
                 )
-            new_state, energy = jax.vmap(step_single)(carry, temps)
-            return new_state, energy
+                return (new_states, fstate), energy
 
-        state, _ = jax.lax.scan(one_step, state, None, length=n_steps)
+            fstate0 = force_fn.init_state_batched(state.positions)
+            (state, _), _ = jax.lax.scan(
+                one_step, (state, fstate0), None, length=n_steps
+            )
+        else:
+            def one_step(carry, _):
+                def step_single(st, T):
+                    return langevin_step(
+                        system, st, dt=dt, friction=friction,
+                        temperature_K=T, force_fn=force_fn,
+                        constraints=constraints,
+                    )
+                new_state, energy = jax.vmap(step_single)(carry, temps)
+                return new_state, energy
+
+            state, _ = jax.lax.scan(one_step, state, None, length=n_steps)
         # Metropolis needs the potential at the CURRENT (post-chunk)
         # configurations; langevin_step reports pre-step energies, so
         # re-evaluate at the final positions (one extra force eval per
