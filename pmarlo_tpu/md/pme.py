@@ -41,6 +41,10 @@ import numpy as np
 from ..constants import COULOMB_CONSTANT_KJ_NM_PER_MOL_E2 as KE
 
 SPLINE_ORDER = 4
+#: default real-space mesh spacing per spline order (nm). Order 6 rides
+#: a ~1.3x coarser mesh at matched accuracy (PME reciprocal error falls
+#: steeply with order), cutting the spreading-matmul flops ~2.4x.
+SPACING_BY_ORDER = {4: 0.11, 6: 0.145}
 
 
 def ewald_alpha(cutoff: float, tolerance: float = 5e-4) -> float:
@@ -52,7 +56,7 @@ def ewald_alpha(cutoff: float, tolerance: float = 5e-4) -> float:
 def pme_grid_shape(
     box: Tuple[float, float, float], spacing: float = 0.11
 ) -> Tuple[int, int, int]:
-    """Mesh dims: ~0.11 nm spacing, rounded up to a multiple of 8
+    """Mesh dims: ~``spacing`` nm, rounded up to a multiple of 8
     (FFT-friendly and sublane-aligned)."""
     def dim(L):
         k = int(np.ceil(L / spacing))
@@ -61,23 +65,53 @@ def pme_grid_shape(
     return tuple(dim(float(L)) for L in box)
 
 
-def _bspline4(t: jax.Array) -> jax.Array:
-    """Cardinal B-spline M4 weights for fractional offset t in [0,1):
-    returns (..., 4) weights for grid points floor(u)-1 .. floor(u)+2."""
-    w0 = (1.0 - t) ** 3 / 6.0
-    w1 = (3.0 * t**3 - 6.0 * t**2 + 4.0) / 6.0
-    w2 = (-3.0 * t**3 + 3.0 * t**2 + 3.0 * t + 1.0) / 6.0
-    w3 = t**3 / 6.0
-    return jnp.stack([w0, w1, w2, w3], axis=-1)
+def _mn_integer(order: int) -> np.ndarray:
+    """Cardinal B-spline M_n at the integers 1..n-1 (host-side, by the
+    stable Cox-de Boor recursion M_n(u) = u/(n-1) M_{n-1}(u)
+    + (n-u)/(n-1) M_{n-1}(u-1), M_2 = triangle)."""
+    u = np.arange(1, order, dtype=np.float64)
+    M = np.maximum(1.0 - np.abs(u - 1.0), 0.0)          # M_2(u)
+    for n in range(3, order + 1):
+        M = (u * M + (n - u) * np.concatenate([[0.0], M[:-1]])) / (n - 1)
+        # note: M_{n-1}(u-1) shifts the samples right by one integer
+    return M
 
 
-def _bspline_bsq(K: int) -> np.ndarray:
-    """|b(m)|^2 deconvolution factors for order-4 splines on a K grid
-    (Essmann eq. 4.4): b(m) = e^{2 pi i 3 m/K} / sum_k M4(k+1) e^{2 pi i m k/K}."""
+def _bspline_weights(t: jax.Array, order: int) -> jax.Array:
+    """Cardinal B-spline M_order weights for fractional offset t in
+    [0,1): returns (..., order) weights for the ``order`` grid points
+    floor(u) - order//2 + 1 .. floor(u) + order//2, via the same
+    Cox-de Boor recursion evaluated at u = t + (order-1-k)."""
+    if order == 4:
+        # closed form: cheapest and exactly the classic smooth-PME M4
+        w0 = (1.0 - t) ** 3 / 6.0
+        w1 = (3.0 * t**3 - 6.0 * t**2 + 4.0) / 6.0
+        w2 = (-3.0 * t**3 + 3.0 * t**2 + 3.0 * t + 1.0) / 6.0
+        w3 = t**3 / 6.0
+        return jnp.stack([w0, w1, w2, w3], axis=-1)
+    # general order: evaluate M_order(t + j) on the ASCENDING sample
+    # vector u_k = t + k (so u_k - 1 = u_{k-1} and the recursion's
+    # M_{n-1}(u-1) term is a right-shift), then flip to the w[j] =
+    # M_order(t + order-1-j) layout the order-4 closed form uses
+    offs = jnp.arange(order, dtype=t.dtype)
+    u = t[..., None] + offs                               # (..., order)
+    M = jnp.maximum(1.0 - jnp.abs(u - 1.0), 0.0)          # M_2
+    for n in range(3, order + 1):
+        M_shift = jnp.concatenate(
+            [jnp.zeros_like(M[..., :1]), M[..., :-1]], axis=-1
+        )
+        M = (u * M + (n - u) * M_shift) / (n - 1)
+    return jnp.flip(M, axis=-1)
+
+
+def _bspline_bsq(K: int, order: int = SPLINE_ORDER) -> np.ndarray:
+    """|b(m)|^2 deconvolution factors for order-n splines on a K grid
+    (Essmann eq. 4.4): b(m) = e^{2 pi i (n-1) m/K}
+    / sum_k M_n(k+1) e^{2 pi i m k/K}."""
     m = np.arange(K)
-    M = np.array([1.0 / 6.0, 4.0 / 6.0, 1.0 / 6.0])
+    M = _mn_integer(order)
     denom = np.zeros(K, dtype=np.complex128)
-    for k in range(3):
+    for k in range(order - 1):
         denom += M[k] * np.exp(2j * np.pi * m * k / K)
     bsq = 1.0 / np.maximum(np.abs(denom) ** 2, 1e-14)
     # odd-K edge modes where the denominator vanishes are dropped by the
@@ -85,17 +119,19 @@ def _bspline_bsq(K: int) -> np.ndarray:
     return bsq
 
 
-def _dense_axis_weights(u: jax.Array, K: int) -> jax.Array:
-    """(N, K) per-axis spline weight matrix: 4 nonzero columns per atom
-    built by one-hot comparison instead of scatter (TPU scatters of
-    64N mesh points dominated the round-3 PME profile at ~35 ms; this
-    formulation turns spreading into batched MXU matmuls)."""
+def _dense_axis_weights(u: jax.Array, K: int,
+                        order: int = SPLINE_ORDER) -> jax.Array:
+    """(N, K) per-axis spline weight matrix: ``order`` nonzero columns
+    per atom built by one-hot comparison instead of scatter (TPU
+    scatters of order^3 N mesh points dominated the round-3 PME profile
+    at ~35 ms; this formulation turns spreading into batched MXU
+    matmuls)."""
     u0 = jnp.floor(u)
     t = u - u0
-    w = _bspline4(t)                                     # (N, 4)
+    w = _bspline_weights(t, order)                       # (N, order)
     base = u0.astype(jnp.int32) - 1
-    offs = jnp.arange(4, dtype=jnp.int32)
-    cols = (base[:, None] + offs[None, :]) % K           # (N, 4)
+    offs = jnp.arange(order, dtype=jnp.int32)
+    cols = (base[:, None] + offs[None, :]) % K           # (N, order)
     k = jnp.arange(K, dtype=jnp.int32)
     onehot = (cols[:, :, None] == k[None, None, :]).astype(u.dtype)
     return jnp.einsum("no,nok->nk", w, onehot)
@@ -105,17 +141,18 @@ def spread_charges(
     x: jax.Array, q: jax.Array,
     box: Tuple[float, float, float],
     shape: Tuple[int, int, int],
+    order: int = SPLINE_ORDER,
 ) -> jax.Array:
-    """Charge spreading with M4 spline weights as separable matmuls:
-    Q[i, j, k] = sum_n (q_n Wz[n, k]) Wx[n, i] Wy[n, j] — one
+    """Charge spreading with M_order spline weights as separable
+    matmuls: Q[i, j, k] = sum_n (q_n Wz[n, k]) Wx[n, i] Wy[n, j] — one
     (K1, N) x (N, K2) matmul per z-plane, batched. MXU-native and
     differentiable in ``x`` (the force pass is just autodiff)."""
     K1, K2, K3 = shape
     L = jnp.asarray(box, x.dtype)
     u = x / L * jnp.asarray([K1, K2, K3], x.dtype)
-    Wx = _dense_axis_weights(u[:, 0], K1)                # (N, K1)
-    Wy = _dense_axis_weights(u[:, 1], K2)
-    Wz = _dense_axis_weights(u[:, 2], K3) * q[:, None]   # charge folded in
+    Wx = _dense_axis_weights(u[:, 0], K1, order)         # (N, K1)
+    Wy = _dense_axis_weights(u[:, 1], K2, order)
+    Wz = _dense_axis_weights(u[:, 2], K3, order) * q[:, None]
 
     def plane(wz_k):
         return (Wx * wz_k[:, None]).T @ Wy               # (K1, K2)
@@ -129,13 +166,14 @@ def reciprocal_energy(
     box: Tuple[float, float, float],
     alpha: float,
     shape: Tuple[int, int, int],
+    order: int = SPLINE_ORDER,
 ) -> jax.Array:
     """Smooth-PME reciprocal-space energy (Essmann eq. 4.7):
     E = ke/(2 pi V) * sum_{m != 0} exp(-pi^2 m^2/alpha^2)/m^2 B(m) |F[Q](m)|^2."""
     K1, K2, K3 = shape
     bx, by, bz = (float(b) for b in box)
     V = bx * by * bz
-    Q = spread_charges(x, q, box, shape)
+    Q = spread_charges(x, q, box, shape, order)
     F = jnp.fft.fftn(Q)
 
     def freqs(K, L):
@@ -146,9 +184,9 @@ def reciprocal_energy(
     m2 = freqs(K2, by)[None, :, None]
     m3 = freqs(K3, bz)[None, None, :]
     msq = m1 * m1 + m2 * m2 + m3 * m3
-    B = (_bspline_bsq(K1)[:, None, None]
-         * _bspline_bsq(K2)[None, :, None]
-         * _bspline_bsq(K3)[None, None, :])
+    B = (_bspline_bsq(K1, order)[:, None, None]
+         * _bspline_bsq(K2, order)[None, :, None]
+         * _bspline_bsq(K3, order)[None, None, :])
     with np.errstate(divide="ignore", invalid="ignore"):
         infl = np.exp(-np.pi**2 * msq / alpha**2) / msq * B
     infl[0, 0, 0] = 0.0

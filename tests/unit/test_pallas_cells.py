@@ -216,7 +216,10 @@ def test_pme_mode_parity_water(water_system):
     box = tuple(float(b) for b in system.box)
     rc = float(system.cutoff)
     alpha = ewald_alpha(rc)
-    shape = pme_grid_shape(box)
+    # the oracle must integrate on the kernel's OWN mesh settings
+    # (order-6 splines on the coarser default mesh since round 3)
+    shape = fn.pme_mesh_shape
+    order = fn.pme_order
     q = jnp.asarray(system.charges, jnp.float32)
 
     # pure-LJ dense reference (charges zeroed)
@@ -234,7 +237,7 @@ def test_pme_mode_parity_water(water_system):
     def e_elec(p):
         er = real_space_energy_dense(p, q, box, rc, alpha,
                                      exclude_mask=excl)
-        em = reciprocal_energy(p, q, box, alpha, shape)
+        em = reciprocal_energy(p, q, box, alpha, shape, order)
         # per-pair erf subtraction + scaled 1-4 add-back
         iu = np.triu_indices(se.shape[0], k=1)
         keep = se[iu] < 1.0
