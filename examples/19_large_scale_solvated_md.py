@@ -12,8 +12,9 @@ solvated systems at a few thousand atoms. This example runs the
 
 Measured on one v5e chip (27,783 atoms, rc 0.9 nm, skin-amortized
 binning): 5.1 ms per MD step with reaction field (33.9 ns/day, ~33x
-the dense kernel's extrapolated cost), 7.7 ms with full smooth PME
-(22.4 ns/day); 59,049 atoms run at 9.7 ms/step — O(N) in practice.
+the dense kernel's extrapolated cost), 6.5 ms with full smooth PME
+(26.7 ns/day, order-6 splines); 59,049 atoms at 9.7 ms/step — O(N)
+in practice.
 The reference delegates this entirely to OpenMM
 (simulation/__init__.py:64-71); the kernel here is first-party.
 
