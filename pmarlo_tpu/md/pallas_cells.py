@@ -57,17 +57,33 @@ _EPS = 1e-12
 _NEIGHBOR_RUNS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
-def _erfc_as(x):
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _erfc_as_with_deriv(x):
     """Abramowitz-Stegun 7.1.26 rational erfc for x >= 0 (|eps| < 1.5e-7,
     ample for f32) — guaranteed to lower in Mosaic (exp + arithmetic
-    only; lax.erfc has no TPU Pallas lowering)."""
-    t = 1.0 / (1.0 + 0.3275911 * x)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
-              + t * (-1.453152027 + t * 1.061405429))))
-    return poly * jnp.exp(-x * x)
+    only; lax.erfc has no TPU Pallas lowering).
+
+    Returns (erfc_as(x), d erfc_as/dx) with the derivative taken OF THE
+    APPROXIMATION, not the analytic -2/sqrt(pi) e^{-x^2}: hand-written
+    kernel forces must be the exact gradient of the kernel energy or
+    the integrator pumps energy — the analytic-derivative version
+    measured +0.37 kT/dof/ns NVE drift vs +0.03 for the (exactly
+    conservative) RF path on the same box."""
+    a1, a2, a3, a4, a5 = _AS_A
+    t = 1.0 / (1.0 + _AS_P * x)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    g = jnp.exp(-x * x)
+    dpoly_dt = a1 + t * (2 * a2 + t * (3 * a3 + t * (4 * a4 + t * 5 * a5)))
+    dt_dx = -_AS_P * t * t
+    return poly * g, (dpoly_dt * dt_dx - 2.0 * x * poly) * g
 
 
-_TWO_OVER_SQRT_PI = 1.1283791670955126
+def _erfc_as(x):
+    """erfc_as(x) alone (see _erfc_as_with_deriv)."""
+    return _erfc_as_with_deriv(x)[0]
 
 
 def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool,
@@ -112,8 +128,11 @@ def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool,
             dd2 = r[2][:, None] - c[2][None, :]
             r2 = dd0 * dd0 + dd1 * dd1 + dd2 * dd2
             not_self = (r2 > 1e-8).astype(r2.dtype)
-            rr = jnp.where(r2 > 1e-8, jnp.sqrt(r2 + _EPS), 1.0)
-            inv_r = 1.0 / rr
+            # hardware rsqrt instead of sqrt-then-divide (the kernel is
+            # transcendental-bound: one special-function op per pair);
+            # the where guard keeps masked self-pairs from inf*0 = NaN
+            inv_r = jnp.where(r2 > 1e-8, jax.lax.rsqrt(r2 + _EPS), 1.0)
+            rr = r2 * inv_r
             # index-band pairs (|i-j| <= D: all exclusions/1-4s, waters
             # included) are masked IN-KERNEL and added back exactly in
             # XLA — subtracting their r^-12 terms afterwards would
@@ -121,7 +140,7 @@ def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool,
             idx_gap = jnp.abs(r[7][:, None] - c[7][None, :])
             outside_band = (idx_gap > band).astype(r2.dtype)
             one = r[6][:, None] * c[6][None, :] * not_self * outside_band
-            within = (rr < rc).astype(r2.dtype) * one
+            within = (r2 < rc * rc).astype(r2.dtype) * one
 
             sig_ij = 0.5 * (r[4][:, None] + c[4][None, :])
             eps_ij = jnp.sqrt(r[5][:, None] * c[5][None, :] + _EPS)
@@ -133,13 +152,13 @@ def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool,
                 e_el = ke * qq * (inv_r + k_rf * rr * rr - c_rf)
                 w_el = ke * qq * (-inv_r * inv_r + 2.0 * k_rf * rr)
             else:  # ewald real-space: erfc(alpha r)/r
-                erfc_ar = _erfc_as(alpha * rr)
+                erfc_ar, derfc = _erfc_as_with_deriv(alpha * rr)
                 e_el = ke * qq * erfc_ar * inv_r
-                # d/dr [erfc(ar)/r] = -erfc(ar)/r^2 - (2a/sqrt(pi)) e^{-a^2 r^2}/r
-                w_el = -ke * qq * inv_r * (
-                    erfc_ar * inv_r
-                    + _TWO_OVER_SQRT_PI * alpha * jnp.exp(
-                        -(alpha * rr) * (alpha * rr))
+                # exact gradient of the APPROXIMATED energy (see
+                # _erfc_as_with_deriv): d/dr [erfc_as(ar)/r]
+                #   = a erfc_as'(ar)/r - erfc_as(ar)/r^2
+                w_el = ke * qq * inv_r * (
+                    alpha * derfc - erfc_ar * inv_r
                 )
             e_row = 0.5 * jnp.sum((e_lj + e_el) * within,
                                   axis=1, keepdims=True)
@@ -271,17 +290,18 @@ def build_cell_force_fn(
         sk = max(free_skin(grid), 0.0)
     use_pme = electrostatics == "pme"
     if use_pme:
-        from .pme import SPACING_BY_ORDER, ewald_alpha, pme_grid_shape
+        from .pme import ewald_alpha, pme_grid_shape, pme_spacing
 
         alpha = ewald_alpha(float(system.cutoff), ewald_tolerance)
         # order-6 splines on a ~1.3x coarser mesh: ~9x lower reciprocal
         # error than order-4/0.11 nm at 0.42x the spreading-matmul flops
         # (measured: force rel RMS 6.3e-5 vs 5.7e-4 against a tight
-        # order-6/0.05 nm reference)
+        # order-6/0.05 nm reference); spacing tracks alpha so accuracy
+        # holds as the tolerance moves
         pme_order = 6
         mesh_shape = pme_grid_shape(
             tuple(float(b) for b in system.box),
-            SPACING_BY_ORDER[pme_order],
+            pme_spacing(pme_order, alpha),
         )
     else:
         alpha = 0.0

@@ -45,6 +45,19 @@ SPLINE_ORDER = 4
 #: a ~1.3x coarser mesh at matched accuracy (PME reciprocal error falls
 #: steeply with order), cutting the spreading-matmul flops ~2.4x.
 SPACING_BY_ORDER = {4: 0.11, 6: 0.145}
+#: calibration constant h * alpha per order: the reciprocal error is a
+#: function of alpha*h (largest mesh frequency in units of alpha), so a
+#: sharper alpha needs a proportionally finer mesh. Calibrated at
+#: alpha = 2.9203 (rc 0.9 nm, tol 5e-4) where the SPACING_BY_ORDER
+#: values were validated against a tight reference.
+_MESH_CALIBRATION = {o: h * 2.9202898720871846
+                     for o, h in SPACING_BY_ORDER.items()}
+
+
+def pme_spacing(order: int, alpha: float) -> float:
+    """Mesh spacing (nm) holding reciprocal accuracy constant as alpha
+    varies: h = (h_cal * alpha_cal) / alpha."""
+    return _MESH_CALIBRATION[order] / alpha
 
 
 def ewald_alpha(cutoff: float, tolerance: float = 5e-4) -> float:
