@@ -116,20 +116,30 @@ def make_cell_grid(
                     nx=int(nx), ny=int(ny), nz=int(nz), capacity=int(cap))
 
 
-def bin_atoms(grid: CellGrid, x: jax.Array):
+def bin_atoms(grid: CellGrid, x: jax.Array, box: jax.Array | None = None):
     """Assign atoms to cells and compute slot indices.
 
     Returns (slot, cell_id, overflow) where ``slot`` is each atom's index
     into the flat (n_cells * capacity) slot space, and ``overflow`` is a
     scalar bool — True when some cell exceeded capacity (slots then clamp
-    inside the cell; callers must poison the output)."""
-    bx, by, bz = grid.box
+    inside the cell; callers must poison the output).
+
+    ``box`` (a traced (3,) array) overrides the grid's static box — the
+    NPT path, where Monte-Carlo volume moves change the box inside one
+    compiled program while the grid SHAPE (nx, ny, nz, capacity) stays
+    static. Callers must keep box/n_cells >= cutoff (the cell force fn
+    poisons the energy when a volume move breaks the cover)."""
+    if box is None:
+        box_arr = jnp.asarray(grid.box, x.dtype)
+    else:
+        box_arr = box.astype(x.dtype)
     # wrap into the primary box
-    xw = x - jnp.floor(x / jnp.asarray([bx, by, bz])) * jnp.asarray([bx, by, bz])
-    sx, sy, sz = grid.cell_size
-    cx = jnp.clip((xw[:, 0] / sx).astype(jnp.int32), 0, grid.nx - 1)
-    cy = jnp.clip((xw[:, 1] / sy).astype(jnp.int32), 0, grid.ny - 1)
-    cz = jnp.clip((xw[:, 2] / sz).astype(jnp.int32), 0, grid.nz - 1)
+    xw = x - jnp.floor(x / box_arr) * box_arr
+    ncell = jnp.asarray([grid.nx, grid.ny, grid.nz], x.dtype)
+    c = (xw / (box_arr / ncell)).astype(jnp.int32)
+    cx = jnp.clip(c[:, 0], 0, grid.nx - 1)
+    cy = jnp.clip(c[:, 1], 0, grid.ny - 1)
+    cz = jnp.clip(c[:, 2], 0, grid.nz - 1)
     cid = (cx * grid.ny + cy) * grid.nz + cz
 
     # Within-cell rank. Three size-gated strategies, all producing the
@@ -285,18 +295,23 @@ def scatter_features(
     return slots.T                                        # (C, S)
 
 
-def ghost_pad(grid: CellGrid, slots: jax.Array) -> jax.Array:
+def ghost_pad(grid: CellGrid, slots: jax.Array,
+              box: jax.Array | None = None) -> jax.Array:
     """Wrap-pad the cell grid by one cell per face and shift the
     coordinate channels of the wrapped layers by +/- box so the kernel
     can use plain (non-minimum-image) distances.
 
     Input (C, S); output (C, Sg) with Sg = (nx+2)(ny+2)(nz+2)*capacity,
     flattened z-fastest then slot — every (gx, gy) column's z-extent is
-    one contiguous run."""
+    one contiguous run. ``box`` (traced) overrides the static box for
+    the NPT path (see bin_atoms)."""
     C = slots.shape[0]
     g = slots.reshape(C, grid.nx, grid.ny, grid.nz, grid.capacity)
     g = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)), mode="wrap")
-    bx, by, bz = grid.box
+    if box is None:
+        bx, by, bz = grid.box
+    else:
+        bx, by, bz = box[0], box[1], box[2]
     # shift coordinates of the wrapped boundary layers
     g = g.at[0, 0, :, :, :].add(-bx)
     g = g.at[0, -1, :, :, :].add(bx)

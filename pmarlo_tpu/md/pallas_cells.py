@@ -419,7 +419,7 @@ def build_cell_force_fn(
             e = e + ke * qq * inv_r * se_p * (1.0 - full) * valid
         return e
 
-    def correction_energy(x):
+    def correction_energy(x, bx_arr):
         """Index-band add-back + far-pair corrections (md/cells.py
         C_FEAT note). The kernel masked every |i-j| <= D pair: add the
         band back at its WANTED value via an O(N*D) banded pass (no
@@ -440,7 +440,7 @@ def build_cell_force_fn(
             xj = jnp.roll(x, -k, axis=0)
             valid = (iota + k < N).astype(x.dtype)
             d = x - xj
-            d = d - box_arr * jnp.round(d / box_arr)
+            d = d - bx_arr * jnp.round(d / bx_arr)
             r = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
             qq = q * jnp.roll(q, -k)
             sig_ij = 0.5 * (sig + jnp.roll(sig, -k))
@@ -454,7 +454,7 @@ def build_cell_force_fn(
         if far_idx.shape[0] == 0:
             return e_band
         dff = x[f_i] - x[f_j]
-        dff = dff - box_arr * jnp.round(dff / box_arr)
+        dff = dff - bx_arr * jnp.round(dff / bx_arr)
         rf_r = jnp.sqrt(jnp.sum(dff * dff, axis=-1) + _EPS)
         qq_f = q[f_i] * q[f_j]
         sig_f = 0.5 * (sig[f_i] + sig[f_j])
@@ -475,33 +475,53 @@ def build_cell_force_fn(
         from .pme import background_energy, reciprocal_energy, self_energy
 
         box_t = tuple(float(b) for b in system.box)
-        e_static = float(self_energy(q, alpha)) + float(
-            background_energy(q, box_t, alpha)
-        )
+        e_self = float(self_energy(q, alpha))
+        e_static = e_self + float(background_energy(q, box_t, alpha))
 
         def mesh_energy(x):
             return reciprocal_energy(x, q, box_t, alpha, mesh_shape,
                                      pme_order)
 
-    def _eval(x, slot, xw, overflow):
+    ncell_arr = jnp.asarray([grid.nx, grid.ny, grid.nz], jnp.float32)
+
+    def _eval(x, slot, xw, overflow, box=None):
+        """``box=None``: the static-box fast path (compile-time
+        constants everywhere). ``box`` a traced (3,) array: the NPT
+        path — same kernel, ghost shifts / min-image / PME influence
+        from the traced box, plus a loud NaN if a volume move shrank
+        any cell edge below the cutoff (the 27-neighborhood cover
+        would silently drop pairs)."""
+        b = box_arr if box is None else box.astype(jnp.float32)
         slots = scatter_features(grid, xw, slot, q, sig, eps)
-        ghost = ghost_pad(grid, slots)
+        ghost = ghost_pad(grid, slots, box=box)
         e_rows, F_slots = sweep(slots, ghost)
         F_pair = F_slots[slot]
-        e_c, g_c = jax.value_and_grad(correction_energy)(x)
+        e_c, g_c = jax.value_and_grad(correction_energy)(x, b)
         e_b, g_b = jax.value_and_grad(bonded_energy)(x)
         # a cell overflow silently drops interactions -> poison loudly
-        poison = jnp.where(overflow, jnp.nan, 0.0).astype(jnp.float32)
+        bad = overflow
+        if box is not None:
+            bad = jnp.logical_or(bad, jnp.min(b / ncell_arr) < rc)
+        poison = jnp.where(bad, jnp.nan, 0.0).astype(jnp.float32)
         energy = jnp.sum(e_rows) + e_c + e_b + poison
         forces = F_pair - g_c - g_b + poison
         if use_pme:
-            e_m, g_m = jax.value_and_grad(mesh_energy)(x)
-            energy = energy + e_m + e_static
+            if box is None:
+                e_m, g_m = jax.value_and_grad(mesh_energy)(x)
+                energy = energy + e_m + e_static
+            else:
+                e_m, g_m = jax.value_and_grad(
+                    lambda xx: reciprocal_energy(
+                        xx, q, b, alpha, mesh_shape, pme_order
+                    )
+                )(x)
+                energy = (energy + e_m + e_self
+                          + background_energy(q, b, alpha))
             forces = forces - g_m
         return energy, forces
 
-    def _fresh_state(x):
-        slot, _, overflow, xw = bin_atoms(grid, x)
+    def _fresh_state(x, box=None):
+        slot, _, overflow, xw = bin_atoms(grid, x, box)
         return NeighborState(slot=slot, x_ref=x, xw_ref=xw,
                              overflow=overflow)
 
@@ -510,6 +530,44 @@ def build_cell_force_fn(
         x = x.astype(jnp.float32)
         st = _fresh_state(x)
         return _eval(x, st.slot, st.xw_ref, st.overflow)
+
+    # ---- dynamic-box (NPT) entry points: same static grid SHAPE, box a
+    # traced argument — Monte-Carlo volume moves (md/barostat.py) change
+    # the box inside one compiled program. Cold binning per call; the
+    # barostat rebins after accepted moves anyway.
+    @jax.jit
+    def dynamic(x, box):
+        x = x.astype(jnp.float32)
+        box = jnp.asarray(box, jnp.float32)
+        st = _fresh_state(x, box)
+        return _eval(x, st.slot, st.xw_ref, st.overflow, box=box)
+
+    @jax.jit
+    def init_state_dynamic(x, box):
+        return _fresh_state(x.astype(jnp.float32),
+                            jnp.asarray(box, jnp.float32))
+
+    @jax.jit
+    def apply_dynamic(x, st, box):
+        """Skin-amortized dynamic-box evaluation. The skin is recomputed
+        from the traced box (min cell edge - cutoff): when NPT
+        compression eats the slack the rebin just fires more often —
+        correctness never depends on the static skin estimate.
+
+        Contract: ``st`` must have been binned under THIS box (the
+        wrapped reference coords and ghost shifts must agree on the
+        period). The barostat rebins via init_state_dynamic after every
+        accepted volume move; between moves the box is constant."""
+        x = x.astype(jnp.float32)
+        box = jnp.asarray(box, jnp.float32)
+        sk_t = jnp.maximum(jnp.min(box / ncell_arr) - rc, 0.0)
+        disp = x - st.x_ref
+        need = jnp.max(jnp.sum(disp * disp, axis=1)) > (0.5 * sk_t) ** 2
+        st = jax.lax.cond(need, lambda _: _fresh_state(x, box),
+                          lambda s: s, st)
+        xw = st.xw_ref + (x - st.x_ref)
+        e, f = _eval(x, st.slot, xw, st.overflow, box=box)
+        return e, f, st
 
     @jax.jit
     def init_state(x):
@@ -555,6 +613,9 @@ def build_cell_force_fn(
     force_fn.grid = grid  # introspection for tests/benchmarks
     force_fn.electrostatics = electrostatics
     force_fn.skin = sk
+    force_fn.dynamic = dynamic
+    force_fn.init_state_dynamic = init_state_dynamic
+    force_fn.apply_dynamic = apply_dynamic
     if use_pme:
         force_fn.pme_order = pme_order
         force_fn.pme_mesh_shape = mesh_shape

@@ -182,12 +182,39 @@ def reciprocal_energy(
     order: int = SPLINE_ORDER,
 ) -> jax.Array:
     """Smooth-PME reciprocal-space energy (Essmann eq. 4.7):
-    E = ke/(2 pi V) * sum_{m != 0} exp(-pi^2 m^2/alpha^2)/m^2 B(m) |F[Q](m)|^2."""
+    E = ke/(2 pi V) * sum_{m != 0} exp(-pi^2 m^2/alpha^2)/m^2 B(m) |F[Q](m)|^2.
+
+    ``box`` may be a traced (3,) array (the NPT path, where Monte-Carlo
+    volume moves change the box inside one compiled program): the
+    influence function is then built on device; the B-spline
+    deconvolution factors stay static (they depend only on K and
+    order)."""
     K1, K2, K3 = shape
-    bx, by, bz = (float(b) for b in box)
-    V = bx * by * bz
     Q = spread_charges(x, q, box, shape, order)
     F = jnp.fft.fftn(Q)
+    B = (_bspline_bsq(K1, order)[:, None, None]
+         * _bspline_bsq(K2, order)[None, :, None]
+         * _bspline_bsq(K3, order)[None, None, :])
+    if isinstance(box, jax.Array):
+        def ifreqs(K):
+            return jnp.asarray(np.fft.fftfreq(K) * K, jnp.float32)
+
+        m1 = (ifreqs(K1) / box[0])[:, None, None]
+        m2 = (ifreqs(K2) / box[1])[None, :, None]
+        m3 = (ifreqs(K3) / box[2])[None, None, :]
+        msq = m1 * m1 + m2 * m2 + m3 * m3
+        infl = jnp.where(
+            msq > 0.0,
+            jnp.exp(-np.pi**2 * msq / alpha**2)
+            / jnp.where(msq > 0.0, msq, 1.0)
+            * jnp.asarray(B, jnp.float32),
+            0.0,
+        )
+        V = box[0] * box[1] * box[2]
+        return (KE / (2.0 * np.pi * V)) * jnp.sum(infl * jnp.abs(F) ** 2)
+
+    bx, by, bz = (float(b) for b in box)
+    V = bx * by * bz
 
     def freqs(K, L):
         m = np.fft.fftfreq(K) * K            # 0, 1, ..., -1
@@ -197,9 +224,6 @@ def reciprocal_energy(
     m2 = freqs(K2, by)[None, :, None]
     m3 = freqs(K3, bz)[None, None, :]
     msq = m1 * m1 + m2 * m2 + m3 * m3
-    B = (_bspline_bsq(K1, order)[:, None, None]
-         * _bspline_bsq(K2, order)[None, :, None]
-         * _bspline_bsq(K3, order)[None, None, :])
     with np.errstate(divide="ignore", invalid="ignore"):
         infl = np.exp(-np.pi**2 * msq / alpha**2) / msq * B
     infl[0, 0, 0] = 0.0
@@ -212,8 +236,12 @@ def self_energy(q: jax.Array, alpha: float) -> jax.Array:
 
 
 def background_energy(q: jax.Array, box, alpha: float) -> jax.Array:
-    """Neutralizing-background term for net-charge cells."""
-    V = float(box[0]) * float(box[1]) * float(box[2])
+    """Neutralizing-background term for net-charge cells. ``box`` may be
+    a traced (3,) array (NPT: the term is volume-dependent)."""
+    if isinstance(box, jax.Array):
+        V = box[0] * box[1] * box[2]
+    else:
+        V = float(box[0]) * float(box[1]) * float(box[2])
     return -KE * math.pi / (2.0 * alpha**2 * V) * jnp.sum(q) ** 2
 
 

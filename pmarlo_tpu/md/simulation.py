@@ -44,6 +44,9 @@ def run_segment(
     force_path: str = "auto",
     cutoff: float = 0.9,
     nonbonded: str = "auto",
+    ensemble: str = "nvt",
+    pressure_bar: float = 1.0,
+    barostat_interval: int = 25,
 ) -> Dict:
     """Run one Langevin segment. Returns a dict with device-resident
     trajectory arrays and summary scalars.
@@ -66,7 +69,17 @@ def run_segment(
     sweep + reaction field), "cells" (O(N) cell-list kernel + reaction
     field), "pme" (cell-list kernel + smooth-PME electrostatics), or
     "auto" (cells past 3000 atoms, dense below).
+
+    ``ensemble="npt"`` (explicit solvent only) adds the Monte-Carlo
+    barostat (md/barostat.py): isotropic volume moves every
+    ``barostat_interval`` steps at ``pressure_bar``, molecule-rigid
+    scaling, self-tuning proposal width — the OpenMM
+    ``MonteCarloBarostat`` role for density equilibration. Requires the
+    cell-list engine (``nonbonded`` "cells"/"pme"/"auto"); the result
+    dict gains ``box`` (F, 3) and ``density_g_cm3`` (F,) traces.
     """
+    if ensemble not in ("nvt", "npt"):
+        raise ValueError(f"ensemble must be nvt|npt, got {ensemble!r}")
     from ..io.pdb import read_pdb
     from .topology import _WATER_NAMES
 
@@ -144,6 +157,36 @@ def run_segment(
             bias_fn=bias_fn, force_fn=base_fn,
         )
         state = thermalize(system, x_min, key, temperature_K)
+        if ensemble == "npt":
+            if nonbonded == "dense":
+                raise ValueError(
+                    "ensemble='npt' needs the cell-list engine "
+                    "(nonbonded='cells' or 'pme')"
+                )
+            if bias_fn is not None:
+                raise NotImplementedError(
+                    "ensemble='npt' with a CV bias is not supported yet"
+                )
+            from .barostat import run_npt
+
+            final_state, bstate, frames = run_npt(
+                md_system, state, n_steps=n_steps, dt=dt_ps,
+                friction=friction_per_ps, temperature_K=temperature_K,
+                pressure_bar=pressure_bar,
+                barostat_interval=barostat_interval,
+                report_interval=report_interval, force_fn=md_base_fn,
+                constraints=constraints, full_system=system, seed=seed,
+            )
+            result = _package_result(
+                system, final_state, frames, e_min, n_steps, dt_ps,
+                temperature_K, report_interval, output_file,
+            )
+            result["box"] = frames["box"]
+            result["density_g_cm3"] = frames["density_g_cm3"]
+            result["barostat_acceptance"] = float(
+                bstate.n_accepted) / max(float(bstate.n_attempted), 1.0)
+            result["final_box"] = np.asarray(bstate.box)
+            return result
         final_state, frames = run_md(
             system, state, n_steps=n_steps, dt=dt_ps,
             friction=friction_per_ps, temperature_K=temperature_K,
@@ -155,6 +198,12 @@ def run_segment(
             temperature_K, report_interval, output_file,
         )
 
+    if ensemble == "npt":
+        raise ValueError(
+            "ensemble='npt' requires an explicit-solvent periodic input "
+            "(CRYST1 box + waters); this structure routed to the "
+            "implicit-solvent path"
+        )
     system, positions = build_system(
         structure, implicit_solvent=implicit_solvent, gb_model=gb_model
     )

@@ -1,0 +1,232 @@
+"""Monte-Carlo barostat (md/barostat.py) correctness.
+
+Physics oracles:
+* ideal gas — with U == 0 the MC volume moves sample
+  p(V) dV ~ V^N exp(-beta P V) dV, so <V> = (N+1) kT / P exactly;
+* rigid molecule scaling — intramolecular distances are invariant
+  under the volume move by construction;
+* dynamic-box cell kernel — force_fn.dynamic(x, static_box) must
+  reproduce the static-box path, and dynamic(x', box') must match a
+  FRESH static build at box' (the NPT acceptance energies are real).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+import jax.numpy as jnp
+
+from pmarlo_tpu.constants import BOLTZMANN_CONSTANT_KJ_PER_MOL
+from pmarlo_tpu.io.pdb import PDBAtom, PDBResidue, PDBStructure
+from pmarlo_tpu.md.barostat import (
+    BAR_TO_KJ_PER_MOL_NM3,
+    init_barostat,
+    make_volume_move,
+    molecule_ids,
+    run_npt,
+    scale_positions,
+)
+
+
+def _water_box(n_side=5, spacing=0.31):
+    residues, rid = [], 1
+    for i in range(n_side):
+        for j in range(n_side):
+            for k in range(n_side):
+                ox = 0.15 + i * spacing
+                oy = 0.15 + j * spacing
+                oz = 0.15 + k * spacing
+                mk = lambda n, x, y, z, e: PDBAtom(
+                    name=n, resname="HOH", resid=rid, chain="W",
+                    xyz=(x, y, z), element=e)
+                residues.append(PDBResidue(
+                    name="HOH", resid=rid, chain="W", atoms=[
+                        mk("O", ox, oy, oz, "O"),
+                        mk("H1", ox + 0.09572, oy, oz, "H"),
+                        mk("H2", ox - 0.02399, oy + 0.09266, oz, "H"),
+                    ]))
+                rid += 1
+    L = n_side * spacing + 0.1
+    return PDBStructure(residues=residues), (L, L, L)
+
+
+def test_ideal_gas_volume_distribution():
+    """U == 0: <V> = (N_mol + 1) kT / P (NPT partition function of the
+    ideal gas; the +1 comes from the V^N ln-Jacobian term)."""
+    n_mol = 50
+    T = 300.0
+    kT = BOLTZMANN_CONSTANT_KJ_PER_MOL * T
+    box0 = jnp.asarray([2.0, 2.0, 2.0], jnp.float32)
+    v_target = float(box0[0] * box0[1] * box0[2])
+    # choose P so the stationary mean equals the initial volume
+    p_kj = (n_mol + 1) * kT / v_target
+    p_bar = p_kj / BAR_TO_KJ_PER_MOL_NM3
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (n_mol, 3), jnp.float32, 0.0, 2.0)
+    mol = np.arange(n_mol, dtype=np.int32)  # one atom per molecule
+    masses = np.full(n_mol, 18.0, np.float32)
+    move = make_volume_move(
+        lambda xx, bb: jnp.asarray(0.0, jnp.float32),
+        mol, masses, n_mol, pressure_bar=p_bar, temperature_K=T,
+    )
+    bstate = init_barostat(box0, jax.random.PRNGKey(1))
+
+    @jax.jit
+    def run(x, bstate):
+        def body(carry, _):
+            x, bs = carry
+            x, bs, acc = move(x, bs)
+            v = bs.box[0] * bs.box[1] * bs.box[2]
+            return (x, bs), v
+
+        return jax.lax.scan(body, (x, bstate), None, length=4000)
+
+    (x, bstate), vols = run(x, bstate)
+    vols = np.asarray(vols)
+    assert np.isfinite(vols).all()
+    burn = vols[1000:]
+    mean_v = float(burn.mean())
+    # relative fluctuation 1/sqrt(N+1) ~ 14%; 3000 correlated samples
+    # give a few-percent SEM — 12% band is ~4 sigma
+    assert abs(mean_v - v_target) / v_target < 0.12, mean_v
+    acc = float(bstate.n_accepted) / float(bstate.n_attempted)
+    assert 0.2 < acc < 0.9, acc  # self-tuned toward ~50%
+
+
+def test_scale_positions_rigid_molecules():
+    rng = np.random.default_rng(0)
+    # 4 molecules of 3 atoms each
+    x = jnp.asarray(rng.normal(2.0, 1.0, (12, 3)), jnp.float32)
+    mol = np.repeat(np.arange(4), 3).astype(np.int32)
+    masses = np.asarray([16.0, 1.0, 1.0] * 4, np.float32)
+    s = jnp.asarray(1.05, jnp.float32)
+    x1 = scale_positions(x, s, mol, masses, 4)
+    x1 = np.asarray(x1)
+    x0 = np.asarray(x)
+    for m in range(4):
+        sl = slice(3 * m, 3 * m + 3)
+        d0 = np.linalg.norm(x0[sl][:, None] - x0[sl][None], axis=-1)
+        d1 = np.linalg.norm(x1[sl][:, None] - x1[sl][None], axis=-1)
+        np.testing.assert_allclose(d1, d0, atol=1e-5)
+        # COM scaled by s
+        com0 = (masses[sl][:, None] * x0[sl]).sum(0) / masses[sl].sum()
+        com1 = (masses[sl][:, None] * x1[sl]).sum(0) / masses[sl].sum()
+        np.testing.assert_allclose(com1, 1.05 * com0, rtol=1e-5)
+
+
+def test_molecule_ids_waters_and_protein():
+    from pmarlo_tpu.md.forcefield import build_system
+
+    s, box = _water_box(3)
+    system, _ = build_system(s, box=box, cutoff=0.45, hydrogen_mass=None)
+    ids = molecule_ids(system)
+    assert ids.shape[0] == system.n_atoms
+    assert ids.max() + 1 == 27  # one molecule per water
+    # every water's three atoms share an id
+    assert (ids.reshape(27, 3) == ids.reshape(27, 3)[:, :1]).all()
+
+
+@pytest.mark.slow
+def test_dynamic_box_matches_static(water_system_barostat):
+    """dynamic(x, static_box) == static path; dynamic at a scaled box
+    matches a FRESH static build at that box."""
+    from pmarlo_tpu.md.forcefield import build_system
+    from pmarlo_tpu.md.pallas_cells import build_cell_force_fn
+
+    system, x, structure, box = water_system_barostat
+    fn = build_cell_force_fn(system, interpret=True)
+    e0, f0 = fn(x)
+    e1, f1 = fn.dynamic(x, jnp.asarray(box, jnp.float32))
+    np.testing.assert_allclose(float(e1), float(e0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               atol=1e-4)
+
+    # scaled box: molecules rigid-translated, box * s
+    s = 1.02
+    ids = molecule_ids(system)
+    xs = scale_positions(x, jnp.asarray(s, jnp.float32), ids,
+                         system.masses, int(ids.max()) + 1)
+    box_s = tuple(float(b) * s for b in box)
+    sys_s, _ = build_system(structure, box=box_s, cutoff=0.45,
+                            hydrogen_mass=None)
+    fn_s = build_cell_force_fn(sys_s, interpret=True)
+    # only compare when the fresh grid matches the dynamic grid shape
+    # (the whole point of the traced box is to keep the shape fixed)
+    if fn_s.grid.n_slots == fn.grid.n_slots:
+        e_ref, f_ref = fn_s(xs)
+        e_dyn, f_dyn = fn.dynamic(xs, jnp.asarray(box_s, jnp.float32))
+        np.testing.assert_allclose(float(e_dyn), float(e_ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_dyn), np.asarray(f_ref),
+                                   atol=1e-3)
+    # a box that breaks the cutoff cover must poison, not silently drop
+    bad_box = jnp.asarray([b * 0.5 for b in box], jnp.float32)
+    e_bad, _ = fn.dynamic(x, bad_box)
+    assert not np.isfinite(float(e_bad))
+
+
+@pytest.fixture(scope="module")
+def water_system_barostat():
+    from pmarlo_tpu.md.forcefield import build_system
+
+    s, box = _water_box(5)
+    system, x = build_system(s, box=box, cutoff=0.45, hydrogen_mass=None)
+    return system, jnp.asarray(x, jnp.float32), s, box
+
+
+@pytest.mark.slow
+def test_run_npt_water_smoke(water_system_barostat):
+    """Short NPT run on the real cell kernel (interpret mode): box
+    moves, stays finite, densities are physical, constraints hold."""
+    from pmarlo_tpu.md.constraints import (
+        build_h_constraints,
+        strip_constrained_bonded,
+    )
+    from pmarlo_tpu.md.integrate import thermalize
+    from pmarlo_tpu.md.pallas_cells import build_cell_force_fn
+
+    system, x, _, _ = water_system_barostat
+    spec = build_h_constraints(system)
+    md_system = strip_constrained_bonded(system)
+    fn = build_cell_force_fn(md_system, interpret=True)
+    st = thermalize(system, x, jax.random.PRNGKey(0), 300.0)
+    final, bstate, frames = run_npt(
+        md_system, st, n_steps=20, dt=0.002, friction=1.0,
+        temperature_K=300.0, pressure_bar=1.0, barostat_interval=5,
+        report_interval=10, force_fn=fn, constraints=spec,
+        full_system=system,
+    )
+    assert np.isfinite(np.asarray(frames["positions"])).all()
+    dens = np.asarray(frames["density_g_cm3"])
+    assert ((dens > 0.2) & (dens < 3.0)).all()
+    assert int(bstate.n_attempted) == 4
+    # rigid waters survived the volume moves
+    xf = np.asarray(final.positions).reshape(-1, 3, 3)
+    oh1 = np.linalg.norm(xf[:, 1] - xf[:, 0], axis=-1)
+    np.testing.assert_allclose(oh1, 0.09572, atol=2e-3)
+
+
+def test_run_segment_npt_validation(tmp_path):
+    """NPT demands an explicit periodic input and a cell engine."""
+    import tempfile
+
+    import pmarlo_tpu
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.io.pdb import write_pdb
+
+    s = alanine_dipeptide_structure()
+    pdb = str(tmp_path / "ala.pdb")
+    write_pdb(pdb, s.coordinates(),
+              [a.name for r in s.residues for a in r.atoms],
+              [a.resname for r in s.residues for a in r.atoms],
+              [a.resid for r in s.residues for a in r.atoms])
+    with pytest.raises(ValueError, match="explicit-solvent"):
+        pmarlo_tpu.run_segment(pdb, n_steps=10, report_interval=10,
+                               ensemble="npt")
+    with pytest.raises(ValueError, match="ensemble must be"):
+        pmarlo_tpu.run_segment(pdb, n_steps=10, report_interval=10,
+                               ensemble="nve")
