@@ -44,6 +44,7 @@ _EXPORTS = {
     "build_cell_force_fn": ("pmarlo_tpu.md.pallas_cells",
                             "build_cell_force_fn"),
     "ewald_energy_dense": ("pmarlo_tpu.md.pme", "ewald_energy_dense"),
+    "run_npt": ("pmarlo_tpu.md.barostat", "run_npt"),
     # REMD
     "RemdConfig": ("pmarlo_tpu.remd.remd", "RemdConfig"),
     "ReplicaExchange": ("pmarlo_tpu.remd.remd", "ReplicaExchange"),

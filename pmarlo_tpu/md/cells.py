@@ -24,6 +24,8 @@ cell-list NonbondedForce plays for the reference,
 Channel layout: the per-slot feature array is ``(C_FEAT, S)`` with
 channels [x, y, z, q, sigma, eps, mask, atom-index] — channel-major so
 a kernel block is one 2D slice and coordinates arrive lane-contiguous.
+(The cell force fn stores sqrt(eps) in channel 5 so the kernel's
+Lorentz-Berthelot geometric mean is a multiply, not a per-pair sqrt.)
 """
 
 from __future__ import annotations

@@ -101,7 +101,11 @@ def nonbonded_energy(system: System, positions: jax.Array) -> jax.Array:
     inv_r = 1.0 / r_safe
     # Lorentz-Berthelot combining
     sigma_ij = 0.5 * (system.lj_sigma[:, None] + system.lj_sigma[None, :])
-    eps_ij = jnp.sqrt(system.lj_eps[:, None] * system.lj_eps[None, :] + _EPS)
+    eps_ij = jnp.sqrt(jnp.maximum(
+        system.lj_eps[:, None] * system.lj_eps[None, :], 0.0))
+    # exact at eps = 0 (no additive floor): zero-eps hydrogens must
+    # contribute EXACTLY no LJ, matching the kernels' sqrt(eps)-channel
+    # formulation (gradients are w.r.t. positions, so sqrt(0) is safe)
     sr6 = (sigma_ij * inv_r) ** 6
     e_lj = 4.0 * eps_ij * (sr6 * sr6 - sr6) * system.scale_lj
     qq = system.charges[:, None] * system.charges[None, :]
@@ -142,7 +146,11 @@ def periodic_nonbonded_energy(
     within = (r < rc).astype(positions.dtype) * (1.0 - eye)
 
     sigma_ij = 0.5 * (system.lj_sigma[:, None] + system.lj_sigma[None, :])
-    eps_ij = jnp.sqrt(system.lj_eps[:, None] * system.lj_eps[None, :] + _EPS)
+    eps_ij = jnp.sqrt(jnp.maximum(
+        system.lj_eps[:, None] * system.lj_eps[None, :], 0.0))
+    # exact at eps = 0 (no additive floor): zero-eps hydrogens must
+    # contribute EXACTLY no LJ, matching the kernels' sqrt(eps)-channel
+    # formulation (gradients are w.r.t. positions, so sqrt(0) is safe)
     sr6 = (sigma_ij * inv_r) ** 6
     sr6c = (sigma_ij / rc) ** 6
     e_lj = 4.0 * eps_ij * ((sr6 * sr6 - sr6) - (sr6c * sr6c - sr6c))

@@ -100,7 +100,8 @@ def _pair_r(positions: jax.Array, nl: NeighborList) -> jax.Array:
 def _lj_coulomb_pair(system: System, r, i_idx, j_idx):
     """Full-strength LJ + Coulomb for index arrays of any shape."""
     sig = 0.5 * (system.lj_sigma[i_idx] + system.lj_sigma[j_idx])
-    eps = jnp.sqrt(system.lj_eps[i_idx] * system.lj_eps[j_idx] + _EPS)
+    eps = jnp.sqrt(jnp.maximum(
+        system.lj_eps[i_idx] * system.lj_eps[j_idx], 0.0))
     inv_r = 1.0 / r
     sr6 = (sig * inv_r) ** 6
     e_lj = 4.0 * eps * (sr6 * sr6 - sr6)

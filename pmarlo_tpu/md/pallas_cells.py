@@ -143,7 +143,10 @@ def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool,
             within = (r2 < rc * rc).astype(r2.dtype) * one
 
             sig_ij = 0.5 * (r[4][:, None] + c[4][None, :])
-            eps_ij = jnp.sqrt(r[5][:, None] * c[5][None, :] + _EPS)
+            # channel 5 carries sqrt(eps): the Lorentz-Berthelot
+            # geometric mean becomes a multiply — one transcendental
+            # per pair (rsqrt) instead of two in RF mode
+            eps_ij = r[5][:, None] * c[5][None, :]
             sr6 = (sig_ij * inv_r) ** 6
             sr6c = (sig_ij * (1.0 / rc)) ** 6
             e_lj = 4.0 * eps_ij * ((sr6 * sr6 - sr6) - (sr6c * sr6c - sr6c))
@@ -231,6 +234,7 @@ def build_cell_force_fn(
     mesh: "jax.sharding.Mesh | None" = None,
     skin: "str | float" = "auto",
     min_skin: float = 0.015,
+    dispersion_correction: bool = False,
 ) -> Callable:
     """Jitted ``fn(x (N,3)) -> (energy, forces (N,3))`` for the FULL
     periodic potential via the cell-list kernel (pair stage) + sparse
@@ -242,7 +246,14 @@ def build_cell_force_fn(
     ``electrostatics="pme"`` runs full smooth-PME: erfc real-space in
     the kernel + FFT reciprocal / self / background terms (md/pme.py) —
     the OpenMM default for solvated systems the reference relies on
-    (/root/reference/src/pmarlo/protein/protein.py:733)."""
+    (/root/reference/src/pmarlo/protein/protein.py:733).
+
+    ``dispersion_correction`` adds the isotropic LJ tail energy
+    2 pi C / V (md/dispersion.py; OpenMM's useDispersionCorrection
+    default). Position-independent — forces unchanged — but the 1/V
+    term matters under the NPT barostat; off by default so NVT energy
+    parity with the dense reference (which carries no tail term)
+    holds."""
     if system.box is None:
         raise ValueError("build_cell_force_fn needs system.box")
     if electrostatics not in ("rf", "pme"):
@@ -371,6 +382,7 @@ def build_cell_force_fn(
     q = jnp.asarray(np.asarray(system.charges, np.float32))
     sig = jnp.asarray(np.asarray(system.lj_sigma, np.float32))
     eps = jnp.asarray(np.asarray(system.lj_eps, np.float32))
+    sqrt_eps = jnp.sqrt(eps)  # kernel channel 5 (see the sweep body)
 
     band_se_np, band_sl_np, far_idx, far_se, far_sl = banded_scales(system, D)
     band_se = jnp.asarray(band_se_np)
@@ -444,7 +456,7 @@ def build_cell_force_fn(
             r = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
             qq = q * jnp.roll(q, -k)
             sig_ij = 0.5 * (sig + jnp.roll(sig, -k))
-            eps_ij = jnp.sqrt(eps * jnp.roll(eps, -k) + _EPS)
+            eps_ij = jnp.sqrt(jnp.maximum(eps * jnp.roll(eps, -k), 0.0))
             e_band = e_band + jnp.sum(_wanted_pair_energy(
                 r, qq, sig_ij, eps_ij, band_se[:, k - 1],
                 band_sl[:, k - 1], valid
@@ -458,7 +470,7 @@ def build_cell_force_fn(
         rf_r = jnp.sqrt(jnp.sum(dff * dff, axis=-1) + _EPS)
         qq_f = q[f_i] * q[f_j]
         sig_f = 0.5 * (sig[f_i] + sig[f_j])
-        eps_f = jnp.sqrt(eps[f_i] * eps[f_j] + _EPS)
+        eps_f = jnp.sqrt(jnp.maximum(eps[f_i] * eps[f_j], 0.0))
         ones = jnp.ones_like(rf_r)
         want = _wanted_pair_energy(rf_r, qq_f, sig_f, eps_f, fse, fsl, ones)
         counted = _wanted_pair_energy(rf_r, qq_f, sig_f, eps_f,
@@ -484,6 +496,15 @@ def build_cell_force_fn(
 
     ncell_arr = jnp.asarray([grid.nx, grid.ny, grid.nz], jnp.float32)
 
+    if dispersion_correction:
+        from .dispersion import dispersion_coefficient
+
+        disp_2pi_c = 2.0 * np.pi * dispersion_coefficient(system)
+        v_static = bx * by * bz
+    else:
+        disp_2pi_c = 0.0
+        v_static = 1.0
+
     def _eval(x, slot, xw, overflow, box=None):
         """``box=None``: the static-box fast path (compile-time
         constants everywhere). ``box`` a traced (3,) array: the NPT
@@ -492,7 +513,7 @@ def build_cell_force_fn(
         any cell edge below the cutoff (the 27-neighborhood cover
         would silently drop pairs)."""
         b = box_arr if box is None else box.astype(jnp.float32)
-        slots = scatter_features(grid, xw, slot, q, sig, eps)
+        slots = scatter_features(grid, xw, slot, q, sig, sqrt_eps)
         ghost = ghost_pad(grid, slots, box=box)
         e_rows, F_slots = sweep(slots, ghost)
         F_pair = F_slots[slot]
@@ -504,6 +525,11 @@ def build_cell_force_fn(
             bad = jnp.logical_or(bad, jnp.min(b / ncell_arr) < rc)
         poison = jnp.where(bad, jnp.nan, 0.0).astype(jnp.float32)
         energy = jnp.sum(e_rows) + e_c + e_b + poison
+        if dispersion_correction:
+            if box is None:
+                energy = energy + disp_2pi_c / v_static
+            else:
+                energy = energy + disp_2pi_c / (b[0] * b[1] * b[2])
         forces = F_pair - g_c - g_b + poison
         if use_pme:
             if box is None:

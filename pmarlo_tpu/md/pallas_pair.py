@@ -99,7 +99,9 @@ def build_pair_force_fn(
     # --- per-atom parameter rows (host-side, padded) -----------------------
     q = padded(system.charges)
     sig = padded(system.lj_sigma)
-    eps = padded(system.lj_eps)
+    # sqrt(eps) at the source: the Lorentz-Berthelot geometric
+    # mean becomes an in-kernel multiply (one less per-pair sqrt)
+    eps = np.sqrt(padded(system.lj_eps))
     rho = padded(np.asarray(system.gb_radii) - system.gb_offset, fill=0.1)
     sr = padded(np.asarray(system.gb_screen) * (np.asarray(system.gb_radii)
                                                 - system.gb_offset), fill=0.0)
@@ -263,7 +265,7 @@ def build_pair_force_fn(
         one = self_mask(not_self, row(mask_i_ref), col(mask_j_ref))
         inv_r = 1.0 / r
         sig_ij = 0.5 * (row(sig_i_ref) + col(sig_j_ref))
-        eps_ij = jnp.sqrt(row(eps_i_ref) * col(eps_j_ref) + _EPS)
+        eps_ij = row(eps_i_ref) * col(eps_j_ref)  # rows carry sqrt(eps)
         sr6 = (sig_ij * inv_r) ** 6
         # index-band mask (exclusions/1-4s added back in XLA)
         ob = (jnp.abs(row(ib_i_ref) - col(ib_j_ref)) > band_D).astype(r.dtype)
@@ -304,7 +306,7 @@ def build_pair_force_fn(
         inv_r = 1.0 / r
         inv_r2 = inv_r * inv_r
         sig_ij = 0.5 * (row(sig_i_ref) + col(sig_j_ref))
-        eps_ij = jnp.sqrt(row(eps_i_ref) * col(eps_j_ref) + _EPS)
+        eps_ij = row(eps_i_ref) * col(eps_j_ref)  # rows carry sqrt(eps)
         sr6 = (sig_ij * inv_r) ** 6
         ob = (jnp.abs(row(ib_i_ref) - col(ib_j_ref)) > band_D).astype(r.dtype)
         # d(LJ)/dr + d(Coulomb)/dr (full unordered pair, band-masked;
@@ -469,7 +471,8 @@ def build_pair_force_fn(
     fb_sl = jnp.asarray(far_sl)
     q_real = jnp.asarray(q[:n_real])
     sig_real = jnp.asarray(sig[:n_real])
-    eps_real = jnp.asarray(eps[:n_real])
+    # true eps (the padded kernel row carries sqrt(eps))
+    eps_real = jnp.asarray(np.asarray(system.lj_eps, np.float32))
 
     def _wanted_implicit(r, qq, sig_ij, eps_ij, se_p, sl_p, valid):
         """NoCutoff implicit-path pair energy at the wanted scaling
@@ -506,7 +509,7 @@ def build_pair_force_fn(
         r = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
         qq = q_real[:, None] * qj
         sig_ij = 0.5 * (sig_real[:, None] + sj)
-        eps_ij = jnp.sqrt(eps_real[:, None] * ej + _EPS)
+        eps_ij = jnp.sqrt(jnp.maximum(eps_real[:, None] * ej, 0.0))
         e = jnp.sum(_wanted_implicit(
             r, qq, sig_ij, eps_ij, band_se_j, band_sl_j, valid))
         if far_idx.shape[0]:
@@ -514,7 +517,7 @@ def build_pair_force_fn(
             rf = jnp.sqrt(jnp.sum(dff * dff, axis=-1) + _EPS)
             qq_f = q_real[fb_i] * q_real[fb_j]
             sig_f = 0.5 * (sig_real[fb_i] + sig_real[fb_j])
-            eps_f = jnp.sqrt(eps_real[fb_i] * eps_real[fb_j] + _EPS)
+            eps_f = jnp.sqrt(jnp.maximum(eps_real[fb_i] * eps_real[fb_j], 0.0))
             ones = jnp.ones_like(rf)
             e = e + jnp.sum(
                 _wanted_implicit(rf, qq_f, sig_f, eps_f, fb_se, fb_sl, ones)

@@ -60,7 +60,9 @@ def build_periodic_force_fn(
 
     q = padded(system.charges)
     sig = padded(system.lj_sigma)
-    eps = padded(system.lj_eps)
+    # sqrt(eps) at the source: the Lorentz-Berthelot geometric
+    # mean becomes an in-kernel multiply (one less per-pair sqrt)
+    eps = np.sqrt(padded(system.lj_eps))
     mask = np.zeros(N, np.float32)
     mask[:n_real] = 1.0
 
@@ -106,7 +108,7 @@ def build_periodic_force_fn(
         within = (r < rc).astype(xi.dtype) * one
 
         sig_ij = 0.5 * (sig_i_ref[...] + sig_j_ref[...])
-        eps_ij = jnp.sqrt(eps_i_ref[...] * eps_j_ref[...] + _EPS)
+        eps_ij = eps_i_ref[...] * eps_j_ref[...]  # channels carry sqrt(eps)
         sr6 = (sig_ij * inv_r) ** 6
         sr6c = (sig_ij * (1.0 / rc)) ** 6
         sl = sl_ref[...]

@@ -210,6 +210,66 @@ def test_run_npt_water_smoke(water_system_barostat):
     np.testing.assert_allclose(oh1, 0.09572, atol=2e-3)
 
 
+def test_dispersion_coefficient_single_type():
+    """One LJ class: C = N^2 * 4 eps [sig^12/(9 rc^9) - sig^6/(3 rc^3)],
+    checked against the closed form and a brute-force pair sum."""
+    import dataclasses
+
+    from pmarlo_tpu.md.dispersion import dispersion_coefficient
+
+    class Sys:
+        cutoff = 0.9
+        lj_sigma = np.full(7, 0.3151, np.float64)
+        lj_eps = np.full(7, 0.6364, np.float64)
+
+    rc, sig, eps, n = 0.9, 0.3151, 0.6364, 7
+    expect = n * n * 4.0 * eps * (
+        sig**12 / (9 * rc**9) - sig**6 / (3 * rc**3))
+    got = dispersion_coefficient(Sys())
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+    # mixed classes: brute force over all ordered pairs
+    rng = np.random.default_rng(3)
+    class Sys2:
+        cutoff = 1.1
+        lj_sigma = rng.uniform(0.1, 0.4, 9)
+        lj_eps = rng.uniform(0.0, 1.0, 9)
+
+    s2 = Sys2()
+    brute = 0.0
+    for i in range(9):
+        for j in range(9):
+            sij = 0.5 * (s2.lj_sigma[i] + s2.lj_sigma[j])
+            eij = np.sqrt(s2.lj_eps[i] * s2.lj_eps[j])
+            brute += 4 * eij * (sij**12 / (9 * 1.1**9)
+                                - sij**6 / (3 * 1.1**3))
+    np.testing.assert_allclose(dispersion_coefficient(s2), brute,
+                               rtol=1e-10)
+
+
+@pytest.mark.slow
+def test_dispersion_energy_scales_inverse_volume(water_system_barostat):
+    """With the tail term on, E(box) - E_notail(box) = 2 pi C / V for
+    the dynamic path — the barostat feels dP = -dE/dV."""
+    from pmarlo_tpu.md.dispersion import dispersion_coefficient
+    from pmarlo_tpu.md.pallas_cells import build_cell_force_fn
+
+    system, x, _, box = water_system_barostat
+    fn0 = build_cell_force_fn(system, interpret=True)
+    fn1 = build_cell_force_fn(system, interpret=True,
+                              dispersion_correction=True)
+    c2pi = 2.0 * np.pi * dispersion_coefficient(system)
+    b = jnp.asarray(box, jnp.float32)
+    v = float(b[0] * b[1] * b[2])
+    e0 = float(fn0.dynamic(x, b)[0])
+    e1 = float(fn1.dynamic(x, b)[0])
+    np.testing.assert_allclose(e1 - e0, c2pi / v, rtol=1e-3)
+    # forces untouched
+    f0 = np.asarray(fn0(x)[1])
+    f1 = np.asarray(fn1(x)[1])
+    np.testing.assert_allclose(f1, f0, atol=1e-5)
+
+
 def test_run_segment_npt_validation(tmp_path):
     """NPT demands an explicit periodic input and a cell engine."""
     import tempfile
