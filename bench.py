@@ -245,7 +245,7 @@ def bench_explicit() -> dict:
     }
 
 
-def bench_cells_25k() -> dict:
+def bench_cells_25k(shared: dict | None = None) -> dict:
     """>= 25k-atom solvated water box through the O(N) cell-list kernel
     (md/pallas_cells.py) with rigid-water SHAKE at 2 fs — the workload
     the dense sweep cannot take on (VERDICT r2 item #1). Reports
@@ -310,6 +310,10 @@ def bench_cells_25k() -> dict:
         # rigid-water + skin-amortized protocol, erfc real space in the
         # kernel + reciprocal mesh via jax.grad of the spread energy
         fn_pme = build_cell_force_fn(md_system, electrostatics="pme")
+        if shared is not None:
+            shared.update(system=system, md_system=md_system,
+                          constraints=spec, state=st, fn_rf=fn,
+                          fn_pme=fn_pme)
         out_p, _ = run_md(system, st, n_steps=100, dt=DT_PS, friction=1.0,
                           temperature_K=300.0, report_interval=100,
                           force_fn=fn_pme, constraints=spec)
@@ -341,6 +345,89 @@ def bench_cells_25k() -> dict:
         }
     except Exception as exc:  # pragma: no cover - bench resilience
         return {"cells_error": str(exc)[:200]}
+
+
+def bench_npt_and_nve(shared: dict) -> dict:
+    """NPT step cost + NVE energy-conservation accounting on the 27k
+    TIP3P box built by bench_cells_25k (round-3 barostat + the
+    conservation guardrail: hand-written kernel forces must be the
+    exact gradient of the kernel energy or drift shows up here)."""
+    if "system" not in shared:
+        return {}
+    import jax
+    import jax.numpy as jnp
+
+    from pmarlo_tpu.constants import BOLTZMANN_CONSTANT_KJ_PER_MOL
+    from pmarlo_tpu.md.barostat import run_npt
+    from pmarlo_tpu.md.integrate import kinetic_energy
+    from pmarlo_tpu.md.pallas_cells import build_cell_force_fn
+
+    out = {}
+    system = shared["system"]
+    md_system = shared["md_system"]
+    spec = shared["constraints"]
+    st0 = shared["state"]
+    try:
+        fn = build_cell_force_fn(md_system, electrostatics="pme",
+                                 dispersion_correction=True)
+        final, bstate, frames = run_npt(
+            md_system, st0, n_steps=200, dt=DT_PS, friction=1.0,
+            temperature_K=300.0, pressure_bar=1.0, barostat_interval=25,
+            report_interval=100, force_fn=fn, constraints=spec,
+            full_system=system,
+        )
+        jax.block_until_ready(final.positions)
+        t0 = time.perf_counter()
+        final, bstate, frames = run_npt(
+            md_system, final, n_steps=200, dt=DT_PS, friction=1.0,
+            temperature_K=300.0, pressure_bar=1.0, barostat_interval=25,
+            report_interval=100, force_fn=fn, constraints=spec,
+            full_system=system,
+        )
+        jax.block_until_ready(final.positions)
+        out["npt_ms_per_step"] = (time.perf_counter() - t0) / 200 * 1e3
+        out["npt_density_g_cm3"] = float(frames["density_g_cm3"][-1])
+    except Exception as exc:  # pragma: no cover - bench resilience
+        out["npt_error"] = str(exc)[:200]
+
+    # NVE drift: friction = 0 turns BAOAB into velocity Verlet; report
+    # d(E_tot)/dt per dof in kT/ns for the RF and PME engines (scan
+    # programs via run_md — eager per-step dispatch would be RPC-bound
+    # on the tunneled device)
+    try:
+        from pmarlo_tpu.md.constraints import n_constraints as _nc
+        from pmarlo_tpu.md.integrate import run_md
+
+        n_dof = 3 * system.n_atoms - 3 - _nc(spec)
+        kT = BOLTZMANN_CONSTANT_KJ_PER_MOL * 300.0
+        n_nve = 2000
+        for elec in ("rf", "pme"):
+            # reuse the kernels (and their compiled 100-step scan
+            # programs) from bench_cells_25k — no rebuilds here
+            fn = shared["fn_rf"] if elec == "rf" else shared["fn_pme"]
+            st, _ = run_md(system, st0, n_steps=100, dt=DT_PS,
+                           friction=1.0, temperature_K=300.0,
+                           report_interval=100, force_fn=fn,
+                           constraints=spec)
+
+            def etot(s):
+                e, _f = fn(s.positions)
+                return float(e) + float(kinetic_energy(
+                    system, s.velocities))
+
+            e_start = etot(st)
+            st, _ = run_md(system, st, n_steps=n_nve, dt=DT_PS,
+                           friction=0.0, temperature_K=300.0,
+                           report_interval=n_nve, force_fn=fn,
+                           constraints=spec)
+            e_end = etot(st)
+            ns = n_nve * DT_PS * 1e-3
+            out[f"nve_drift_kT_per_dof_per_ns_{elec}"] = (
+                (e_end - e_start) / kT / n_dof / ns
+            )
+    except Exception as exc:  # pragma: no cover - bench resilience
+        out["nve_error"] = str(exc)[:200]
+    return out
 
 
 def bench_protein_remd_ladder() -> dict:
@@ -446,7 +533,9 @@ def main() -> None:
     protein = bench_protein()
     explicit = bench_explicit()
     maxrep = bench_max_replicas()
-    cells = bench_cells_25k()
+    shared: dict = {}
+    cells = bench_cells_25k(shared)
+    npt_nve = bench_npt_and_nve(shared)
     ladder = bench_protein_remd_ladder()
     cpu = bench_cpu_denominator()
     value = remd["ns_per_day_aggregate"]
@@ -478,7 +567,8 @@ def main() -> None:
     if "cpu_ns_per_day" in cpu:
         out["vs_jax_cpu_measured"] = round(value / cpu["cpu_ns_per_day"], 2)
         out["jax_cpu_ns_per_day_measured"] = round(cpu["cpu_ns_per_day"], 1)
-    for d in (remd, msm, protein, explicit, maxrep, cells, ladder, cpu):
+    for d in (remd, msm, protein, explicit, maxrep, cells, npt_nve,
+              ladder, cpu):
         out.update({
             k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in d.items()
