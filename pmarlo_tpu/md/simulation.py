@@ -70,6 +70,14 @@ def run_segment(
     field), "pme" (cell-list kernel + smooth-PME electrostatics), or
     "auto" (cells past 3000 atoms, dense below).
 
+    ``ensemble="nve"`` runs microcanonical dynamics: velocities are
+    still drawn at ``temperature_K`` (Maxwell-Boltzmann start), then the
+    thermostat is off — zero friction turns the BAOAB splitting into
+    plain velocity Verlet. The result dict gains a ``total_energy``
+    trace (PE + KE per reported frame) so conservation can be checked
+    directly; drift here is the guardrail that kernel forces are the
+    exact gradient of the kernel energy.
+
     ``ensemble="npt"`` (explicit solvent only) adds the Monte-Carlo
     barostat (md/barostat.py): isotropic volume moves every
     ``barostat_interval`` steps at ``pressure_bar``, molecule-rigid
@@ -78,8 +86,10 @@ def run_segment(
     cell-list engine (``nonbonded`` "cells"/"pme"/"auto"); the result
     dict gains ``box`` (F, 3) and ``density_g_cm3`` (F,) traces.
     """
-    if ensemble not in ("nvt", "npt"):
-        raise ValueError(f"ensemble must be nvt|npt, got {ensemble!r}")
+    if ensemble not in ("nvt", "nve", "npt"):
+        raise ValueError(f"ensemble must be nvt|nve|npt, got {ensemble!r}")
+    # zero friction = velocity Verlet (the O-step of BAOAB is identity)
+    md_friction = 0.0 if ensemble == "nve" else friction_per_ps
     from ..io.pdb import read_pdb
     from .topology import _WATER_NAMES
 
@@ -195,14 +205,21 @@ def run_segment(
             return result
         final_state, frames = run_md(
             system, state, n_steps=n_steps, dt=dt_ps,
-            friction=friction_per_ps, temperature_K=temperature_K,
+            friction=md_friction, temperature_K=temperature_K,
             report_interval=report_interval, bias_fn=bias_fn,
             force_fn=_force_fn, constraints=constraints,
         )
-        return _package_result(
+        result = _package_result(
             system, final_state, frames, e_min, n_steps, dt_ps,
             temperature_K, report_interval, output_file,
         )
+        if ensemble == "nve":
+            from .constraints import n_constraints as _nc
+
+            _attach_total_energy(
+                result, system, _nc(constraints) if constraints else 0
+            )
+        return result
 
     if ensemble == "npt":
         raise ValueError(
@@ -250,17 +267,31 @@ def run_segment(
         state,
         n_steps=n_steps,
         dt=dt_ps,
-        friction=friction_per_ps,
+        friction=md_friction,
         temperature_K=temperature_K,
         report_interval=report_interval,
         bias_fn=bias_fn,
         force_fn=force_fn,
     )
 
-    return _package_result(
+    result = _package_result(
         system, final_state, frames, e_min, n_steps, dt_ps,
         temperature_K, report_interval, output_file,
     )
+    if ensemble == "nve":
+        _attach_total_energy(result, system, 0)
+    return result
+
+
+def _attach_total_energy(result, system, n_con: int) -> None:
+    """total_energy (F,) = PE + KE, with KE recovered from the reported
+    kinetic temperature (the same dof convention the reporter used)."""
+    n_dof = max(3 * system.n_atoms - 3 - int(n_con), 1)
+    from ..constants import BOLTZMANN_CONSTANT_KJ_PER_MOL
+
+    ke = (0.5 * n_dof * BOLTZMANN_CONSTANT_KJ_PER_MOL
+          * np.asarray(result["temperature"]))
+    result["total_energy"] = np.asarray(result["potential_energy"]) + ke
 
 
 def _package_result(system, final_state, frames, e_min, n_steps, dt_ps,

@@ -55,3 +55,49 @@ def test_run_md_validates_report_interval(alanine_system):
     with pytest.raises(ValueError, match="multiple"):
         run_md(system, state, n_steps=150, dt=0.002, friction=1.0,
                temperature_K=300.0, report_interval=100)
+
+
+def _ala_pdb(tmp_path):
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.io.pdb import write_pdb
+
+    s = alanine_dipeptide_structure()
+    pdb = tmp_path / "ala.pdb"
+    write_pdb(
+        pdb, s.coordinates(),
+        [a.name for r in s.residues for a in r.atoms],
+        [a.resname for r in s.residues for a in r.atoms],
+        [a.resid for r in s.residues for a in r.atoms],
+    )
+    return pdb
+
+
+@pytest.mark.slow
+def test_run_segment_nve_conserves_energy(tmp_path):
+    """ensemble='nve': zero-friction BAOAB == velocity Verlet; the
+    total_energy trace must be flat (exact-gradient guardrail)."""
+    from pmarlo_tpu.constants import BOLTZMANN_CONSTANT_KJ_PER_MOL
+    from pmarlo_tpu.md.simulation import run_segment
+
+    res = run_segment(
+        _ala_pdb(tmp_path), n_steps=600, report_interval=100,
+        dt_ps=0.001, temperature_K=300.0, ensemble="nve",
+        minimize_iterations=300, seed=3,
+    )
+    e = np.asarray(res["total_energy"])
+    assert e.shape == (6,)
+    assert np.isfinite(e).all()
+    n_dof = 3 * res["system"].n_atoms - 3
+    kt = BOLTZMANN_CONSTANT_KJ_PER_MOL * 300.0
+    drift = abs(float(e[-1] - e[0])) / (n_dof * kt)
+    # 0.6 ps of velocity Verlet at 1 fs on minimized alanine: total
+    # energy moves < 2% of kT per dof (a sign/half-kick bug reads ~1)
+    assert drift < 0.02, f"NVE drift {drift:.4f} kT/dof over 0.6 ps"
+
+
+def test_run_segment_rejects_unknown_ensemble(tmp_path):
+    from pmarlo_tpu.md.simulation import run_segment
+
+    with pytest.raises(ValueError, match="ensemble"):
+        run_segment(_ala_pdb(tmp_path), n_steps=100, report_interval=100,
+                    ensemble="nvk")
