@@ -34,6 +34,7 @@ from .structure import (
 )
 from .pairs import lagged_time_pairs, make_training_pairs_from_trajectory
 from .ramachandran import compute_ramachandran, compute_ramachandran_fes, periodic_hist2d
+from .rdf import radial_distribution, coordination_number
 
 __all__ = [
     "FEATURE_REGISTRY",
@@ -54,4 +55,6 @@ __all__ = [
     "compute_ramachandran",
     "compute_ramachandran_fes",
     "periodic_hist2d",
+    "radial_distribution",
+    "coordination_number",
 ]

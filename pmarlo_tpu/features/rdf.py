@@ -1,0 +1,96 @@
+"""Radial distribution function g(r) on device.
+
+The reference delegates pair-structure observables to mdtraj's C
+``compute_rdf`` (the mdtraj dependency role catalogued in SURVEY §2b);
+here the histogram is a JAX program over the trajectory tensor: one
+vmapped min-image distance sweep per frame, bucketized into shell
+counts, normalized by the ideal-gas shell occupancy
+
+    g(r) = <n_pairs(r, r+dr)> / (N_a * rho_b * 4 pi r^2 dr)
+
+with rho_b the partner-species number density. Used by the TIP3P
+water-structure golden test (tests/unit/test_rdf.py): the O-O first
+peak at ~0.28 nm with height ~2.5-3 is a literature-anchored check
+that the explicit-solvent engine samples real liquid water, not just
+finite trajectories.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def radial_distribution(
+    positions,
+    box,
+    idx_a,
+    idx_b: Optional[np.ndarray] = None,
+    *,
+    r_max: float = 1.0,
+    n_bins: int = 100,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """g(r) between selections ``idx_a`` and ``idx_b`` (default: a-a).
+
+    positions: (F, N, 3) trajectory; box: (3,) orthorhombic edges (the
+    explicit-solvent convention everywhere in md/); r_max should stay
+    <= min(box)/2 so min-image distances are unambiguous.
+
+    Returns (r_centers (n_bins,), g (n_bins,)) as numpy arrays.
+    """
+    positions = jnp.asarray(positions)
+    if positions.ndim == 2:
+        positions = positions[None]
+    box_arr = jnp.asarray(box, positions.dtype)
+    if float(r_max) > float(jnp.min(box_arr)) / 2 + 1e-9:
+        raise ValueError(
+            f"r_max {r_max} exceeds half the smallest box edge "
+            f"{float(jnp.min(box_arr)) / 2:.4f} — min-image ambiguous"
+        )
+    idx_a = jnp.asarray(idx_a, jnp.int32)
+    same = idx_b is None
+    idx_b_arr = idx_a if same else jnp.asarray(idx_b, jnp.int32)
+
+    edges = jnp.linspace(0.0, r_max, n_bins + 1)
+    dr = float(r_max) / n_bins
+
+    def frame_hist(x):
+        xa = x[idx_a]                       # (A, 3)
+        xb = x[idx_b_arr]                   # (B, 3)
+        d = xa[:, None, :] - xb[None, :, :]
+        d = d - box_arr * jnp.round(d / box_arr)
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+        if same:
+            # self-pairs land in bin 0's r ~ 0 corner; drop via identity mask
+            eye = jnp.eye(idx_a.shape[0], dtype=bool)
+            r = jnp.where(eye, 2.0 * r_max, r)
+        bins = jnp.clip((r / dr).astype(jnp.int32), 0, n_bins)
+        # bin n_bins collects everything past r_max and is discarded
+        return jnp.zeros(n_bins + 1).at[bins.ravel()].add(1.0)[:n_bins]
+
+    hist = jnp.sum(jax.vmap(frame_hist)(positions), axis=0)
+
+    F = positions.shape[0]
+    n_a = idx_a.shape[0]
+    n_b = idx_b_arr.shape[0]
+    vol = jnp.prod(box_arr)
+    rho_b = (n_b - (1 if same else 0)) / vol  # partner density seen by an a-atom
+    centers = np.asarray(0.5 * (edges[:-1] + edges[1:]))
+    shell = 4.0 * np.pi * centers**2 * dr
+    ideal = F * n_a * np.asarray(rho_b) * shell
+    g = np.asarray(hist) / np.maximum(ideal, 1e-30)
+    return centers, g
+
+
+def coordination_number(
+    r: np.ndarray, g: np.ndarray, rho: float, r_cut: float
+) -> float:
+    """Running coordination number n(r_cut) = rho * int_0^rcut g 4 pi r^2 dr
+    (trapezoid). For TIP3P O-O with r_cut at the first minimum (~0.35 nm)
+    this is ~4.5-5 (tetrahedral-ish water)."""
+    m = r <= r_cut
+    integrand = 4.0 * np.pi * r[m] ** 2 * g[m]
+    return float(rho * np.trapezoid(integrand, r[m]))
