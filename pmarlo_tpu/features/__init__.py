@@ -35,6 +35,11 @@ from .structure import (
 from .pairs import lagged_time_pairs, make_training_pairs_from_trajectory
 from .ramachandran import compute_ramachandran, compute_ramachandran_fes, periodic_hist2d
 from .rdf import radial_distribution, coordination_number
+from .msd import (
+    diffusion_coefficient,
+    mean_squared_displacement,
+    unwrap_trajectory,
+)
 
 __all__ = [
     "FEATURE_REGISTRY",
@@ -57,4 +62,7 @@ __all__ = [
     "periodic_hist2d",
     "radial_distribution",
     "coordination_number",
+    "mean_squared_displacement",
+    "diffusion_coefficient",
+    "unwrap_trajectory",
 ]

@@ -1,0 +1,104 @@
+"""Mean-squared displacement and self-diffusion on device.
+
+Transport-property companion to features/rdf.py (the mdtraj/analysis
+dependency role, SURVEY §2b): MSD(t) via per-frame minimum-image
+displacement unwrapping + the Einstein relation D = MSD/(6t). The
+TIP3P golden test anchors the explicit-solvent dynamics to the
+literature self-diffusion constant (TIP3P is famously fast water:
+D ~ 5-6e-5 cm^2/s vs experiment 2.3e-5 — reproducing the MODEL's
+value, not experiment's, is the correctness signal).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def unwrap_trajectory(positions, box) -> jnp.ndarray:
+    """Undo periodic wrapping: accumulate minimum-image frame-to-frame
+    displacements. Valid while no atom moves more than box/2 between
+    consecutive frames (easily true at MD reporting intervals)."""
+    positions = jnp.asarray(positions)
+    box_arr = jnp.asarray(box, positions.dtype)
+    deltas = positions[1:] - positions[:-1]
+    deltas = deltas - box_arr * jnp.round(deltas / box_arr)
+    return jnp.concatenate(
+        [positions[:1], positions[:1] + jnp.cumsum(deltas, axis=0)], axis=0
+    )
+
+
+def mean_squared_displacement(
+    positions,
+    box=None,
+    idx: Optional[np.ndarray] = None,
+    *,
+    max_lag: Optional[int] = None,
+    remove_com: bool = False,
+    masses: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """MSD(t) averaged over atoms and time origins.
+
+    positions: (F, N, 3); box: (3,) to min-image-unwrap first (pass
+    None for already-unwrapped/non-periodic data); idx: atom selection
+    (default all). Returns (lags (L,), msd (L,)) with lag 0 included.
+    Averaging runs over every (t0, t0+lag) window — O(F^2) pairs via a
+    vmapped sweep, fine for reporting-resolution trajectories.
+
+    ``remove_com=True`` subtracts the per-frame center of mass of ALL
+    atoms in ``positions`` (weights ``masses``, default equal) before
+    selecting ``idx`` — essential for self-diffusion under a Langevin
+    thermostat, whose noise random-walks the whole box's COM with
+    D_COM = kT/(M_total * friction): for a 125-water box at friction
+    0.2/ps that is ~5e-5 cm^2/s of spurious apparent diffusion, the
+    same size as TIP3P's real D.
+    """
+    x = jnp.asarray(positions)
+    if box is not None:
+        x = unwrap_trajectory(x, box)
+    if remove_com:
+        if masses is not None:
+            w = jnp.asarray(masses, x.dtype)
+            w = w / jnp.sum(w)
+        else:
+            w = jnp.full((x.shape[1],), 1.0 / x.shape[1], x.dtype)
+        com = jnp.einsum("fnd,n->fd", x, w)
+        x = x - com[:, None, :]
+    if idx is not None:
+        x = x[:, jnp.asarray(idx, jnp.int32)]
+    F = x.shape[0]
+    L = int(max_lag) if max_lag is not None else F - 1
+    L = min(L, F - 1)
+
+    def msd_at(lag):
+        d = x[lag:] - x[: F - lag]
+        # mean over origins, atoms, xyz-summed
+        return jnp.mean(jnp.sum(d * d, axis=-1))
+
+    # pad windows to a fixed origin count so vmap sees static shapes:
+    # evaluate each lag separately (L is small at report resolution)
+    msd = jnp.stack([msd_at(lag) for lag in range(1, L + 1)])
+    lags = np.arange(0, L + 1)
+    return lags, np.concatenate([[0.0], np.asarray(msd)])
+
+
+def diffusion_coefficient(
+    lags: np.ndarray,
+    msd: np.ndarray,
+    dt_per_lag_ps: float,
+    *,
+    fit_start_frac: float = 0.2,
+    fit_end_frac: float = 0.8,
+) -> float:
+    """Einstein relation: D = slope(MSD vs t)/6, least-squares over the
+    linear regime (defaults skip ballistic onset and noisy tail).
+    Returns D in nm^2/ps (multiply by 1e-2 for cm^2/s... no: 1 nm^2/ps
+    = 1e-14 cm^2 / 1e-12 s = 1e-2 cm^2/s)."""
+    t = np.asarray(lags, float) * dt_per_lag_ps
+    lo = int(len(t) * fit_start_frac)
+    hi = max(int(len(t) * fit_end_frac), lo + 2)
+    slope = np.polyfit(t[lo:hi], np.asarray(msd, float)[lo:hi], 1)[0]
+    return float(slope / 6.0)

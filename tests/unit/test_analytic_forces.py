@@ -28,6 +28,7 @@ def test_alanine_matches_autodiff(alanine_system):
     _check(system, positions)
 
 
+@pytest.mark.slow
 def test_perturbed_configurations_match(alanine_system):
     system, positions, _ = alanine_system
     rng = np.random.default_rng(0)

@@ -289,4 +289,4 @@ def test_run_segment_npt_validation(tmp_path):
                                ensemble="npt")
     with pytest.raises(ValueError, match="ensemble must be"):
         pmarlo_tpu.run_segment(pdb, n_steps=10, report_interval=10,
-                               ensemble="nve")
+                               ensemble="nvk")

@@ -44,6 +44,7 @@ def test_alanine_parity():
     _check_parity(system, jnp.asarray(x, jnp.float32))
 
 
+@pytest.mark.slow
 def test_alanine_perturbed_parity():
     system, x = build_system(alanine_dipeptide_structure())
     rng = np.random.default_rng(0)

@@ -148,6 +148,7 @@ def test_water_block_requires_canonical_order():
     assert isinstance(spec, RolledConstraintSpec)
 
 
+@pytest.mark.slow
 def test_strip_constrained_bonded():
     # OpenMM createSystem semantics: constrained X-H bonds and
     # rigid-water angles carry no bonded force terms in the MD system

@@ -59,6 +59,7 @@ def test_exclusions_and_14():
         assert np.isclose(scale_e[i, j], 1.0 / 1.2)
 
 
+@pytest.mark.slow
 def test_chignolin_builds_if_available():
     from pmarlo_tpu.data import chignolin_path
     from pmarlo_tpu.io.pdb import read_pdb

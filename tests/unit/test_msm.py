@@ -134,6 +134,7 @@ def test_lag_selector(double_well_dtrajs):
     assert len(d["evaluations"]) == 4
 
 
+@pytest.mark.slow
 def test_msm_builder(double_well_dtrajs):
     from pmarlo_tpu.msm.msm_builder import MSMBuilder
 
@@ -179,6 +180,7 @@ def test_enhanced_auto_lag(double_well_dtrajs):
         msm.build_msm("best")
 
 
+@pytest.mark.slow
 def test_state_table_bootstrap_errors(double_well_dtrajs):
     from pmarlo_tpu.msm.enhanced import EnhancedMSM
 
@@ -199,6 +201,7 @@ def test_state_table_bootstrap_errors(double_well_dtrajs):
     assert by_err[0][1] >= by_err[-1][1]
 
 
+@pytest.mark.slow
 def test_enhanced_plot_method_surface(double_well_dtrajs, tmp_path):
     """The reference Protocol's plot methods (enhanced_msm.py:74-85):
     plot_implied_rates / plot_free_energy_profile / plot_ck_test exist

@@ -68,6 +68,7 @@ def test_cell_grid_geometry():
     assert g.capacity % 8 == 0 and g.capacity >= 600 / 27
 
 
+@pytest.mark.slow
 def test_binning_roundtrip(water_system):
     system, x = water_system
     g = make_cell_grid(tuple(map(float, system.box)), system.cutoff,
@@ -119,6 +120,7 @@ def test_energy_force_parity_water(water_system):
     )
 
 
+@pytest.mark.slow
 def test_parity_at_perturbed_configuration(water_system):
     # parity away from the lattice-regular start (atoms cross cell
     # boundaries, wrap, change occupancy)
@@ -356,6 +358,7 @@ def test_skin_amortized_state_parity(water_system):
                                atol=5e-2, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_skin_state_wrap_crossing(water_system):
     # an atom drifting ACROSS the periodic boundary between rebins keeps
     # consistent coordinates (xw_ref + raw displacement, no re-wrap)

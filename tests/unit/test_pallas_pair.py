@@ -74,6 +74,7 @@ def test_radius_classes_cover_atoms(system_and_positions):
     np.testing.assert_allclose(onehot @ vals, np.round(rho, 9), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pair_kernel_without_dense_matrices():
     """The pair kernel must produce identical physics from a System
     built WITHOUT the (N, N) scale/neck matrices (dense_scales=False,

@@ -142,6 +142,7 @@ def test_grid_shape_rounding():
     assert all(k % 8 == 0 and k >= 16 for k in s)
 
 
+@pytest.mark.slow
 def test_order6_splines_partition_and_accuracy():
     """General-order B-spline weights: partition of unity, integer-point
     values via the Cox-de Boor recursion, and order-6 on the coarser

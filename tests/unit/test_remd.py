@@ -327,6 +327,7 @@ def test_run_replica_exchange_target_acceptance(tmp_path):
     assert 0.1 < float(np.mean(acc)) < 0.85, res.acceptance_matrix
 
 
+@pytest.mark.slow
 def test_run_replica_exchange_explicit_solvent(tmp_path):
     """Solvated input (CRYST1 + waters) auto-routes the one-call REMD
     facade to the explicit path: periodic force fn + rigid-water SHAKE

@@ -109,6 +109,7 @@ def test_hyperparameter_ensemble_consistency(chain_dtrajs):
     assert pooled["ci_lower"] <= pooled["mean"] <= pooled["ci_upper"]
 
 
+@pytest.mark.slow
 def test_hyperparameter_ensemble_recluster_grid(chain_dtrajs):
     """Full grid: lag x n_clusters x seed with reclustering from features
     (reference uncertainty.py:263). Rates pool into CIs and stay in the
