@@ -378,11 +378,14 @@ def bench_npt_and_nve(shared: dict) -> dict:
         )
         jax.block_until_ready(final.positions)
         t0 = time.perf_counter()
+        # continuation: pass the warm-up's barostat state so the timed
+        # run keeps the evolved box + tuned proposal width (a fresh
+        # init would pair scaled positions with the original box)
         final, bstate, frames = run_npt(
             md_system, final, n_steps=200, dt=DT_PS, friction=1.0,
             temperature_K=300.0, pressure_bar=1.0, barostat_interval=25,
             report_interval=100, force_fn=fn, constraints=spec,
-            full_system=system,
+            full_system=system, barostat_state=bstate,
         )
         jax.block_until_ready(final.positions)
         out["npt_ms_per_step"] = (time.perf_counter() - t0) / 200 * 1e3

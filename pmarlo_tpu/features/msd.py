@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,15 +70,18 @@ def mean_squared_displacement(
         x = x[:, jnp.asarray(idx, jnp.int32)]
     F = x.shape[0]
     L = int(max_lag) if max_lag is not None else F - 1
-    L = min(L, F - 1)
+    L = max(min(L, F - 1), 0)
+    if L == 0:
+        # single frame (or max_lag=0): only the trivial lag exists
+        return np.array([0]), np.array([0.0])
 
     def msd_at(lag):
         d = x[lag:] - x[: F - lag]
         # mean over origins, atoms, xyz-summed
         return jnp.mean(jnp.sum(d * d, axis=-1))
 
-    # pad windows to a fixed origin count so vmap sees static shapes:
-    # evaluate each lag separately (L is small at report resolution)
+    # each lag has a different origin count, so shapes differ per lag —
+    # a plain Python loop over the (small, report-resolution) lag range
     msd = jnp.stack([msd_at(lag) for lag in range(1, L + 1)])
     lags = np.arange(0, L + 1)
     return lags, np.concatenate([[0.0], np.asarray(msd)])

@@ -2,17 +2,21 @@
 
 The reference delegates pair-structure observables to mdtraj's C
 ``compute_rdf`` (the mdtraj dependency role catalogued in SURVEY §2b);
-here the histogram is a JAX program over the trajectory tensor: one
-vmapped min-image distance sweep per frame, bucketized into shell
-counts, normalized by the ideal-gas shell occupancy
+here the histogram is a JAX program over the trajectory tensor: a
+``lax.map`` over frames (memory stays bounded at ONE frame's (A, B)
+distance matrix, so production-size trajectories don't materialize an
+(F, A, B, 3) tensor), each frame one min-image distance sweep
+bucketized into shell counts, normalized by the ideal-gas shell
+occupancy
 
     g(r) = <n_pairs(r, r+dr)> / (N_a * rho_b * 4 pi r^2 dr)
 
-with rho_b the partner-species number density. Used by the TIP3P
-water-structure golden test (tests/unit/test_rdf.py): the O-O first
-peak at ~0.28 nm with height ~2.5-3 is a literature-anchored check
-that the explicit-solvent engine samples real liquid water, not just
-finite trajectories.
+with rho_b the partner-species number density seen by an a-atom
+(atoms shared between the two selections are excluded as self-pairs
+and discounted from rho_b). Used by the TIP3P water-structure golden
+test (tests/unit/test_rdf.py): the O-O first peak at ~0.28 nm with
+height ~2.5-3 is a literature-anchored check that the explicit-solvent
+engine samples real liquid water, not just finite trajectories.
 """
 
 from __future__ import annotations
@@ -37,7 +41,11 @@ def radial_distribution(
 
     positions: (F, N, 3) trajectory; box: (3,) orthorhombic edges (the
     explicit-solvent convention everywhere in md/); r_max should stay
-    <= min(box)/2 so min-image distances are unambiguous.
+    <= min(box)/2 so min-image distances are unambiguous. Passing
+    overlapping selections (including ``idx_b`` equal to ``idx_a`` by
+    value) is handled: identical-atom pairs are excluded and the
+    partner density is discounted accordingly, so ``rdf(x, box, o)``
+    and ``rdf(x, box, o, o)`` agree.
 
     Returns (r_centers (n_bins,), g (n_bins,)) as numpy arrays.
     """
@@ -50,35 +58,41 @@ def radial_distribution(
             f"r_max {r_max} exceeds half the smallest box edge "
             f"{float(jnp.min(box_arr)) / 2:.4f} — min-image ambiguous"
         )
-    idx_a = jnp.asarray(idx_a, jnp.int32)
-    same = idx_b is None
-    idx_b_arr = idx_a if same else jnp.asarray(idx_b, jnp.int32)
+    ia = np.asarray(idx_a, np.int32)
+    ib = ia if idx_b is None else np.asarray(idx_b, np.int32)
+    # identical-ATOM pairs (shared indices) are self-pairs, not structure
+    self_mask_np = ia[:, None] == ib[None, :]
+    n_overlap = int(self_mask_np.sum())
 
-    edges = jnp.linspace(0.0, r_max, n_bins + 1)
+    idx_a_arr = jnp.asarray(ia)
+    idx_b_arr = jnp.asarray(ib)
+    self_mask = jnp.asarray(self_mask_np)
+
     dr = float(r_max) / n_bins
 
     def frame_hist(x):
-        xa = x[idx_a]                       # (A, 3)
+        xa = x[idx_a_arr]                   # (A, 3)
         xb = x[idx_b_arr]                   # (B, 3)
         d = xa[:, None, :] - xb[None, :, :]
         d = d - box_arr * jnp.round(d / box_arr)
         r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
-        if same:
-            # self-pairs land in bin 0's r ~ 0 corner; drop via identity mask
-            eye = jnp.eye(idx_a.shape[0], dtype=bool)
-            r = jnp.where(eye, 2.0 * r_max, r)
+        r = jnp.where(self_mask, 2.0 * r_max, r)
         bins = jnp.clip((r / dr).astype(jnp.int32), 0, n_bins)
         # bin n_bins collects everything past r_max and is discarded
         return jnp.zeros(n_bins + 1).at[bins.ravel()].add(1.0)[:n_bins]
 
-    hist = jnp.sum(jax.vmap(frame_hist)(positions), axis=0)
+    # lax.map: one frame's (A, B) matrix resident at a time
+    hist = jnp.sum(jax.lax.map(frame_hist, positions), axis=0)
 
     F = positions.shape[0]
-    n_a = idx_a.shape[0]
-    n_b = idx_b_arr.shape[0]
+    n_a = len(ia)
+    n_b = len(ib)
     vol = jnp.prod(box_arr)
-    rho_b = (n_b - (1 if same else 0)) / vol  # partner density seen by an a-atom
-    centers = np.asarray(0.5 * (edges[:-1] + edges[1:]))
+    # partner density seen by an average a-atom: excluded self-partners
+    # (n_overlap spread over the A selection) don't count
+    rho_b = (n_b - n_overlap / max(n_a, 1)) / vol
+    edges = np.linspace(0.0, r_max, n_bins + 1)
+    centers = 0.5 * (edges[:-1] + edges[1:])
     shell = 4.0 * np.pi * centers**2 * dr
     ideal = F * n_a * np.asarray(rho_b) * shell
     g = np.asarray(hist) / np.maximum(ideal, 1e-30)
@@ -91,6 +105,7 @@ def coordination_number(
     """Running coordination number n(r_cut) = rho * int_0^rcut g 4 pi r^2 dr
     (trapezoid). For TIP3P O-O with r_cut at the first minimum (~0.35 nm)
     this is ~4.5-5 (tetrahedral-ish water)."""
-    m = r <= r_cut
-    integrand = 4.0 * np.pi * r[m] ** 2 * g[m]
-    return float(rho * np.trapezoid(integrand, r[m]))
+    m = np.asarray(r) <= r_cut
+    integrand = 4.0 * np.pi * np.asarray(r)[m] ** 2 * np.asarray(g)[m]
+    trapz = getattr(np, "trapezoid", np.trapz)  # numpy<2 fallback
+    return float(rho * trapz(integrand, np.asarray(r)[m]))

@@ -202,8 +202,15 @@ def run_npt(
     constraints=None,
     full_system: Optional[System] = None,
     seed: int = 0,
+    barostat_state: Optional[BarostatState] = None,
 ) -> Tuple[MDState, BarostatState, dict]:
     """NPT MD: Langevin (NVT) chunks punctuated by MC volume moves.
+
+    ``barostat_state``: pass the BarostatState returned by a previous
+    ``run_npt`` call to CONTINUE a run — keeps the evolved box, the
+    self-tuned proposal width, and the move PRNG stream. Without it the
+    barostat re-initializes from ``system.box``, which is wrong for
+    positions that already equilibrated to a different volume.
 
     ``force_fn`` must be a cell force fn (md/pallas_cells.py
     build_cell_force_fn) — its ``dynamic``/``init_state_dynamic``/
@@ -315,8 +322,9 @@ def run_npt(
 
         _RUN_NPT_CACHE[cache_key] = scan_fn
 
-    bstate = init_barostat(system.box, jax.random.PRNGKey(seed))
-    final, bstate, frames = _RUN_NPT_CACHE[cache_key](state, bstate)
+    if barostat_state is None:
+        barostat_state = init_barostat(system.box, jax.random.PRNGKey(seed))
+    final, bstate, frames = _RUN_NPT_CACHE[cache_key](state, barostat_state)
     return final, bstate, frames
 
 

@@ -269,14 +269,33 @@ def run_md(
             return (new_state, temp, fstate), energy
 
         def outer(carry, _):
-            (new_state, temp, fstate), energies = jax.lax.scan(
+            (new_state, temp, fstate), _energies = jax.lax.scan(
                 inner, carry, None, length=report_interval
             )
+            # evaluate PE at the REPORTED positions: the in-step energy
+            # (_energies[-1]) is computed at the kick, one position
+            # update behind, which would pair PE(x_{n-1}) with KE(v_n)
+            # and pollute per-frame total-energy traces (NVE guardrail)
+            if stateful:
+                e_now, f_now, fstate = step_force(new_state.positions,
+                                                  fstate)
+            else:
+                e_now, f_now = step_force(new_state.positions)
+            # the folded-leapfrog state velocity lacks the trailing
+            # half-kick (langevin_step docstring); shift it so the frame
+            # is a synchronized (x_n, v_n) phase point — OpenMM reports
+            # kinetic quantities from shifted velocities the same way
+            v_sync = (new_state.velocities
+                      + 0.5 * dt * f_now / system.masses[:, None])
+            if constraints is not None:
+                from .constraints import rattle
+
+                v_sync = rattle(constraints, v_sync, new_state.positions)
             frame = {
                 "positions": new_state.positions,
-                "potential_energy": energies[-1],
+                "potential_energy": e_now,
                 "temperature": instantaneous_temperature(
-                    system, new_state.velocities, n_con
+                    system, v_sync, n_con
                 ),
             }
             return (new_state, temp, fstate), frame

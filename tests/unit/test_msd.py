@@ -84,3 +84,11 @@ def test_tip3p_self_diffusion_matches_model():
     d_nm2_ps = diffusion_coefficient(lags, msd, dt_per_lag_ps=0.1)
     d_cm2_s = d_nm2_ps * 1e-2
     assert 2.5e-5 < d_cm2_s < 13e-5, f"TIP3P D = {d_cm2_s:.2e} cm^2/s"
+
+
+def test_single_frame_returns_trivial_lag():
+    lags, msd = mean_squared_displacement(np.zeros((1, 5, 3), np.float32))
+    assert list(lags) == [0] and list(msd) == [0.0]
+    lags, msd = mean_squared_displacement(
+        np.zeros((10, 5, 3), np.float32), max_lag=0)
+    assert list(lags) == [0] and list(msd) == [0.0]

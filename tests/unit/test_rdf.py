@@ -93,3 +93,15 @@ def test_tip3p_oo_rdf_matches_literature():
     assert abs(float(tail.mean()) - 1.0) < 0.25, tail.mean()
     n_coord = coordination_number(r, g, rho=n_side**3 / L**3, r_cut=0.35)
     assert 3.5 < n_coord < 6.5, f"coordination {n_coord:.2f}"
+
+
+def test_overlapping_selections_match_default():
+    """idx_b equal to idx_a by value must agree with the idx_b=None
+    spelling: self-pairs excluded, partner density discounted."""
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 2.0, size=(6, 80, 3)).astype(np.float32)
+    ia = np.arange(80)
+    r1, g1 = radial_distribution(x, (2.0, 2.0, 2.0), ia, r_max=0.9, n_bins=18)
+    r2, g2 = radial_distribution(x, (2.0, 2.0, 2.0), ia, ia,
+                                 r_max=0.9, n_bins=18)
+    np.testing.assert_allclose(g1, g2, rtol=1e-6)
