@@ -393,3 +393,27 @@ def test_run_md_threads_neighbor_state(water_system):
     )
     assert np.isfinite(np.asarray(frames["potential_energy"])).all()
     assert np.isfinite(np.asarray(final.positions)).all()
+
+
+@pytest.mark.slow
+def test_spatial_decomposition_pme_parity():
+    """Mesh-sharded cell kernel in PME mode: the erfc real-space sweep
+    shards by x-slab while the reciprocal mesh stays replicated —
+    energy/forces must match the unsharded PME run."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (conftest sets XLA_FLAGS)")
+    s, _ = _water_box(11, spacing=0.33)
+    system, x = build_system(s, box=(3.73, 3.73, 3.73), cutoff=0.45,
+                             hydrogen_mass=None)
+    x = jnp.asarray(x, jnp.float32)
+    fn = build_cell_force_fn(system, interpret=True, electrostatics="pme")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("cells",))
+    fn_sh = build_cell_force_fn(system, interpret=True,
+                                electrostatics="pme", mesh=mesh)
+    e0, f0 = fn(x)
+    e1, f1 = fn_sh(x)
+    assert abs(float(e0) - float(e1)) < 0.05
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=0.05)
