@@ -47,9 +47,19 @@ def run_segment(
     ensemble: str = "nvt",
     pressure_bar: float = 1.0,
     barostat_interval: int = 25,
+    initial_state=None,
+    initial_box=None,
 ) -> Dict:
     """Run one Langevin segment. Returns a dict with device-resident
     trajectory arrays and summary scalars.
+
+    ``initial_state`` (the ``final_state`` of a previous result)
+    CONTINUES a run: minimize + thermalize are skipped and dynamics
+    resume from the given positions/velocities/PRNG key — the OpenMM
+    checkpoint-resume role, one segment chaining into the next. For
+    NPT continuation also pass ``initial_box`` (the previous result's
+    ``final_box``) so the kernel grid is rebuilt at the evolved box
+    instead of the PDB's CRYST1 record.
 
     Reference behavior mirrored: minimize -> set velocities to T ->
     step(n_steps) with frames every ``report_interval``
@@ -102,8 +112,9 @@ def run_segment(
     if explicit:
         from .constraints import build_h_constraints
 
+        box = tuple(initial_box) if initial_box is not None else structure.box
         system, positions = build_system(
-            structure, box=structure.box, cutoff=cutoff
+            structure, box=box, cutoff=cutoff
         )
         interpret = jax.default_backend() != "tpu"
         if nonbonded == "auto":
@@ -168,11 +179,15 @@ def run_segment(
         key = jax.random.PRNGKey(seed)
         # minimize through the same tiled periodic kernel MD uses — the
         # dense XLA energy would cap solvated size by minimizer memory
-        x_min, e_min = minimize_energy(
-            system, positions, max_iterations=minimize_iterations,
-            bias_fn=bias_fn, force_fn=base_fn,
-        )
-        state = thermalize(system, x_min, key, temperature_K)
+        if initial_state is not None:
+            state = _check_resume_state(initial_state, system)
+            e_min = float("nan")
+        else:
+            x_min, e_min = minimize_energy(
+                system, positions, max_iterations=minimize_iterations,
+                bias_fn=bias_fn, force_fn=base_fn,
+            )
+            state = thermalize(system, x_min, key, temperature_K)
         if ensemble == "npt":
             if nonbonded == "dense":
                 raise ValueError(
@@ -257,10 +272,15 @@ def run_segment(
     else:
         raise ValueError(f"force_path must be auto|dense|pair_kernel, got {force_path!r}")
 
-    x_min, e_min = minimize_energy(
-        system, positions, max_iterations=minimize_iterations, bias_fn=bias_fn
-    )
-    state = thermalize(system, x_min, key, temperature_K)
+    if initial_state is not None:
+        state = _check_resume_state(initial_state, system)
+        e_min = float("nan")
+    else:
+        x_min, e_min = minimize_energy(
+            system, positions, max_iterations=minimize_iterations,
+            bias_fn=bias_fn
+        )
+        state = thermalize(system, x_min, key, temperature_K)
 
     final_state, frames = run_md(
         system,
@@ -281,6 +301,18 @@ def run_segment(
     if ensemble == "nve":
         _attach_total_energy(result, system, 0)
     return result
+
+
+def _check_resume_state(initial_state, system):
+    """Shape-validate a resume MDState against the built system."""
+    shp = tuple(initial_state.positions.shape)
+    if shp != (system.n_atoms, 3):
+        raise ValueError(
+            f"initial_state has positions {shp}, but this structure "
+            f"builds a {system.n_atoms}-atom system — resume states must "
+            "come from a previous run_segment on the same input"
+        )
+    return initial_state
 
 
 def _attach_total_energy(result, system, n_con: int) -> None:

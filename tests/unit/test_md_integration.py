@@ -101,3 +101,38 @@ def test_run_segment_rejects_unknown_ensemble(tmp_path):
     with pytest.raises(ValueError, match="ensemble"):
         run_segment(_ala_pdb(tmp_path), n_steps=100, report_interval=100,
                     ensemble="nvk")
+
+
+def test_run_segment_resume_from_final_state(tmp_path):
+    """initial_state= continues dynamics: no re-minimize/re-thermalize,
+    and the chained run picks up exactly where the first ended."""
+    from pmarlo_tpu.md.simulation import run_segment
+
+    pdb = _ala_pdb(tmp_path)
+    first = run_segment(pdb, n_steps=200, report_interval=100,
+                        dt_ps=0.001, seed=5)
+    resumed = run_segment(pdb, n_steps=200, report_interval=100,
+                          dt_ps=0.001, seed=5,
+                          initial_state=first["final_state"])
+    assert np.isnan(resumed["minimized_energy"])
+    assert np.isfinite(np.asarray(resumed["positions"])).all()
+    # continuity: the resumed start equals the first run's end, so one
+    # chained 400-step run from the same state reproduces it exactly
+    chained = run_segment(pdb, n_steps=400, report_interval=100,
+                          dt_ps=0.001, seed=5,
+                          initial_state=first["final_state"])
+    np.testing.assert_allclose(
+        np.asarray(resumed["positions"][-1]),
+        np.asarray(chained["positions"][1]), atol=1e-6)
+
+
+def test_run_segment_resume_rejects_wrong_system(tmp_path):
+    from pmarlo_tpu.md.integrate import MDState
+    from pmarlo_tpu.md.simulation import run_segment
+
+    import jax.numpy as jnp
+    bad = MDState(positions=jnp.zeros((7, 3)), velocities=jnp.zeros((7, 3)),
+                  key=jax.random.PRNGKey(0), step=jnp.asarray(0))
+    with pytest.raises(ValueError, match="resume states"):
+        run_segment(_ala_pdb(tmp_path), n_steps=100, report_interval=100,
+                    initial_state=bad)
