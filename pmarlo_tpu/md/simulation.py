@@ -36,7 +36,7 @@ def run_segment(
     friction_per_ps: float = DEFAULT_FRICTION_PER_PS,
     report_interval: int = 100,
     minimize_iterations: int = 500,
-    seed: int = 2024,
+    seed: Optional[int] = None,
     output_file: Optional["str | Path"] = None,
     bias_fn: Optional[Callable] = None,
     implicit_solvent: bool = True,
@@ -49,6 +49,7 @@ def run_segment(
     barostat_interval: int = 25,
     initial_state=None,
     initial_box=None,
+    initial_barostat_state=None,
 ) -> Dict:
     """Run one Langevin segment. Returns a dict with device-resident
     trajectory arrays and summary scalars.
@@ -56,10 +57,19 @@ def run_segment(
     ``initial_state`` (the ``final_state`` of a previous result)
     CONTINUES a run: minimize + thermalize are skipped and dynamics
     resume from the given positions/velocities/PRNG key — the OpenMM
-    checkpoint-resume role, one segment chaining into the next. For
-    NPT continuation also pass ``initial_box`` (the previous result's
-    ``final_box``) so the kernel grid is rebuilt at the evolved box
-    instead of the PDB's CRYST1 record.
+    checkpoint-resume role, one segment chaining into the next. With
+    ``seed=None`` (the default) the PRNG stream continues untouched, so
+    a 200+200-step chain reproduces one 400-step run exactly; passing a
+    seed on resume FOLDS it into the checkpoint key
+    (``jax.random.fold_in``) — N walkers branched from one checkpoint
+    with different seeds decorrelate instead of replaying the same
+    noise. For NPT continuation pass ``initial_barostat_state`` (the
+    previous result's ``final_barostat_state``) — it carries the
+    evolved box, the self-tuned proposal width, and the barostat PRNG
+    stream — or at minimum ``initial_box`` (the previous
+    ``final_box``); resuming NPT with neither is an error, because the
+    kernel grid would silently rebuild at the PDB's CRYST1 box while
+    the positions are equilibrated to a different volume.
 
     Reference behavior mirrored: minimize -> set velocities to T ->
     step(n_steps) with frames every ``report_interval``
@@ -112,7 +122,18 @@ def run_segment(
     if explicit:
         from .constraints import build_h_constraints
 
-        box = tuple(initial_box) if initial_box is not None else structure.box
+        if initial_barostat_state is not None:
+            box = tuple(float(b) for b in np.asarray(initial_barostat_state.box))
+        elif initial_box is not None:
+            box = tuple(initial_box)
+        else:
+            if ensemble == "npt" and initial_state is not None:
+                raise ValueError(
+                    "resuming ensemble='npt' needs initial_barostat_state "
+                    "(or at least initial_box): the box evolved away from "
+                    "the PDB's CRYST1 record during the previous segment"
+                )
+            box = structure.box
         system, positions = build_system(
             structure, box=box, cutoff=cutoff
         )
@@ -133,11 +154,8 @@ def run_segment(
         if nonbonded == "dense":
             from .pallas_periodic import build_periodic_force_fn
 
-            base_fn = build_periodic_force_fn(system, interpret=interpret)
-            md_base_fn = (
-                build_periodic_force_fn(md_system, interpret=interpret)
-                if md_system is not system else base_fn
-            )
+            def _build(sys_):
+                return build_periodic_force_fn(sys_, interpret=interpret)
         elif nonbonded in ("cells", "pme"):
             from .pallas_cells import build_cell_force_fn
 
@@ -146,21 +164,24 @@ def run_segment(
             # default): its 1/V dependence sets the equilibrium density
             # (~0.98 vs 0.968 g/cm^3 measured on a 27k TIP3P box)
             disp = ensemble == "npt"
-            base_fn = build_cell_force_fn(
-                system, interpret=interpret, electrostatics=elec,
-                dispersion_correction=disp,
-            )
-            md_base_fn = (
-                build_cell_force_fn(
-                    md_system, interpret=interpret, electrostatics=elec,
+
+            def _build(sys_):
+                return build_cell_force_fn(
+                    sys_, interpret=interpret, electrostatics=elec,
                     dispersion_correction=disp,
                 )
-                if md_system is not system else base_fn
-            )
         else:
             raise ValueError(
                 f"nonbonded must be auto|dense|cells|pme, got {nonbonded!r}"
             )
+        md_base_fn = _build(md_system)
+        # the FULL-system force fn (stiff X-H bonds kept) is only ever
+        # consumed by the minimizer — skip its grid/exclusion setup and
+        # device arrays entirely on resume, where minimize is skipped
+        base_fn = None
+        if initial_state is None:
+            base_fn = (md_base_fn if md_system is system
+                       else _build(system))
         if bias_fn is not None:
             def _force_fn(x, _f=md_base_fn):
                 e, f = _f(x)
@@ -176,13 +197,13 @@ def run_segment(
                 _force_fn.apply = _apply
         else:
             _force_fn = md_base_fn
-        key = jax.random.PRNGKey(seed)
         # minimize through the same tiled periodic kernel MD uses — the
         # dense XLA energy would cap solvated size by minimizer memory
         if initial_state is not None:
-            state = _check_resume_state(initial_state, system)
+            state = _check_resume_state(initial_state, system, seed)
             e_min = float("nan")
         else:
+            key = jax.random.PRNGKey(2024 if seed is None else seed)
             x_min, e_min = minimize_energy(
                 system, positions, max_iterations=minimize_iterations,
                 bias_fn=bias_fn, force_fn=base_fn,
@@ -206,7 +227,9 @@ def run_segment(
                 pressure_bar=pressure_bar,
                 barostat_interval=barostat_interval,
                 report_interval=report_interval, force_fn=md_base_fn,
-                constraints=constraints, full_system=system, seed=seed,
+                constraints=constraints, full_system=system,
+                seed=2024 if seed is None else seed,
+                barostat_state=initial_barostat_state,
             )
             result = _package_result(
                 system, final_state, frames, e_min, n_steps, dt_ps,
@@ -217,6 +240,8 @@ def run_segment(
             result["barostat_acceptance"] = float(
                 bstate.n_accepted) / max(float(bstate.n_attempted), 1.0)
             result["final_box"] = np.asarray(bstate.box)
+            # continuation handle: box + tuned proposal width + move PRNG
+            result["final_barostat_state"] = bstate
             return result
         final_state, frames = run_md(
             system, state, n_steps=n_steps, dt=dt_ps,
@@ -245,7 +270,6 @@ def run_segment(
     system, positions = build_system(
         structure, implicit_solvent=implicit_solvent, gb_model=gb_model
     )
-    key = jax.random.PRNGKey(seed)
 
     if force_path == "auto":
         force_path = (
@@ -273,9 +297,10 @@ def run_segment(
         raise ValueError(f"force_path must be auto|dense|pair_kernel, got {force_path!r}")
 
     if initial_state is not None:
-        state = _check_resume_state(initial_state, system)
+        state = _check_resume_state(initial_state, system, seed)
         e_min = float("nan")
     else:
+        key = jax.random.PRNGKey(2024 if seed is None else seed)
         x_min, e_min = minimize_energy(
             system, positions, max_iterations=minimize_iterations,
             bias_fn=bias_fn
@@ -303,16 +328,35 @@ def run_segment(
     return result
 
 
-def _check_resume_state(initial_state, system):
-    """Shape-validate a resume MDState against the built system."""
-    shp = tuple(initial_state.positions.shape)
-    if shp != (system.n_atoms, 3):
+def _check_resume_state(initial_state, system, seed):
+    """Validate a resume MDState against the built system; fold an
+    explicit ``seed`` into the checkpoint's PRNG key (branching N
+    walkers from one checkpoint with different seeds must decorrelate,
+    not replay the same noise stream)."""
+    from .integrate import MDState
+
+    if not isinstance(initial_state, MDState):
         raise ValueError(
-            f"initial_state has positions {shp}, but this structure "
-            f"builds a {system.n_atoms}-atom system — resume states must "
-            "come from a previous run_segment on the same input"
+            f"initial_state must be an MDState (a previous result's "
+            f"['final_state'] entry, not the result dict itself); got "
+            f"{type(initial_state).__name__}"
         )
-    return initial_state
+    shp = tuple(initial_state.positions.shape)
+    vshp = tuple(initial_state.velocities.shape)
+    if shp != (system.n_atoms, 3) or vshp != shp:
+        raise ValueError(
+            f"initial_state has positions {shp} / velocities {vshp}, but "
+            f"this structure builds a {system.n_atoms}-atom system — "
+            "resume states must come from a previous run_segment on the "
+            "same input"
+        )
+    if seed is None:
+        return initial_state
+    import dataclasses
+
+    return dataclasses.replace(
+        initial_state, key=jax.random.fold_in(initial_state.key, seed)
+    )
 
 
 def _attach_total_energy(result, system, n_con: int) -> None:

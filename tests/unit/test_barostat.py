@@ -270,6 +270,50 @@ def test_dispersion_energy_scales_inverse_volume(water_system_barostat):
     np.testing.assert_allclose(f1, f0, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_run_segment_npt_resume_continues_barostat(tmp_path):
+    """NPT chaining: resuming without box info is an error (the kernel
+    grid would rebuild at the CRYST1 box while positions are at the
+    evolved volume); passing final_barostat_state continues the box,
+    the tuned proposal width, and the move PRNG stream."""
+    import pmarlo_tpu
+    from pmarlo_tpu.io.pdb import write_pdb
+
+    s, box = _water_box(5)
+    pdb = str(tmp_path / "wat.pdb")
+    write_pdb(pdb, s.coordinates(),
+              [a.name for r in s.residues for a in r.atoms],
+              [a.resname for r in s.residues for a in r.atoms],
+              [a.resid for r in s.residues for a in r.atoms],
+              box=box)
+    first = pmarlo_tpu.run_segment(
+        pdb, n_steps=20, report_interval=10, ensemble="npt",
+        nonbonded="cells", cutoff=0.45, barostat_interval=5,
+        minimize_iterations=20, seed=3,
+    )
+    assert "final_barostat_state" in first
+    with pytest.raises(ValueError, match="initial_barostat_state"):
+        pmarlo_tpu.run_segment(
+            pdb, n_steps=20, report_interval=10, ensemble="npt",
+            nonbonded="cells", cutoff=0.45, barostat_interval=5,
+            initial_state=first["final_state"],
+        )
+    second = pmarlo_tpu.run_segment(
+        pdb, n_steps=20, report_interval=10, ensemble="npt",
+        nonbonded="cells", cutoff=0.45, barostat_interval=5,
+        initial_state=first["final_state"],
+        initial_barostat_state=first["final_barostat_state"],
+    )
+    assert np.isfinite(np.asarray(second["positions"])).all()
+    # the second segment starts from the first's evolved box, not CRYST1
+    np.testing.assert_allclose(np.asarray(second["box"])[0],
+                               first["final_box"], rtol=0.02)
+    # and its barostat state kept counting from the continued stream
+    bs = second["final_barostat_state"]
+    assert int(bs.n_attempted) == int(
+        first["final_barostat_state"].n_attempted) + 4
+
+
 def test_run_segment_npt_validation(tmp_path):
     """NPT demands an explicit periodic input and a cell engine."""
     import tempfile

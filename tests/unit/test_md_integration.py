@@ -112,18 +112,52 @@ def test_run_segment_resume_from_final_state(tmp_path):
     first = run_segment(pdb, n_steps=200, report_interval=100,
                         dt_ps=0.001, seed=5)
     resumed = run_segment(pdb, n_steps=200, report_interval=100,
-                          dt_ps=0.001, seed=5,
+                          dt_ps=0.001,
                           initial_state=first["final_state"])
     assert np.isnan(resumed["minimized_energy"])
     assert np.isfinite(np.asarray(resumed["positions"])).all()
     # continuity: the resumed start equals the first run's end, so one
     # chained 400-step run from the same state reproduces it exactly
+    # (seed=None on resume = pure continuation of the PRNG stream)
     chained = run_segment(pdb, n_steps=400, report_interval=100,
-                          dt_ps=0.001, seed=5,
+                          dt_ps=0.001,
                           initial_state=first["final_state"])
     np.testing.assert_allclose(
         np.asarray(resumed["positions"][-1]),
         np.asarray(chained["positions"][1]), atol=1e-6)
+
+
+def test_resume_branching_seeds_decorrelate(tmp_path):
+    """N walkers branched from one checkpoint with different seeds must
+    draw DIFFERENT noise (seed folds into the checkpoint key); the same
+    seed reproduces the same branch."""
+    from pmarlo_tpu.md.simulation import run_segment
+
+    pdb = _ala_pdb(tmp_path)
+    ckpt = run_segment(pdb, n_steps=100, report_interval=100,
+                       dt_ps=0.001, seed=5)["final_state"]
+    w1 = run_segment(pdb, n_steps=100, report_interval=100, dt_ps=0.001,
+                     seed=1, initial_state=ckpt)
+    w2 = run_segment(pdb, n_steps=100, report_interval=100, dt_ps=0.001,
+                     seed=2, initial_state=ckpt)
+    w1b = run_segment(pdb, n_steps=100, report_interval=100, dt_ps=0.001,
+                      seed=1, initial_state=ckpt)
+    assert not np.allclose(np.asarray(w1["positions"][-1]),
+                           np.asarray(w2["positions"][-1]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w1["positions"][-1]),
+                               np.asarray(w1b["positions"][-1]), atol=0.0)
+
+
+def test_resume_rejects_result_dict(tmp_path):
+    """Passing the whole result dict (instead of ['final_state']) must
+    raise the explanatory error, not an AttributeError in jitted code."""
+    from pmarlo_tpu.md.simulation import run_segment
+
+    pdb = _ala_pdb(tmp_path)
+    first = run_segment(pdb, n_steps=100, report_interval=100, dt_ps=0.001)
+    with pytest.raises(ValueError, match="MDState"):
+        run_segment(pdb, n_steps=100, report_interval=100,
+                    initial_state=first)
 
 
 def test_run_segment_resume_rejects_wrong_system(tmp_path):
