@@ -558,6 +558,13 @@ def main() -> None:
             n * n * _PAIR_FLOPS / (explicit["explicit_ms_per_step"] * 1e-3)
             / 1e12
         )
+    if "steps_per_second" in remd:
+        # fused-REMD kernel: R replicas x 3 GBn2 sweeps over dense (N, N)
+        # alanine pair blocks per step (swap-attempt work is negligible)
+        n_ala = 22
+        remd["remd_tflops_achieved"] = (
+            remd["steps_per_second"] * 3 * n_ala * n_ala * _PAIR_FLOPS / 1e12
+        )
 
     out = {
         "metric": "REMD aggregate ns/day (alanine, 32 replicas, 2 fs)",

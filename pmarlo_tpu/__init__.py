@@ -25,6 +25,8 @@ _EXPORTS = {
     "load_defaults": ("pmarlo_tpu.settings", "load_defaults"),
     "set_global_seed": ("pmarlo_tpu.utils.seed", "set_global_seed"),
     "constants": ("pmarlo_tpu.constants", None),
+    "api": ("pmarlo_tpu.api", None),
+    "visualization": ("pmarlo_tpu.visualization", None),
     # structure prep
     "Protein": ("pmarlo_tpu.protein.protein", "Protein"),
     "solvate_structure": ("pmarlo_tpu.protein.solvate", "solvate_structure"),
@@ -74,6 +76,10 @@ _EXPORTS = {
     "run_complete_msm_analysis": ("pmarlo_tpu.msm.enhanced", "run_complete_msm_analysis"),
     "generate_2d_fes": ("pmarlo_tpu.msm.free_energy", "generate_2d_fes"),
     "generate_1d_pmf": ("pmarlo_tpu.msm.free_energy", "generate_1d_pmf"),
+    "FESResult": ("pmarlo_tpu.msm.free_energy", "FESResult"),
+    "PMFResult": ("pmarlo_tpu.msm.free_energy", "PMFResult"),
+    "candidate_lag_ladder": ("pmarlo_tpu.utils.msm_utils",
+                             "candidate_lag_ladder"),
     # shards
     "write_shard": ("pmarlo_tpu.io.shards", "write_shard"),
     "read_shard": ("pmarlo_tpu.io.shards", "read_shard"),

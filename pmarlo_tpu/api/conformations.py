@@ -32,4 +32,23 @@ def conformations_to_json(cs: ConformationSet, path: "str | Path") -> Path:
     return write_json(path, cs.to_dict())
 
 
-__all__ = ["conformations_to_csv", "conformations_to_json"]
+def sanitize_label_for_filename(name: str) -> str:
+    """Filesystem-safe conformation label (reference:
+    src/pmarlo/api/conformations.py:116)."""
+    return name.replace(":", "-").replace(" ", "_")
+
+
+def _find_conformations_from_msm(*args, **kwargs):
+    """Reference-named alias for conformations.finder.find_conformations
+    (reference: src/pmarlo/api/conformations.py:33)."""
+    from ..conformations.finder import find_conformations
+
+    return find_conformations(*args, **kwargs)
+
+
+find_conformations_from_msm = _find_conformations_from_msm
+
+__all__ = [
+    "conformations_to_csv", "conformations_to_json",
+    "sanitize_label_for_filename", "find_conformations_from_msm",
+]

@@ -103,9 +103,32 @@ def generate_fes_and_pick_minima(
     return fes, picks
 
 
+def generate_free_energy_surface(
+    cv1: np.ndarray,
+    cv2: np.ndarray,
+    bins: "int | Tuple[int, int] | None" = None,
+    temperature: float = 300.0,
+    periodic: Tuple[bool, bool] = (False, False),
+    *,
+    weights: Optional[np.ndarray] = None,
+    smoothing_mode: str = "auto",
+    cv_names: Tuple[str, str] = ("CV1", "CV2"),
+) -> FESResult:
+    """Standalone 2D FES entry point with the reference's api-level
+    argument names (reference: src/pmarlo/api/fes.py:119
+    generate_free_energy_surface); delegates to
+    msm.free_energy.generate_2d_fes (adaptive grid + uncertainty-gated
+    smoothing)."""
+    return generate_2d_fes(
+        cv1, cv2, temperature_K=temperature, bins=bins, weights=weights,
+        periodic=periodic, smoothing_mode=smoothing_mode, cv_names=cv_names,
+    )
+
+
 __all__ = [
     "select_fes_pair",
     "find_local_minima_2d",
     "pick_frames_around_minima",
     "generate_fes_and_pick_minima",
+    "generate_free_energy_surface",
 ]
