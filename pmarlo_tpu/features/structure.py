@@ -33,6 +33,25 @@ _VDW_RADII = {"H": 0.120, "C": 0.170, "N": 0.155, "O": 0.152, "S": 0.180}
 _PROBE_RADIUS = 0.14  # nm (water)
 
 
+def _as_frames(traj) -> jax.Array:
+    """Promote (N, 3) -> (1, N, 3). NOT jnp.atleast_3d, which appends the
+    new axis ((N, 3) -> (N, 3, 1)) and would make the frame vmap iterate
+    over atoms, silently clamping every index lookup out of bounds."""
+    traj = jnp.asarray(traj)
+    if traj.ndim == 2:
+        return traj[None]
+    if traj.ndim != 3:
+        raise ValueError(f"trajectory must be (T, N, 3) or (N, 3); got {traj.shape}")
+    return traj
+
+
+def _element_of(name: str, fallback: str = "C") -> str:
+    """Element guess from a PDB atom name (single shared heuristic —
+    SASA radii lookup and H-bond donor/acceptor typing must agree)."""
+    stripped = name.lstrip("0123456789")
+    return (stripped[:1] or fallback).upper()
+
+
 def _golden_spiral_points(n: int) -> np.ndarray:
     """n approximately-uniform points on the unit sphere."""
     idx = np.arange(n) + 0.5
@@ -74,7 +93,7 @@ def shrake_rupley_sasa(
         frac = 1.0 - jnp.mean(buried.astype(jnp.float32), axis=-1)
         return 4.0 * jnp.pi * radii**2 * frac
 
-    return jax.vmap(one_frame)(jnp.atleast_3d(traj))
+    return jax.vmap(one_frame)(_as_frames(traj))
 
 
 def hydrogen_bonds(
@@ -118,7 +137,7 @@ def hydrogen_bonds(
         hit = (dist < distance_cutoff_nm) & (cos_angle < cos_cut) & ~same
         return jnp.sum(hit.astype(jnp.float32))
 
-    return jax.vmap(one_frame)(jnp.atleast_3d(traj))
+    return jax.vmap(one_frame)(_as_frames(traj))
 
 
 def find_donors_acceptors(
@@ -139,7 +158,18 @@ def find_donors_acceptors(
         heavy = neighbors.get(i, [None])[0]
         if heavy is not None and elements[heavy] in ("N", "O", "S"):
             donors.append((heavy, i))
-    acceptors = [i for i, el in enumerate(elements) if el == "O"]
+    acceptors = []
+    for i, el in enumerate(elements):
+        if el == "O":
+            acceptors.append(i)
+        elif el == "N":
+            # lone-pair nitrogens: no bonded hydrogen and at most two
+            # heavy neighbors (His ND1/NE2 in their unprotonated
+            # tautomer); amide/ammonium N (backbone, LYS NZ, ARG NH*)
+            # carry H or a delocalized lone pair and do not accept
+            nbrs = neighbors.get(i, [])
+            if len(nbrs) <= 2 and not any(elements[j] == "H" for j in nbrs):
+                acceptors.append(i)
     return (
         np.asarray(donors, dtype=np.int32).reshape(-1, 2),
         np.asarray(acceptors, dtype=np.int32),
@@ -209,13 +239,14 @@ def _backbone_indices(
             atoms[name] = i
     bb = np.full((len(groups), 4), -1, np.int64)
     hh = np.full(len(groups), -1, np.int64)
-    resnames = []
-    for r, (_rid, rn, atoms) in enumerate(groups):
+    resnames, rids = [], []
+    for r, (rid, rn, atoms) in enumerate(groups):
         for c, name in enumerate(("N", "CA", "C", "O")):
             bb[r, c] = atoms.get(name, -1)
         hh[r] = atoms.get("H", atoms.get("HN", -1))
         resnames.append(rn)
-    return bb, hh, np.asarray(resnames)
+        rids.append(int(rid))
+    return bb, hh, np.asarray(resnames), np.asarray(rids, np.int64)
 
 
 def kabsch_sander_hbonds(
@@ -229,13 +260,21 @@ def kabsch_sander_hbonds(
     direction (h = n + 0.101 nm * unit(c_prev - o_prev)), exactly the
     Kabsch-Sander reconstruction. Prolines and chain starts never
     donate."""
-    bb, hh, resnames = _backbone_indices(top)
+    bb, hh, resnames, rids = _backbone_indices(top)
     R = bb.shape[0]
     valid = (bb >= 0).all(axis=1)
-    # donors: need previous residue's C/O for H synthesis (or explicit H)
+    # donors without an explicit H need the previous residue's C/O for H
+    # synthesis — and that previous residue must actually be the peptide
+    # predecessor: consecutive resids in the same chain. A resid jump
+    # (missing loop) or a wrap to a new chain (homodimers renumber from
+    # 1) means the adjacent GROUP is an unrelated residue whose C=O
+    # direction must not place this residue's amide H.
     has_h = hh >= 0
+    contig = np.zeros(R, bool)
+    contig[1:] = rids[1:] == rids[:-1] + 1
     prev_ok = np.zeros(R, bool)
     prev_ok[1:] = valid[:-1]
+    prev_ok &= contig
     can_donate = valid & (resnames != "PRO") & (has_h | prev_ok)
 
     safe_bb = np.where(bb >= 0, bb, 0)
@@ -245,6 +284,8 @@ def kabsch_sander_hbonds(
     has_h_j = jnp.asarray(has_h)
     valid_j = jnp.asarray(valid)
     donate_j = jnp.asarray(can_donate)
+    # contiguous-run id per residue group (chain/gap breaks start a run)
+    run_j = jnp.asarray(np.cumsum(~contig))
 
     def one_frame(x):
         n = x[bb_j[:, 0]]
@@ -267,11 +308,16 @@ def kabsch_sander_hbonds(
         )
         hb = e < _KS_CUTOFF_KCAL
         mask = (valid_j[:, None] & donate_j[None, :])
+        # |i-j| < 2 exclusion applies to SEQUENCE neighbors only: two
+        # group-adjacent residues across a chain break (different run)
+        # may legitimately H-bond
         ij = jnp.arange(R)
-        near = jnp.abs(ij[:, None] - ij[None, :]) < 2
+        near = (jnp.abs(ij[:, None] - ij[None, :]) < 2) & (
+            run_j[:, None] == run_j[None, :]
+        )
         return hb & mask & ~near
 
-    return jax.vmap(one_frame)(jnp.atleast_3d(traj)), resnames
+    return jax.vmap(one_frame)(_as_frames(traj)), resnames
 
 
 def dssp(traj: jax.Array, top: TopologyInfo) -> jax.Array:
@@ -391,17 +437,12 @@ def baker_hubbard(
         same = donors_j[:, 0][:, None] == acceptors_j[None, :]
         return (dist < distance_cutoff_nm) & (cos_angle < cos_cut) & ~same
 
-    present = jax.vmap(one_frame)(jnp.atleast_3d(traj))
+    present = jax.vmap(one_frame)(_as_frames(traj))
     occupancy = np.asarray(jnp.mean(present.astype(jnp.float32), axis=0))
     di, ai = np.where(occupancy >= freq)
     return np.stack([
         donors[di, 0], donors[di, 1], np.asarray(acceptors)[ai]
     ], axis=1).astype(np.int64)
-
-
-def _element_of(name: str) -> str:
-    stripped = name.lstrip("0123456789")
-    return (stripped[:1] or "X").upper()
 
 
 # --- registry entries ------------------------------------------------------------

@@ -133,7 +133,9 @@ def make_volume_move(
 
     ``energy_fn(x, box) -> potential energy`` at the given box (the
     cell force fn's ``dynamic`` entry returns (e, f); wrap it).
-    Returns ``move(x, bstate) -> (x', bstate', accepted)``."""
+    Returns ``move(x, bstate) -> (x', bstate', accepted, energy)`` with
+    ``energy`` the potential AFTER the accept/reject decision, so a
+    reported frame can pair (positions, box, E) consistently."""
     kT = BOLTZMANN_CONSTANT_KJ_PER_MOL * float(temperature_K)
     P = BAR_TO_KJ_PER_MOL_NM3 * float(pressure_bar)
 
@@ -177,7 +179,8 @@ def make_volume_move(
             win_attempted=jnp.where(tune, 0, wa),
             win_accepted=jnp.where(tune, 0, wacc),
         )
-        return x_new, new_state, accepted
+        e_now = jnp.where(accepted, e1, e0)
+        return x_new, new_state, accepted, e_now
 
     return move
 
@@ -260,9 +263,9 @@ def run_npt(
     n_chunks = n_steps // report_interval
 
     cache_key = (
-        id(system), id(force_fn), id(constraints), n_steps, dt, friction,
-        float(temperature_K), float(pressure_bar), barostat_interval,
-        report_interval,
+        id(system), id(force_fn), id(constraints), id(conn), n_steps, dt,
+        friction, float(temperature_K), float(pressure_bar),
+        barostat_interval, report_interval,
     )
     if cache_key not in _RUN_NPT_CACHE:
         if len(_RUN_NPT_CACHE) > 64:
@@ -284,7 +287,7 @@ def run_npt(
                 md_step, (st, bstate.box, fstate), None,
                 length=barostat_interval,
             )
-            x_new, bstate, accepted = move(st.positions, bstate)
+            x_new, bstate, accepted, e_now = move(st.positions, bstate)
             # rebin under the (possibly) new box: wrapped reference
             # coords and ghost shifts must agree on the period
             fstate = jax.lax.cond(
@@ -293,7 +296,11 @@ def run_npt(
                 lambda fs: fs, fstate,
             )
             st = dataclasses.replace(st, positions=x_new)
-            return (st, fstate, bstate), energies[-1]
+            # report the POST-move energy: a frame's (positions, box, E)
+            # must describe one consistent configuration, not the
+            # pre-move energy next to the post-move box
+            del energies
+            return (st, fstate, bstate), e_now
 
         def chunk(carry, _):
             (st, fstate, bstate), energies = jax.lax.scan(

@@ -269,9 +269,21 @@ def build_cell_force_fn(
     # free slack (cell edge = box/floor(box/rc) > rc) that costs zero
     # extra kernel work; only when the box divides too evenly do we
     # coarsen the grid to buy a minimum skin.
+    if min(box_f) < 2.0 * float(system.cutoff):
+        # on a 1-/2-cell axis the neighborhood legitimately contains the
+        # same cell through both wrap directions; the two copies carry
+        # DIFFERENT shifts, so a pair appears at distances d and L-d.
+        # Only one can pass r < rc when L >= 2*rc — below that the pair
+        # is silently double-counted, so refuse (the same minimum-image
+        # validity bound the dense sweep assumes).
+        raise ValueError(
+            f"box {box_f} is smaller than 2*cutoff ({2 * system.cutoff}) "
+            "on some axis: periodic pairs would be double-counted. Use a "
+            "larger box or a smaller cutoff."
+        )
     if skin == "auto":
         sk = free_skin(grid)
-        if 0.0 < sk < min_skin:
+        if 0.0 <= sk < min_skin:
             coarser = make_cell_grid(
                 box_f, float(system.cutoff) + min_skin, n,
                 occupancy_margin=occupancy_margin,

@@ -141,8 +141,12 @@ def run_segment(
         if nonbonded == "auto":
             # the dense sweep streams (N, N) exclusion matrices — past a
             # few thousand atoms the O(N) cell kernel wins on both
-            # compute and memory
-            nonbonded = "cells" if system.n_atoms >= 3000 else "dense"
+            # compute and memory. The cell kernel shares the dense
+            # sweep's minimum-image validity bound (box >= 2*cutoff).
+            cells_ok = min(box) >= 2.0 * float(system.cutoff)
+            nonbonded = (
+                "cells" if system.n_atoms >= 3000 and cells_ok else "dense"
+            )
         constraints = build_h_constraints(system)
         # MD forces drop bonded terms the constraints replace (OpenMM
         # createSystem semantics); minimization keeps the FULL system —

@@ -215,6 +215,15 @@ def close_loop_ccd(
             best = (final, built)
         if best[0] < tol_nm:
             break
+    if not best[1]:
+        # every seed produced NaN RMSD (degenerate anchors: coincident
+        # N/CA/C give zero-norm rotation axes) — returning an empty
+        # frame list would let the caller silently build ZERO residues
+        raise ValueError(
+            "CCD closure failed for every seed conformation (NaN anchor "
+            "RMSD) — the anchor N/CA/C geometry is degenerate; repair "
+            "the anchor residues before loop building"
+        )
     return best[1], best[0]
 
 

@@ -80,7 +80,7 @@ def test_ideal_gas_volume_distribution():
     def run(x, bstate):
         def body(carry, _):
             x, bs = carry
-            x, bs, acc = move(x, bs)
+            x, bs, acc, _e = move(x, bs)
             v = bs.box[0] * bs.box[1] * bs.box[2]
             return (x, bs), v
 
@@ -334,3 +334,30 @@ def test_run_segment_npt_validation(tmp_path):
     with pytest.raises(ValueError, match="ensemble must be"):
         pmarlo_tpu.run_segment(pdb, n_steps=10, report_interval=10,
                                ensemble="nvk")
+
+
+def test_volume_move_reports_post_decision_energy():
+    """move() must return the energy of the configuration it returns —
+    e1 when accepted, e0 when rejected — so reported frames pair
+    (positions, box, E) consistently."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 8
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (n, 3), jnp.float32, 0.0, 1.5)
+    mol = np.arange(n, dtype=np.int32)
+    masses = np.full(n, 18.0, np.float32)
+
+    def energy_fn(xx, bb):
+        # box-dependent energy so e0 != e1 for any volume change
+        return 10.0 * (bb[0] * bb[1] * bb[2])
+
+    move = make_volume_move(energy_fn, mol, masses, n,
+                            pressure_bar=1.0, temperature_K=300.0)
+    bs = init_barostat(np.asarray([1.5, 1.5, 1.5], np.float32),
+                       jax.random.PRNGKey(7))
+    for _ in range(10):
+        x, bs, acc, e_now = jax.jit(move)(x, bs)
+        expected = energy_fn(x, bs.box)
+        np.testing.assert_allclose(float(e_now), float(expected), rtol=1e-5)

@@ -417,3 +417,31 @@ def test_spatial_decomposition_pme_parity():
     e1, f1 = fn_sh(x)
     assert abs(float(e0) - float(e1)) < 0.05
     np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=0.05)
+
+
+def test_box_below_min_image_bound_refused():
+    """box < 2*cutoff double-counts periodic pairs through both wrap
+    directions. build_system refuses at construction; the kernel builder
+    ALSO refuses (defense in depth for hand-built System objects)."""
+    import dataclasses
+
+    s, box = _water_box(3)          # 1.03 nm box
+    with pytest.raises(ValueError, match="2\\*cutoff"):
+        build_system(s, box=box, cutoff=0.6, hydrogen_mass=None)
+    system, _ = build_system(s, box=box, cutoff=0.45, hydrogen_mass=None)
+    shrunk = dataclasses.replace(system, box=(0.8, 0.8, 0.8))
+    with pytest.raises(ValueError, match="double-counted"):
+        build_cell_force_fn(shrunk, interpret=True)
+
+
+def test_zero_free_skin_still_coarsens():
+    """A box that divides the cutoff EXACTLY (free skin == 0.0) must
+    still trigger the auto-coarsening that buys a minimum skin — the
+    boundary case the amortization exists for."""
+    s, _ = _water_box(5)
+    # 1.8 nm box, cutoff 0.45 -> 4 cells of exactly 0.45, free skin 0.0
+    system, _ = build_system(s, box=(1.8, 1.8, 1.8), cutoff=0.45,
+                             hydrogen_mass=None)
+    fn = build_cell_force_fn(system, interpret=True)
+    assert fn.skin > 0.0
+    assert hasattr(fn, "init_state") and hasattr(fn, "apply")

@@ -198,3 +198,17 @@ def test_add_missing_residues_end_to_end():
     system, x = p.create_system()
     e = float(potential_energy(system, jnp.asarray(x, jnp.float32)))
     assert np.isfinite(e)
+
+
+def test_ccd_degenerate_anchors_raise():
+    """Coincident anchor atoms (zero-norm rotation axes) must raise, not
+    silently return an empty loop."""
+    import numpy as np
+    import pytest
+
+    from pmarlo_tpu.protein.loops import close_loop_ccd
+
+    p = np.zeros(3)
+    with pytest.raises(ValueError, match="degenerate|CCD closure failed"):
+        close_loop_ccd((p, p, p), (p + 1.0, p + 1.0, p + 1.0), 2,
+                       max_sweeps=10)
