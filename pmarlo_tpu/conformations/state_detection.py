@@ -76,6 +76,22 @@ def _steepest_descent_labels(F: np.ndarray) -> np.ndarray:
         if np.array_equal(nxt, flat_ptr):
             break
         flat_ptr = nxt
+    # canonicalize flat (tied-value) minima: every plateau cell is its
+    # own descent terminal (the update needs strictly-lower neighbors),
+    # so without this a basin whose floor is a plateau fragments into
+    # one "basin" per plateau cell and membership tests miss most of it.
+    # Map each terminal to its connected minima-region's representative
+    # (lowest-F cell, the same pick _watershed_minima makes).
+    mask = _local_minima_mask(F)
+    labels, n_labels = _connected_regions(mask)
+    canon = np.arange(n * m)
+    Fr = Fw.ravel()
+    lab_flat = labels.ravel()
+    for lab in range(1, n_labels + 1):
+        cells = np.flatnonzero(lab_flat == lab)
+        if cells.size > 1:
+            canon[cells] = cells[np.argmin(Fr[cells])]
+    flat_ptr = canon[flat_ptr]
     flat_ptr = np.where(np.isfinite(Fw).ravel(), flat_ptr, -1)
     return flat_ptr.reshape(n, m)
 
@@ -176,8 +192,10 @@ class StateDetector:
                     logger.debug("FES detection failed: %s", e)
             if its is not None:
                 try:
+                    # pass the raw n_states (possibly None) through: with
+                    # None the gap itself picks the macrostate count
                     return self.detect_from_timescale_gap(
-                        T, pi, np.asarray(its), n_states=target
+                        T, pi, np.asarray(its), n_states=n_states
                     )
                 except Exception as e:
                     logger.debug("timescale-gap detection failed: %s", e)
@@ -201,7 +219,7 @@ class StateDetector:
             if its is None:
                 raise ValueError("implied timescales required for timescale method")
             return self.detect_from_timescale_gap(
-                T, pi, np.asarray(its), n_states=target
+                T, pi, np.asarray(its), n_states=n_states
             )
         if method == "population":
             return self.detect_from_populations(pi, top_n=target)
@@ -297,7 +315,9 @@ class StateDetector:
         def _microstates(basin_min: int) -> np.ndarray:
             floor = Fflat[basin_min]
             in_basin = np.zeros(Fflat.shape[0], dtype=bool)
-            members = basin_of == basin_min
+            # compare CANONICAL labels: a chosen minimum on a flat
+            # plateau may not be its region's representative cell
+            members = basin_of == basin_of[basin_min]
             in_basin[members & (Fflat <= floor + basin_depth_kj)] = True
             frame_in = (cell >= 0) & in_basin[np.clip(cell, 0, None)]
             votes: Dict[int, int] = {}
@@ -398,12 +418,26 @@ class StateDetector:
         its = np.asarray(its, dtype=np.float64).ravel()
         if its.size < 2:
             raise EstimationError("at least two implied timescales required")
-        target = 2 if n_states is None else int(n_states)
         ratios = its[:-1] / np.maximum(its[1:], 1e-10)
         gap_idx = int(np.argmax(ratios))
-        if ratios[gap_idx] < gap_threshold:
-            logger.debug(
-                "no clear timescale gap (max ratio %.2f)", ratios[gap_idx]
+        if n_states is None:
+            # the method's namesake signal: a gap after the (g+1)-th
+            # slowest process means g+2 metastable states. Without a
+            # clear gap fall back to 2 (source/sink split).
+            if ratios[gap_idx] >= gap_threshold:
+                target = min(gap_idx + 2, T.shape[0])
+            else:
+                logger.debug(
+                    "no clear timescale gap (max ratio %.2f); using 2",
+                    ratios[gap_idx],
+                )
+                target = 2
+        else:
+            target = int(n_states)
+        if target < 2:
+            raise EstimationError(
+                "timescale-gap detection needs >= 2 metastable states "
+                "(source and sink would coincide)"
             )
         if target > T.shape[0]:
             raise EstimationError(

@@ -191,7 +191,10 @@ def read_pdb(path: "str | Path", model: int = 1) -> PDBStructure:
         if altloc not in (" ", "A"):
             continue
         name = line[12:16].strip()
-        resname = line[17:20].strip() or line[17:21].strip()
+        # columns 18-21: standard resnames sit in 18-20, CHARMM-style
+        # 4-char names (TIP3) extend into 21 — always take the 4-char
+        # window (a 3-char name leaves column 21 blank, strip handles it)
+        resname = line[17:21].strip()
         chain = line[21].strip() or "A"
         try:
             resid = _h36_decode(line[22:26], 4)
@@ -254,9 +257,13 @@ def write_pdb(
         name = atom_names[i]
         pdb_name = f" {name:<3s}" if len(name) < 4 else f"{name:<4s}"
         ch = (chains[i] if chains is not None else chain)[:1]
+        # resname occupies columns 18-20, with 4-char names (TIP3, SOL
+        # variants) extending into the conventionally-blank column 21 —
+        # ':>3s' would NOT truncate a 4-char name and would shift every
+        # following fixed-width field (chain, resid, coordinates) by one
         lines.append(
             f"ATOM  {_h36_encode(i + 1, 5)} {pdb_name}"
-            f"{'':1s}{residue_names[i]:>3s} {ch}"
+            f"{'':1s}{residue_names[i][:4]:<4s}{ch}"
             f"{_h36_encode(int(residue_ids[i]), 4)}    "
             f"{coords[i, 0]:8.3f}{coords[i, 1]:8.3f}{coords[i, 2]:8.3f}"
             f"{1.00:6.2f}{0.00:6.2f}          {elements[i]:>2s}"
@@ -287,8 +294,9 @@ def write_pdb_trajectory(
             name = atom_names[i]
             pdb_name = f" {name:<3s}" if len(name) < 4 else f"{name:<4s}"
             chunks.append(
-                f"ATOM  {i + 1:>5d} {pdb_name}"
-                f"{'':1s}{residue_names[i]:>3s} {chain}{residue_ids[i]:>4d}    "
+                f"ATOM  {_h36_encode(i + 1, 5)} {pdb_name}"
+                f"{'':1s}{residue_names[i][:4]:<4s}{chain[:1]}"
+                f"{_h36_encode(int(residue_ids[i]), 4)}    "
                 f"{coords[i, 0]:8.3f}{coords[i, 1]:8.3f}{coords[i, 2]:8.3f}"
                 f"{1.00:6.2f}{0.00:6.2f}"
             )

@@ -104,12 +104,15 @@ def build_h_constraints(
                     "solvate/topology layout)"
                 )
             m = masses[start:start + 3]
-            d_oh = float(np.asarray(system.bond_r0)[
-                np.flatnonzero(
-                    (np.asarray(system.bond_idx)[:, 0] == start)
-                    | (np.asarray(system.bond_idx)[:, 1] == start)
-                )[0]
-            ]) if True else 0.09572
+            # O-H target length from the first water O's bond term; a
+            # topology whose water bonds were already stripped falls back
+            # to the TIP3P geometry instead of IndexError-ing
+            oh_rows = np.flatnonzero(
+                (np.asarray(system.bond_idx)[:, 0] == start)
+                | (np.asarray(system.bond_idx)[:, 1] == start)
+            )
+            d_oh = (float(np.asarray(system.bond_r0)[oh_rows[0]])
+                    if oh_rows.size else 0.09572)
             water_spec = RigidWaterSpec(
                 start=start, n_waters=n_w,
                 inv_m=jnp.asarray(1.0 / m, jnp.float32),

@@ -143,9 +143,12 @@ def run_segment(
             # few thousand atoms the O(N) cell kernel wins on both
             # compute and memory. The cell kernel shares the dense
             # sweep's minimum-image validity bound (box >= 2*cutoff).
-            cells_ok = min(box) >= 2.0 * float(system.cutoff)
+            # NPT always needs the cell engine (the barostat's dynamic
+            # box only exists there), regardless of size.
             nonbonded = (
-                "cells" if system.n_atoms >= 3000 and cells_ok else "dense"
+                "cells"
+                if system.n_atoms >= 3000 or ensemble == "npt"
+                else "dense"
             )
         constraints = build_h_constraints(system)
         # MD forces drop bonded terms the constraints replace (OpenMM

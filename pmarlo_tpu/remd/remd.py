@@ -140,6 +140,37 @@ class RemdResult:
         return np.asarray(frames)
 
 
+def _compose_bias(force_fn: Callable, bias_fn: Callable) -> Callable:
+    """Wrap ``force_fn(x) -> (e, f)`` so energies AND forces include the
+    CV bias (force = -grad of the bias energy), preserving the cell
+    kernel's stateful/batched entries (init_state / apply /
+    init_state_batched / apply_batched) used by the skin-amortized
+    replica path."""
+
+    def wrapped(x):
+        e, f = force_fn(x)
+        be, bg = jax.value_and_grad(bias_fn)(x)
+        return e + be, f - bg
+
+    if hasattr(force_fn, "init_state"):
+        def _apply(x, st):
+            e, f, st = force_fn.apply(x, st)
+            be, bg = jax.value_and_grad(bias_fn)(x)
+            return e + be, f - bg, st
+
+        wrapped.init_state = force_fn.init_state
+        wrapped.apply = _apply
+    if hasattr(force_fn, "init_state_batched"):
+        def _apply_batched(xs, st):
+            e_b, f_b, st = force_fn.apply_batched(xs, st)
+            be_b, bg_b = jax.vmap(jax.value_and_grad(bias_fn))(xs)
+            return e_b + be_b, f_b - bg_b, st
+
+        wrapped.init_state_batched = force_fn.init_state_batched
+        wrapped.apply_batched = _apply_batched
+    return wrapped
+
+
 class ReplicaExchange:
     """REMD driver (reference CHANGELOG.md:22 ReplicaExchange).
 
@@ -187,6 +218,14 @@ class ReplicaExchange:
 
         if force_fn is not None and use_pallas:
             raise ValueError("force_fn override and use_pallas are exclusive")
+        if force_fn is not None and bias_fn is not None:
+            # compose the bias into the override — storing the override
+            # unmodified would run completely UNBIASED dynamics while the
+            # caller believes the bias is active (the same silent-unbiased
+            # class as the round-1 pallas_bias regression below); wrap the
+            # batched/stateful entries too so the cell kernel's
+            # skin-amortized path stays biased
+            force_fn = _compose_bias(force_fn, bias_fn)
         self._force_fn = force_fn or make_force_fn(system, bias_fn, analytic=True)
         self._constraints = constraints
         if constraints is not None and use_pallas:
@@ -489,6 +528,7 @@ class ReplicaExchange:
 
         block = min(cfg.attempts_per_block, n_attempts)
         replica_ids = self.replica_ids
+        ids0 = np.asarray(replica_ids)
         key = self._swap_key
         outs = []
         done = 0
@@ -517,8 +557,11 @@ class ReplicaExchange:
         F = pos.shape[0] * pos.shape[1]
         pos = pos.reshape((F,) + pos.shape[2:])
         energy = np.asarray(out["frames"]["energy"]).reshape(F, self.n_replicas)
+        # head = the PRE-RUN permutation, not the identity: a second
+        # run() continues from the previous run's final replica_ids, and
+        # demux maps the first attempt chunk's frames through this row
         ids_hist = np.concatenate(
-            [np.arange(self.n_replicas, dtype=np.int32)[None],
+            [np.asarray(ids0, dtype=np.int32)[None],
              np.asarray(out["replica_ids"])], axis=0
         )
         acc = np.asarray(out["acceptance"])  # (A, R) with nan where unattempted
@@ -709,6 +752,13 @@ def run_replica_exchange(
         xmin = (jnp.asarray(positions) if explicit
                 else _minimize(system, jnp.asarray(positions),
                                force_fn=minimize_fn)[0])
+        if not explicit:
+            # reuse the probe's relaxed coordinates for the production
+            # start (minimize=False below) — the ReplicaExchange ctor
+            # would otherwise repeat the full minimization from the raw
+            # positions, and the ladder design and the run should start
+            # from the SAME structure anyway
+            positions = xmin
         lo = float(config.ladder()[0])
         hi = float(config.ladder()[-1])
         ladder, _pred = suggest_temperature_ladder(
@@ -736,8 +786,10 @@ def run_replica_exchange(
             force_fn=force_fn, constraints=constraints, minimize=False,
         )
     else:
-        remd = ReplicaExchange(system, positions, config, bias_fn=bias_fn,
-                               mesh=mesh)
+        remd = ReplicaExchange(
+            system, positions, config, bias_fn=bias_fn, mesh=mesh,
+            minimize=target_acceptance is None,
+        )
     return remd.run(n_steps), system
 
 

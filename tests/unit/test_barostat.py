@@ -361,3 +361,25 @@ def test_volume_move_reports_post_decision_energy():
         x, bs, acc, e_now = jax.jit(move)(x, bs)
         expected = energy_fn(x, bs.box)
         np.testing.assert_allclose(float(e_now), float(expected), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_run_segment_npt_auto_resolves_to_cells(tmp_path):
+    """ensemble='npt' with the default nonbonded='auto' must select the
+    cell engine even below the 3000-atom crossover (the barostat's
+    dynamic box only exists there)."""
+    import pmarlo_tpu
+    from pmarlo_tpu.io.pdb import write_pdb
+
+    s, box = _water_box(4)
+    pdb = str(tmp_path / "w.pdb")
+    write_pdb(pdb, s.coordinates(),
+              [a.name for r in s.residues for a in r.atoms],
+              [a.resname for r in s.residues for a in r.atoms],
+              [a.resid for r in s.residues for a in r.atoms], box=box)
+    res = pmarlo_tpu.run_segment(
+        pdb, n_steps=10, report_interval=10, ensemble="npt",
+        cutoff=0.45, barostat_interval=5, minimize_iterations=10, seed=2,
+    )
+    assert "final_barostat_state" in res
+    assert np.isfinite(np.asarray(res["positions"])).all()

@@ -246,3 +246,55 @@ def test_manual_specification_surface():
     assert src.tolist() == [0, 1] and snk.tolist() == [2, 3]
     with pytest.raises(EstimationError):
         det.from_macrostate_labels(labels, 0, 7)
+
+
+def test_timescale_gap_picks_macrostate_count():
+    """With n_states=None the gap itself selects the count: a clear gap
+    after the 3rd process (its ratios peak at index 2) means 4
+    metastable states, so the two endpoint macrostates are strict
+    subsets of a 4-way PCCA split."""
+    # 4-block metastable chain
+    T = np.array([
+        [0.98, 0.02, 0.00, 0.00],
+        [0.02, 0.97, 0.01, 0.00],
+        [0.00, 0.01, 0.97, 0.02],
+        [0.00, 0.00, 0.02, 0.98],
+    ])
+    det = StateDetector()
+    its = np.array([100.0, 80.0, 60.0, 3.0])  # gap after the 3rd process
+    src, snk = det.detect_from_timescale_gap(T, _stationary(T), its,
+                                             n_states=None)
+    # 4 macrostates over 4 microstates -> singleton endpoints
+    assert src.size == 1 and snk.size == 1
+    assert set(src.tolist()).isdisjoint(snk.tolist())
+    # n_states=1 would make source == sink: must refuse
+    with pytest.raises(Exception, match=">= 2"):
+        det.detect_from_timescale_gap(T, _stationary(T), its, n_states=1)
+
+
+def test_detect_from_fes_flat_plateau_basin():
+    """A tied-value (plateau) basin floor must still collect its frames:
+    steepest-descent terminals on the plateau are canonicalized to one
+    representative per connected minimum region."""
+    xs = np.linspace(-2, 2, 41)
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    F = np.minimum((X + 1) ** 2, (X - 1) ** 2) + Y**2
+    # flatten each well's floor into a plateau of exactly equal values
+    F[np.abs(X + 1) < 0.3] = np.minimum(F[np.abs(X + 1) < 0.3], 0.0)
+    F[np.abs(X - 1) < 0.3] = np.minimum(F[np.abs(X - 1) < 0.3], 0.0)
+    F = 5.0 * F
+    edges = (np.linspace(-2, 2, 42), np.linspace(-2, 2, 42))
+    rng = np.random.default_rng(2)
+    n = 400
+    d = np.concatenate([rng.integers(0, 2, n), rng.integers(2, 4, n)])
+    cvs = np.concatenate([
+        rng.normal([-1, 0], 0.2, (n, 2)),
+        rng.normal([1, 0], 0.2, (n, 2)),
+    ])
+    det = StateDetector()
+    src, snk = det.detect_from_fes(
+        _FakeFES(F, edges), n_basins=2, dtrajs=[d], cvs=cvs
+    )
+    assert {frozenset(src.tolist()), frozenset(snk.tolist())} == {
+        frozenset({0, 1}), frozenset({2, 3})
+    }

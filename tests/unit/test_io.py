@@ -155,3 +155,37 @@ def test_triclinic_cryst1_rejected(tmp_path):
     s = read_pdb(p)
     assert s.box is not None
     np.testing.assert_allclose(s.box, (3.0, 3.0, 3.0))
+
+
+def test_pdb_roundtrip_four_char_resname(tmp_path):
+    """CHARMM-style 4-char residue names (TIP3) must round-trip without
+    shifting the fixed-width chain/resid/coordinate columns."""
+    from pmarlo_tpu.io.pdb import read_pdb, write_pdb
+
+    coords = np.asarray([[0.1, 0.2, 0.3], [0.4, 0.5, 0.6]], np.float64)
+    out = tmp_path / "tip3.pdb"
+    write_pdb(out, coords, ["OH2", "H1"], ["TIP3", "TIP3"], [7, 7],
+              box=(2.0, 2.0, 2.0), chain="W")
+    s = read_pdb(out)
+    assert len(s.residues) == 1
+    r = s.residues[0]
+    assert r.name == "TIP3" and r.resid == 7 and r.chain == "W"
+    np.testing.assert_allclose(s.coordinates(), coords, atol=1e-3)
+
+
+def test_pdb_trajectory_hybrid36_numbering(tmp_path):
+    """write_pdb_trajectory shares write_pdb's hybrid-36 numbering so
+    >9999-residue frames keep their columns aligned."""
+    from pmarlo_tpu.io.pdb import _h36_decode, write_pdb_trajectory
+
+    n = 3
+    frames = np.zeros((1, n, 3), np.float64)
+    out = tmp_path / "traj.pdb"
+    write_pdb_trajectory(out, frames, ["O"] * n, ["HOH"] * n,
+                         [9998 + i for i in range(n)])
+    atom_lines = [ln for ln in out.read_text().splitlines()
+                  if ln.startswith("ATOM")]
+    assert len(atom_lines) == n
+    for i, ln in enumerate(atom_lines):
+        assert _h36_decode(ln[22:26], 4) == 9998 + i
+        assert float(ln[30:38]) == 0.0  # coordinates still in columns

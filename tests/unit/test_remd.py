@@ -368,3 +368,52 @@ def test_run_replica_exchange_explicit_solvent(tmp_path):
     assert system.box is not None
     assert np.isfinite(res.positions).all()
     assert res.positions.shape[1] == 2
+
+
+def test_force_fn_override_composes_bias(alanine_system_module):
+    """bias_fn + force_fn override: the bias must reach BOTH the
+    dynamics and the Metropolis energies — storing the override
+    unmodified runs silently unbiased."""
+    import jax.numpy as jnp
+
+    from pmarlo_tpu.md.integrate import make_force_fn
+
+    system, positions, _ = alanine_system_module
+    base = make_force_fn(system, None, analytic=True)
+
+    def huge_bias(x):
+        # large positional bias so trajectories visibly diverge
+        return 1e3 * jnp.sum((x[0] - 1.0) ** 2)
+
+    cfg = RemdConfig(n_replicas=2, t_min=300, t_max=400,
+                     exchange_frequency=50, report_interval=50, seed=3)
+    plain = ReplicaExchange(system, positions, cfg, force_fn=base,
+                            minimize=False).run(n_steps=100)
+    biased = ReplicaExchange(system, positions, cfg, force_fn=base,
+                             bias_fn=huge_bias, minimize=False).run(
+                                 n_steps=100)
+    assert not np.allclose(plain.positions[-1], biased.positions[-1],
+                           atol=1e-4), "bias_fn was silently dropped"
+    # composed energies include the bias term
+    fn = ReplicaExchange(system, positions, cfg, force_fn=base,
+                         bias_fn=huge_bias, minimize=False)._force_fn
+    x = jnp.asarray(positions)
+    e_base = float(base(x)[0])
+    e_comp = float(fn(x)[0])
+    np.testing.assert_allclose(e_comp - e_base, float(huge_bias(x)),
+                               rtol=1e-5)
+
+
+def test_second_run_ids_history_head_is_pre_run_permutation(
+    alanine_system_module,
+):
+    """run() #2 must report its first attempt chunk under the permutation
+    run() #1 ended with, not the identity."""
+    system, positions, _ = alanine_system_module
+    cfg = RemdConfig(n_replicas=4, t_min=300, t_max=900,
+                     exchange_frequency=25, report_interval=25, seed=11)
+    remd = ReplicaExchange(system, positions, cfg, minimize=True)
+    r1 = remd.run(n_steps=500)
+    final_perm = np.asarray(r1.replica_ids[-1])
+    r2 = remd.run(n_steps=100)
+    np.testing.assert_array_equal(np.asarray(r2.replica_ids[0]), final_perm)
