@@ -96,24 +96,41 @@ class GridDiscretizer:
             if lo == hi:
                 lo, hi = lo - 0.5, hi + 0.5
             self.edges.append(np.linspace(lo, hi, bins + 1))
-        for combo in self._indices(X):
-            key = tuple(int(c) for c in combo)
-            if key not in self.mapping:
-                self.mapping[key] = len(self.mapping)
+        # vectorized occupied-cell numbering in first-seen order: a
+        # per-frame Python loop with tuple/dict work turns multi-million-
+        # frame datasets into a minutes-long assignment stage
+        flat = self._flat_indices(X)
+        uniq, first = np.unique(flat, return_index=True)
+        order = np.argsort(first)                  # first-seen order
+        state_of_uniq = np.empty(uniq.size, dtype=np.int64)
+        state_of_uniq[order] = np.arange(uniq.size)
+        self._uniq_sorted = uniq                   # np.unique -> sorted
+        self._state_sorted = state_of_uniq
+        dims = np.asarray([len(e) - 1 for e in self.edges])
+        combos = np.stack(np.unravel_index(uniq, dims), axis=1)
+        self.mapping = {
+            tuple(int(c) for c in combo): int(s)
+            for combo, s in zip(combos, state_of_uniq)
+        }
         return self
 
-    def _indices(self, X: np.ndarray) -> np.ndarray:
+    def _flat_indices(self, X: np.ndarray) -> np.ndarray:
         idx = [
             np.clip(np.digitize(X[:, d_], e) - 1, 0, len(e) - 2)
             for d_, e in enumerate(self.edges)
         ]
-        return np.vstack(idx).T
+        dims = [len(e) - 1 for e in self.edges]
+        return np.ravel_multi_index(idx, dims)
 
     def transform(self, X: np.ndarray) -> np.ndarray:
-        out = np.empty(X.shape[0], dtype=np.int64)
-        for i, combo in enumerate(self._indices(np.asarray(X, np.float64))):
-            out[i] = self.mapping.get(tuple(int(c) for c in combo), -1)
-        return out
+        flat = self._flat_indices(np.asarray(X, np.float64))
+        pos = np.searchsorted(self._uniq_sorted, flat)
+        pos_c = np.clip(pos, 0, max(self._uniq_sorted.size - 1, 0))
+        valid = (
+            (self._uniq_sorted[pos_c] == flat)
+            if self._uniq_sorted.size else np.zeros(flat.size, bool)
+        )
+        return np.where(valid, self._state_sorted[pos_c], -1).astype(np.int64)
 
     @property
     def n_states(self) -> int:

@@ -70,6 +70,12 @@ def write_shard(
         n_frames = arrays["features"].shape[0]
     if coordinates is not None:
         arrays["coordinates"] = np.asarray(coordinates, dtype=np.float32)
+        if n_frames is not None and arrays["coordinates"].shape[0] != n_frames:
+            raise ValueError(
+                f"features have {n_frames} frames but coordinates "
+                f"{arrays['coordinates'].shape[0]} — a shard's arrays must "
+                "describe the same frames (n_frames metadata would lie)"
+            )
         n_frames = arrays["coordinates"].shape[0]
     if exchange_history is not None:
         arrays["exchange_history"] = np.asarray(exchange_history)

@@ -132,21 +132,30 @@ def _evaluate_lag(
             failure = (
                 f"diag mass {diag_mass:.2f} < {diag_mass_threshold}"
             )
-    # score: low CK error dominates; coverage and counts break ties
-    score = -np.inf
-    if feasible:
-        score = (
-            -(ck_error or 1.0) * 10.0
-            + coverage
-            + 0.1 * np.log1p(median_counts)
-            + (0.5 if macro_sane else 0.0)
-        )
+    score = (
+        _lag_score(ck_error, coverage, median_counts, macro_sane)
+        if feasible else -np.inf
+    )
     return LagEvaluationResult(
         lag=lag, ck_error=ck_error, connectivity_coverage=coverage,
         median_row_counts=median_counts, macrostate_sane=macro_sane,
         feasible=feasible, score=float(score), timescales=timescales,
         eigenvalue_gap=eigenvalue_gap, diag_mass=diag_mass,
         failure_reason=failure,
+    )
+
+
+def _lag_score(
+    ck_error, coverage: float, median_counts: float, macro_sane: bool
+) -> float:
+    """Low CK error dominates; coverage and counts break ties. NOT
+    ``ck_error or 1.0``: a PERFECT error of exactly 0.0 is falsy and
+    would be scored like an error of 1.0."""
+    return float(
+        -(1.0 if ck_error is None else ck_error) * 10.0
+        + coverage
+        + 0.1 * np.log1p(median_counts)
+        + (0.5 if macro_sane else 0.0)
     )
 
 

@@ -119,6 +119,11 @@ class EnhancedMSM:
             raise EstimationError("no coordinate trajectories to featurize")
         if self.topology is None:
             raise EstimationError("topology required for featurization")
+        # features loaded DIRECTLY (2D matrices handed to
+        # load_trajectories) must survive featurization of the
+        # coordinate trajectories — replacing the list would silently
+        # drop them from the analysis
+        preloaded = list(self.features) if self.features else []
         feats = []
         for traj in self.trajectories:
             X, info = featurize_trajectory(
@@ -127,7 +132,16 @@ class EnhancedMSM:
             )
             feats.append(np.asarray(X, dtype=np.float32))
             self.feature_info = info
-        self.features = feats
+        if preloaded:
+            k = feats[0].shape[1] if feats else None
+            bad = [f.shape[1] for f in preloaded if k and f.shape[1] != k]
+            if bad:
+                raise EstimationError(
+                    f"preloaded feature matrices have {bad} columns but "
+                    f"featurization produced {k}; mixed widths cannot "
+                    "share one MSM"
+                )
+        self.features = preloaded + feats
         return self._maybe_tica(use_tica, tica_lag, tica_components)
 
     def _maybe_tica(self, use_tica: bool, lag: int, n_components: int):
@@ -136,9 +150,19 @@ class EnhancedMSM:
                 self.features, "tica", lag=lag, n_components=n_components
             )
             self.features = [np.asarray(f, dtype=np.float32) for f in self.features]
-            self.feature_info["tica"] = {
-                "lag": lag,
-                "eigenvalues": model.eigenvalues.tolist(),
+            k = self.features[0].shape[1]
+            # the feature space CHANGED: columns are TICA components now,
+            # and they are unbounded — stale torsion names/periodic flags
+            # would wrap TIC values into [-pi, pi) in the FES and break
+            # name-based CV lookup
+            self.feature_info = {
+                "columns": [f"TIC{i + 1}" for i in range(k)],
+                "periodic": [False] * k,
+                "source": dict(self.feature_info),
+                "tica": {
+                    "lag": lag,
+                    "eigenvalues": model.eigenvalues.tolist(),
+                },
             }
         return self
 
@@ -277,17 +301,22 @@ class EnhancedMSM:
 
     def _bootstrap_free_energy_errors(
         self, n_boot: int = 200, seed: int = 0,
-        temperature_K: float = 300.0,
+        temperature_K: "float | None" = None,
     ) -> np.ndarray:
         """Per-state dG standard errors from frame-bootstrap occupancies
-        (reference _states.py:112)."""
+        (reference _states.py:112). Defaults to the analysis temperature
+        so the error bars share build_msm's kT."""
+        from ..constants import BOLTZMANN_CONSTANT_KJ_PER_MOL
+
         if not self.dtrajs or self.msm is None:
             raise EstimationError("build_msm first")
+        if temperature_K is None:
+            temperature_K = self.temperature_K
         assignments = np.concatenate(self.dtrajs)
         assignments = assignments[assignments >= 0]
         rng = np.random.default_rng(seed)
         n = assignments.size
-        kT = 0.00831446261815324 * temperature_K
+        kT = BOLTZMANN_CONSTANT_KJ_PER_MOL * temperature_K
         samples = np.empty((n_boot, self.msm.n_states))
         for i in range(n_boot):
             res = rng.choice(assignments, size=n, replace=True)
@@ -536,7 +565,7 @@ def run_complete_msm_analysis(
             logger.warning("CK skipped: %s", exc)
     try:
         msm.generate_free_energy_surface(*fes_pair)
-    except (EstimationError, ValueError) as exc:
+    except (EstimationError, ValueError, IndexError) as exc:
         logger.warning("FES skipped: %s", exc)
     msm.create_state_table()
     if output_dir is not None:

@@ -99,9 +99,7 @@ def estimate_transition_matrix(
     counts = np.asarray(counts, dtype=np.float64)
     if reversible:
         T = reversible_mle(counts)
-        x_row = (counts + counts.T).sum(axis=1)
-        pi = x_row / x_row.sum()
-        # refine pi from T itself (exact stationarity)
+        # pi from T itself (exact stationarity)
         pi = stationary_distribution(T)
     else:
         T = _row_normalize(counts)

@@ -100,6 +100,13 @@ class FESResult:
             "smoothing_mode": self.smoothing_mode,
             "finite_fraction": self.finite_fraction,
             "sparse_warning": self.sparse_warning,
+            # keep the per-bin Dirichlet uncertainty: the JSON artifact
+            # must round-trip the same fields the pickle path preserves
+            "uncertainty": (
+                np.where(np.isfinite(self.uncertainty),
+                         self.uncertainty, None).tolist()
+                if self.uncertainty is not None else None
+            ),
         }
 
     @classmethod
@@ -121,6 +128,13 @@ class FESResult:
             smoothing_mode=d.get("smoothing_mode", "auto"),
             finite_fraction=float(d.get("finite_fraction", 1.0)),
             sparse_warning=d.get("sparse_warning"),
+            uncertainty=(
+                np.asarray(
+                    [[np.nan if v is None else v for v in row]
+                     for row in d["uncertainty"]], dtype=np.float64,
+                )
+                if d.get("uncertainty") is not None else None
+            ),
         )
 
     def save(self, path: "str | Path") -> Path:

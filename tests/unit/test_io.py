@@ -189,3 +189,14 @@ def test_pdb_trajectory_hybrid36_numbering(tmp_path):
     for i, ln in enumerate(atom_lines):
         assert _h36_decode(ln[22:26], 4) == 9998 + i
         assert float(ln[30:38]) == 0.0  # coordinates still in columns
+
+
+def test_write_shard_rejects_frame_mismatch(tmp_path):
+    from pmarlo_tpu.io.shards import write_shard
+
+    with pytest.raises(ValueError, match="frames"):
+        write_shard(
+            tmp_path, temperature_K=300.0, run_id="r1", index=0,
+            features=np.zeros((10, 2), np.float32),
+            coordinates=np.zeros((5, 3, 3), np.float32),
+        )

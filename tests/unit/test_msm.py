@@ -224,3 +224,66 @@ def test_enhanced_plot_method_surface(double_well_dtrajs, tmp_path):
     for name in ("rates.png", "pmf.png", "ck.png"):
         assert (tmp_path / name).exists()
         assert (tmp_path / name).stat().st_size > 0
+
+
+def test_tica_refreshes_feature_info():
+    """After in-place TICA the feature space IS the TICA space: stale
+    torsion names/periodic flags would wrap unbounded TIC values."""
+    from pmarlo_tpu.msm.enhanced import EnhancedMSM
+
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 20, 600)
+    X = np.stack([np.sin(t), np.cos(t), rng.normal(0, 0.1, 600),
+                  rng.normal(0, 0.1, 600)], axis=1)
+    msm = EnhancedMSM()
+    msm.load_trajectories([X.astype(np.float32)])
+    msm.compute_features(use_tica=True, tica_lag=5, tica_components=2)
+    info = msm.feature_info
+    assert info["columns"] == ["TIC1", "TIC2"]
+    assert info["periodic"] == [False, False]
+    assert "tica" in info and msm.features[0].shape[1] == 2
+
+
+def test_bootstrap_errors_use_analysis_temperature():
+    """dG error bars share build_msm's kT (not a hardcoded 300 K)."""
+    from pmarlo_tpu.msm.enhanced import EnhancedMSM
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(0, 1, (500, 2)).astype(np.float32)
+
+    def build(T_K):
+        m = EnhancedMSM(temperature_K=T_K)
+        m.load_trajectories([X])
+        m.compute_features()
+        m.cluster_features(n_states=3, seed=0)
+        m.build_msm(lag_time=2)
+        return m._bootstrap_free_energy_errors(n_boot=50, seed=0)
+
+    e300, e600 = build(300.0), build(600.0)
+    np.testing.assert_allclose(e600, 2.0 * e300, rtol=1e-6)
+
+
+def test_fes_result_json_roundtrips_uncertainty(tmp_path):
+    from pmarlo_tpu.msm.free_energy import FESResult, generate_2d_fes
+
+    rng = np.random.default_rng(2)
+    fes = generate_2d_fes(rng.normal(size=300), rng.normal(size=300),
+                          bins=8)
+    assert fes.uncertainty is not None
+    d = fes.to_dict()
+    back = FESResult.from_dict(d)
+    np.testing.assert_allclose(
+        np.nan_to_num(back.uncertainty, nan=-1.0),
+        np.nan_to_num(fes.uncertainty, nan=-1.0), rtol=1e-12,
+    )
+
+
+def test_lag_selector_perfect_ck_error_scores_best():
+    """ck_error == 0.0 is a PERFECT score, not a falsy miss."""
+    from pmarlo_tpu.msm.ck_its_selector import _lag_score
+
+    s_perfect = _lag_score(0.0, 1.0, 10.0, True)
+    s_small = _lag_score(0.05, 1.0, 10.0, True)
+    assert s_perfect > s_small
+    # and a perfect error beats the None fallback by the full 10x weight
+    assert s_perfect - _lag_score(None, 1.0, 10.0, True) == 10.0
