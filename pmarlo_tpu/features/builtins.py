@@ -27,33 +27,56 @@ def _atoms_by_residue(atom_names, residue_ids) -> dict:
     return table
 
 
+def _residue_groups(atom_names, residue_ids):
+    """[(rid, {atom_name: index})] grouped by RUNS of equal resid in atom
+    order — a resid-keyed dict would merge residues from different chains
+    that reuse the same numbering (homodimers commonly number every chain
+    1..N)."""
+    groups: list = []
+    prev = object()
+    for i, (rid, name) in enumerate(zip(residue_ids, atom_names)):
+        if rid != prev:
+            groups.append((int(rid), {}))
+            prev = rid
+        atoms = groups[-1][1]
+        if name not in atoms:
+            atoms[name] = i
+    return groups
+
+
 def phi_psi_indices(
     atom_names: Sequence[str], residue_ids: Sequence[int]
 ) -> Tuple[np.ndarray, np.ndarray, List[int]]:
     """(phi_quads, psi_quads, residue_labels).
 
     phi_i = C(i-1)-N(i)-CA(i)-C(i);  psi_i = N(i)-CA(i)-C(i)-N(i+1).
-    Residues missing backbone atoms (caps) are skipped — matching mdtraj's
-    compute_phi/psi behavior used at reference _features.py:131-142.
+    Residues missing backbone atoms (caps) are skipped. Neighbors must be
+    true peptide predecessors/successors — consecutive resids in atom
+    order; a resid jump (missing loop) or a wrap to a new chain never
+    produces a dihedral across the gap. DELIBERATE deviation from mdtraj:
+    phi and psi are returned as PAIRS per interior residue (mdtraj
+    computes them independently, keeping the first residue's psi and the
+    last residue's phi); Ramachandran/bias consumers need the pairing.
     """
-    table = _atoms_by_residue(atom_names, residue_ids)
-    rids = sorted(table)
+    groups = _residue_groups(atom_names, residue_ids)
     phi, psi, labels = [], [], []
-    for prev, cur, nxt in zip(rids[:-1], rids[1:], rids[2:] + [None]):
-        res = table[cur]
+    for g in range(1, len(groups)):
+        rid, res = groups[g]
+        prev_rid, prev_res = groups[g - 1]
         if not all(a in res for a in ("N", "CA", "C")):
             continue
-        if "C" in table[prev]:
-            phi_quad = (table[prev]["C"], res["N"], res["CA"], res["C"])
-        else:
+        if prev_rid != rid - 1 or "C" not in prev_res:
             continue
-        if nxt is not None and "N" in table[nxt]:
-            psi_quad = (res["N"], res["CA"], res["C"], table[nxt]["N"])
-        else:
+        phi_quad = (prev_res["C"], res["N"], res["CA"], res["C"])
+        if g + 1 >= len(groups):
             continue
+        nxt_rid, nxt_res = groups[g + 1]
+        if nxt_rid != rid + 1 or "N" not in nxt_res:
+            continue
+        psi_quad = (res["N"], res["CA"], res["C"], nxt_res["N"])
         phi.append(phi_quad)
         psi.append(psi_quad)
-        labels.append(cur)
+        labels.append(rid)
     return (
         np.asarray(phi, dtype=np.int32).reshape(-1, 4),
         np.asarray(psi, dtype=np.int32).reshape(-1, 4),
@@ -64,17 +87,20 @@ def phi_psi_indices(
 def omega_indices(
     atom_names: Sequence[str], residue_ids: Sequence[int]
 ) -> Tuple[np.ndarray, List[int]]:
-    """omega_i = CA(i-1)-C(i-1)-N(i)-CA(i) peptide-bond dihedrals."""
-    table = _atoms_by_residue(atom_names, residue_ids)
-    rids = sorted(table)
+    """omega_i = CA(i-1)-C(i-1)-N(i)-CA(i) peptide-bond dihedrals
+    (consecutive-resid groups only — no dihedral across a chain break
+    or missing-loop gap)."""
+    groups = _residue_groups(atom_names, residue_ids)
     quads, labels = [], []
-    for prev, cur in zip(rids[:-1], rids[1:]):
-        a, b = table[prev], table[cur]
+    for g in range(1, len(groups)):
+        (prev_rid, a), (cur_rid, b) = groups[g - 1], groups[g]
+        if cur_rid != prev_rid + 1:
+            continue
         prev_ca = a.get("CA", a.get("CH3"))
         cur_ca = b.get("CA", b.get("CH3"))
         if prev_ca is not None and "C" in a and "N" in b and cur_ca is not None:
             quads.append((prev_ca, a["C"], b["N"], cur_ca))
-            labels.append(cur)
+            labels.append(cur_rid)
     return np.asarray(quads, dtype=np.int32).reshape(-1, 4), labels
 
 
@@ -88,14 +114,18 @@ def chi1_indices(
     gamma_by_res = {
         "THR": "OG1", "SER": "OG", "CYS": "SG", "VAL": "CG1", "ILE": "CG1",
     }
-    table = _atoms_by_residue(atom_names, residue_ids)
-    resname_of = {}
-    for rid, name in zip(residue_ids, residue_names):
-        resname_of[rid] = name
+    # residue name per GROUP (run of equal resid in atom order): a
+    # resid-keyed dict would merge same-numbered residues across chains
+    groups = _residue_groups(atom_names, residue_ids)
     quads, labels = [], []
-    for rid in sorted(table):
-        res = table[rid]
-        gamma = gamma_by_res.get(resname_of[rid], "CG")
+    gnames = []
+    prev = object()
+    for rid, rn in zip(residue_ids, residue_names):
+        if rid != prev:
+            gnames.append(rn)
+            prev = rid
+    for (rid, res), rn in zip(groups, gnames):
+        gamma = gamma_by_res.get(rn, "CG")
         if all(a in res for a in ("N", "CA", "CB")) and gamma in res:
             quads.append((res["N"], res["CA"], res["CB"], res[gamma]))
             labels.append(rid)
@@ -127,10 +157,24 @@ def _dihedral_one_frame(frame: jax.Array, quads: jax.Array) -> jax.Array:
     return jnp.arctan2(y, jnp.sum(n1 * n2, axis=-1))
 
 
+def as_frames(traj) -> jax.Array:
+    """Promote (N, 3) -> (1, N, 3). NOT jnp.atleast_3d, which APPENDS the
+    new axis ((N, 3) -> (N, 3, 1)) and would make a frame vmap iterate
+    over atoms with silently-clamped index lookups."""
+    traj = jnp.asarray(traj)
+    if traj.ndim == 2:
+        return traj[None]
+    if traj.ndim != 3:
+        raise ValueError(
+            f"trajectory must be (T, N, 3) or (N, 3); got {traj.shape}"
+        )
+    return traj
+
+
 def compute_dihedrals(traj: jax.Array, quads: "jax.Array | np.ndarray") -> jax.Array:
     """(T, N, 3), (M, 4) -> (T, M) signed dihedrals in (-pi, pi]."""
     quads = jnp.asarray(quads)
-    return jax.vmap(lambda f: _dihedral_one_frame(f, quads))(jnp.atleast_3d(traj))
+    return jax.vmap(lambda f: _dihedral_one_frame(f, quads))(as_frames(traj))
 
 
 def compute_distances(traj: jax.Array, pairs: "jax.Array | np.ndarray") -> jax.Array:
@@ -141,7 +185,7 @@ def compute_distances(traj: jax.Array, pairs: "jax.Array | np.ndarray") -> jax.A
         d = frame[pairs[:, 0]] - frame[pairs[:, 1]]
         return jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
 
-    return jax.vmap(one)(traj)
+    return jax.vmap(one)(as_frames(traj))
 
 
 def compute_angles(traj: jax.Array, triples: "jax.Array | np.ndarray") -> jax.Array:
@@ -156,7 +200,7 @@ def compute_angles(traj: jax.Array, triples: "jax.Array | np.ndarray") -> jax.Ar
         )
         return jnp.arccos(jnp.clip(cos_t, -1.0, 1.0))
 
-    return jax.vmap(one)(traj)
+    return jax.vmap(one)(as_frames(traj))
 
 
 def radius_of_gyration(

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .base import Feature, TopologyInfo, register_feature
-from .builtins import compute_dihedrals, phi_psi_indices
+from .builtins import as_frames, compute_dihedrals, phi_psi_indices
 
 _EPS = 1e-12
 
@@ -33,16 +33,8 @@ _VDW_RADII = {"H": 0.120, "C": 0.170, "N": 0.155, "O": 0.152, "S": 0.180}
 _PROBE_RADIUS = 0.14  # nm (water)
 
 
-def _as_frames(traj) -> jax.Array:
-    """Promote (N, 3) -> (1, N, 3). NOT jnp.atleast_3d, which appends the
-    new axis ((N, 3) -> (N, 3, 1)) and would make the frame vmap iterate
-    over atoms, silently clamping every index lookup out of bounds."""
-    traj = jnp.asarray(traj)
-    if traj.ndim == 2:
-        return traj[None]
-    if traj.ndim != 3:
-        raise ValueError(f"trajectory must be (T, N, 3) or (N, 3); got {traj.shape}")
-    return traj
+# canonical single-frame promotion lives in builtins (shared trap note)
+_as_frames = as_frames
 
 
 def _element_of(name: str, fallback: str = "C") -> str:

@@ -55,8 +55,14 @@ def instantaneous_temperature(
     system: System, velocities: jax.Array, n_constraints: int = 0
 ) -> jax.Array:
     """Kinetic temperature. ``n_constraints`` removes constrained dof
-    (rigid waters/H bonds) so constrained runs report the true T."""
-    n_dof = max(3 * system.n_atoms - 3 - int(n_constraints), 1)
+    (rigid waters/H bonds) so constrained runs report the true T.
+
+    No -3 COM term: the Langevin O-step noise re-thermalizes the center
+    of mass within ~1/friction (nothing removes COM motion during the
+    run), so steady-state KE is (3N - n_con)/2 kT; subtracting 3 would
+    bias reported T high by 3N/(3N-3) — ~5% on a dipeptide. OpenMM
+    likewise subtracts 3 only when a CMMotionRemover is active."""
+    n_dof = max(3 * system.n_atoms - int(n_constraints), 1)
     return 2.0 * kinetic_energy(system, velocities) / (
         n_dof * BOLTZMANN_CONSTANT_KJ_PER_MOL
     )
@@ -140,6 +146,11 @@ def langevin_step(
     kT = BOLTZMANN_CONSTANT_KJ_PER_MOL * temperature_K
     m = system.masses[:, None]
 
+    if force_fn is not None and bias_fn is not None:
+        raise ValueError(
+            "pass either force_fn or bias_fn, not both — a given force_fn "
+            "is used as-is and the bias would be silently dropped"
+        )
     if force_state is not None:
         energy, f, force_state = force_fn(state.positions, force_state)
     elif force_fn is not None:
@@ -228,11 +239,24 @@ def run_md(
         )
     n_chunks = n_steps // report_interval
 
-    if force_fn is None:
+    if force_fn is not None and bias_fn is not None:
+        # refusing beats silence: folding bias_fn into a given force_fn
+        # here would double-count for callers that pre-compose (the
+        # simulation/REMD paths), and ignoring it runs silently UNBIASED
+        raise ValueError(
+            "pass either force_fn or bias_fn, not both — compose the bias "
+            "into the force_fn (energy + bias, forces - grad(bias)) as "
+            "md/simulation.py and remd/remd.py:_compose_bias do"
+        )
+    self_built = force_fn is None
+    if self_built:
         force_fn = make_force_fn(system, bias_fn, analytic=True)
 
     key = (
-        id(system), id(force_fn), id(constraints),
+        # a self-built closure is fresh every call: keying on its id
+        # would defeat the cache and recompile every segment
+        id(system) if self_built else id(force_fn),
+        self_built, id(bias_fn), id(constraints),
         n_steps, dt, friction, report_interval,
     )
     if key not in _RUN_MD_CACHE:

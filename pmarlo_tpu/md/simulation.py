@@ -250,10 +250,12 @@ def run_segment(
             # continuation handle: box + tuned proposal width + move PRNG
             result["final_barostat_state"] = bstate
             return result
+        # bias is already composed into _force_fn above; run_md refuses
+        # the ambiguous force_fn+bias_fn combination
         final_state, frames = run_md(
             system, state, n_steps=n_steps, dt=dt_ps,
             friction=md_friction, temperature_K=temperature_K,
-            report_interval=report_interval, bias_fn=bias_fn,
+            report_interval=report_interval,
             force_fn=_force_fn, constraints=constraints,
         )
         result = _package_result(
@@ -322,7 +324,9 @@ def run_segment(
         friction=md_friction,
         temperature_K=temperature_K,
         report_interval=report_interval,
-        bias_fn=bias_fn,
+        # the pair-kernel path composes bias into force_fn itself;
+        # bias_fn only goes through when run_md self-builds (dense)
+        bias_fn=bias_fn if force_fn is None else None,
         force_fn=force_fn,
     )
 

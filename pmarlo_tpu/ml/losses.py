@@ -67,7 +67,14 @@ def _stable_cholesky(C: jax.Array) -> jax.Array:
     def try_jitter(jit_scale):
         L = jnp.linalg.cholesky(C + jit_scale * tr * eye)
         ok = jnp.all(jnp.isfinite(L))
-        return L, ok
+        # double-where: re-factorize a SANITIZED matrix so the rung that
+        # failed never contributes NaNs. jnp.where alone does not stop
+        # the cholesky VJP of a failed rung from poisoning the gradient
+        # (0 * NaN = NaN) — exactly in the ill-conditioned regime this
+        # ladder exists for, training would silently diverge.
+        C_safe = jnp.where(ok, C, eye)
+        L_safe = jnp.linalg.cholesky(C_safe + jit_scale * tr * eye)
+        return L_safe, ok
 
     L0, ok0 = try_jitter(0.0)
     L1, ok1 = try_jitter(1e-6)

@@ -73,6 +73,8 @@ def apply_output_transform(
     if "applied" in metadata and not _coerce_bool_flag(metadata["applied"]):
         raise WhiteningError("whitening metadata marked as not applied")
     Y = np.asarray(Y, dtype=np.float64)
+    if Y.ndim != 2:
+        raise WhiteningError(f"Y must be 2D (T, k); got shape {Y.shape}")
     mean = np.asarray(metadata["mean"], dtype=np.float64)
     W = np.asarray(metadata["transform"], dtype=np.float64)
     if mean.shape[0] != Y.shape[1] or W.shape != (Y.shape[1], Y.shape[1]):
@@ -80,7 +82,16 @@ def apply_output_transform(
             f"whitening shapes inconsistent: Y {Y.shape}, mean {mean.shape}, W {W.shape}"
         )
     out = (Y - mean) @ W
-    if enforce_unit_covariance and out.shape[0] > out.shape[1]:
+    if enforce_unit_covariance:
+        if out.shape[0] <= out.shape[1]:
+            # the sample covariance of T <= k rows is singular — the
+            # requested enforcement is IMPOSSIBLE, not skippable ("no
+            # silent fallbacks": downstream discretization assumes unit
+            # covariance)
+            raise WhiteningError(
+                f"enforce_unit_covariance needs more samples than CVs "
+                f"(got T={out.shape[0]}, k={out.shape[1]})"
+            )
         outc = out - out.mean(axis=0)
         C = outc.T @ outc / (out.shape[0] - 1)
         L = np.linalg.cholesky(C + 1e-10 * np.eye(C.shape[0]))

@@ -51,7 +51,15 @@ def _kmeans_pp_init(key: jax.Array, x: jax.Array, k: int) -> jax.Array:
     def body(carry, _):
         key, centers, n_chosen, min_d2 = carry
         key, sub = jax.random.split(key)
-        probs = min_d2 / jnp.maximum(jnp.sum(min_d2), 1e-30)
+        total = jnp.sum(min_d2)
+        # fewer distinct points than k: all remaining distances are 0 and
+        # the D^2 weights degenerate — fall back to uniform picks rather
+        # than deterministically duplicating index 0
+        probs = jnp.where(
+            total > 0.0,
+            min_d2 / jnp.maximum(total, 1e-30),
+            jnp.full_like(min_d2, 1.0 / n),
+        )
         idx = jax.random.choice(sub, n, p=probs)
         new_center = x[idx]
         centers = centers.at[n_chosen].set(new_center)
@@ -154,6 +162,10 @@ def silhouette_score(x, labels, n_states: int, max_samples: int = 2048, seed: in
     b = mean_to.min(axis=1)
     denom = np.maximum(a, b)
     sil = np.where((denom > 0) & np.isfinite(b), (b - a) / denom, 0.0)
+    # sklearn convention: singleton clusters score 0, not (b-0)/b == 1 —
+    # otherwise shattering outliers into singletons inflates the mean
+    # silhouette and auto-k systematically over-fragments
+    sil = np.where(own_counts <= 1, 0.0, sil)
     return float(sil.mean())
 
 

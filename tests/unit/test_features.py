@@ -147,3 +147,61 @@ def test_dihedral_iupac_sign_convention():
         dihedral_angles(jnp.asarray(pts), jnp.asarray(quad)))))
     assert got_f == pytest.approx(60.0, abs=1e-3)
     assert got_m == pytest.approx(60.0, abs=1e-3)
+
+
+def test_compute_dihedrals_single_frame_promotes():
+    """(N, 3) input is ONE frame: must equal the (1, N, 3) result, not
+    N garbage rows (the jnp.atleast_3d axis-appending trap)."""
+    import numpy as np
+
+    from pmarlo_tpu.features.builtins import compute_dihedrals
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 3)).astype(np.float32)
+    quads = np.asarray([[0, 1, 2, 3], [2, 3, 4, 5]])
+    flat = np.asarray(compute_dihedrals(x, quads))
+    framed = np.asarray(compute_dihedrals(x[None], quads))
+    assert flat.shape == (1, 2)
+    np.testing.assert_allclose(flat, framed, atol=1e-7)
+
+
+def test_phi_psi_indices_skip_chain_breaks():
+    """No dihedral may span a resid gap (missing loop) or a resid wrap
+    (new chain): C(45)-N(60) is not a peptide bond."""
+    import numpy as np
+
+    from pmarlo_tpu.features.builtins import omega_indices, phi_psi_indices
+
+    names, rids = [], []
+    for rid in (1, 2, 3, 10, 11, 12):
+        names += ["N", "CA", "C", "O"]
+        rids += [rid] * 4
+    phi, psi, labels = phi_psi_indices(names, rids)
+    # interior residues of each contiguous run only: 2 and 11
+    assert labels == [2, 11]
+    assert phi.shape == (2, 4) and psi.shape == (2, 4)
+    # no quad mixes atoms across the 3 -> 10 gap
+    atoms_per_res = 4
+    for quad in np.concatenate([phi, psi]):
+        res_of = quad // atoms_per_res
+        assert res_of.max() - res_of.min() <= 2
+        assert not (set(res_of) & {2}) or not (set(res_of) & {3})
+    om, om_labels = omega_indices(names, rids)
+    assert om_labels == [2, 3, 11, 12]
+
+
+def test_phi_psi_indices_homodimer_duplicate_resids():
+    """Two chains both numbered 1..3 must yield per-chain dihedrals, not
+    a merged resid table."""
+    names, rids = [], []
+    for _chain in range(2):
+        for rid in (1, 2, 3):
+            names += ["N", "CA", "C", "O"]
+            rids += [rid] * 4
+    from pmarlo_tpu.features.builtins import phi_psi_indices
+
+    phi, psi, labels = phi_psi_indices(names, rids)
+    assert labels == [2, 2]   # the interior residue of EACH chain
+    assert phi.shape == (2, 4)
+    # second chain's quads index its own atoms (offset by 12)
+    assert phi[1].min() >= 12

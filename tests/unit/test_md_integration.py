@@ -170,3 +170,41 @@ def test_run_segment_resume_rejects_wrong_system(tmp_path):
     with pytest.raises(ValueError, match="resume states"):
         run_segment(_ala_pdb(tmp_path), n_steps=100, report_interval=100,
                     initial_state=bad)
+
+
+def test_run_md_rejects_force_fn_plus_bias_fn(alanine_system):
+    """The ambiguous combination must refuse, not silently drop the bias."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmarlo_tpu.md.integrate import make_force_fn, run_md, thermalize
+
+    system, positions, _ = alanine_system
+    fn = make_force_fn(system, None, analytic=True)
+    st = thermalize(system, jnp.asarray(positions), jax.random.PRNGKey(0),
+                    300.0)
+    with pytest.raises(ValueError, match="not both"):
+        run_md(system, st, n_steps=10, dt=0.001, friction=1.0,
+               temperature_K=300.0, report_interval=10,
+               force_fn=fn, bias_fn=lambda x: jnp.sum(x**2))
+
+
+def test_run_md_cache_reuses_self_built_force_fn(alanine_system):
+    """Dense-path segment chaining (force_fn=None) must hit the compile
+    cache on the second call — keying on the fresh closure's id() would
+    recompile every segment."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmarlo_tpu.md.integrate import _RUN_MD_CACHE, run_md, thermalize
+
+    system, positions, _ = alanine_system
+    st = thermalize(system, jnp.asarray(positions), jax.random.PRNGKey(1),
+                    300.0)
+    _RUN_MD_CACHE.clear()
+    run_md(system, st, n_steps=20, dt=0.0005, friction=1.0,
+           temperature_K=300.0, report_interval=20)
+    assert len(_RUN_MD_CACHE) == 1
+    run_md(system, st, n_steps=20, dt=0.0005, friction=1.0,
+           temperature_K=300.0, report_interval=20)
+    assert len(_RUN_MD_CACHE) == 1, "second identical call missed the cache"

@@ -118,3 +118,42 @@ def test_config_schedule_and_validation():
     assert all(isinstance(s, int) for s in cfg.schedule())
     with pytest.raises(Exception):
         DeepTICAConfig(lag=0)
+
+
+def test_vamp2_gradient_finite_when_cholesky_rung_fails():
+    """Indefinite C00 makes the jitter ladder's first rung produce NaNs;
+    the gradient must stay finite (double-where sanitization), or
+    ill-conditioned training silently diverges to NaN weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmarlo_tpu.ml.losses import vamp2_loss_from_covariances
+
+    # indefinite symmetric matrix: cholesky(C + 0*jitter) fails
+    C00 = jnp.asarray([[1.0, 0.0], [0.0, -0.5]], jnp.float32)
+    Ctt = jnp.eye(2, dtype=jnp.float32)
+    C0t = 0.3 * jnp.eye(2, dtype=jnp.float32)
+
+    def loss_of(c00):
+        loss, _ = vamp2_loss_from_covariances(c00, C0t, Ctt, ridge=0.0)
+        return loss
+
+    val = loss_of(C00)
+    g = jax.grad(loss_of)(C00)
+    assert bool(jnp.isfinite(val)), val
+    assert bool(jnp.isfinite(g).all()), g
+
+
+def test_whitening_refuses_impossible_unit_covariance():
+    import numpy as np
+    import pytest
+
+    from pmarlo_tpu.ml.whitening import WhiteningError, apply_output_transform
+
+    meta = {"mean": np.zeros(2), "transform": np.eye(2),
+            "output_transform_applied": True}
+    with pytest.raises(WhiteningError, match="more samples"):
+        apply_output_transform(np.ones((2, 2)), meta,
+                               enforce_unit_covariance=True)
+    with pytest.raises(WhiteningError, match="2D"):
+        apply_output_transform(np.ones(4), meta)

@@ -287,3 +287,25 @@ def test_lag_selector_perfect_ck_error_scores_best():
     assert s_perfect > s_small
     # and a perfect error beats the None fallback by the full 10x weight
     assert s_perfect - _lag_score(None, 1.0, 10.0, True) == 10.0
+
+
+def test_silhouette_singleton_scores_zero_and_kmeans_degenerate():
+    from pmarlo_tpu.msm.clustering import cluster_microstates, silhouette_score
+
+    rng = np.random.default_rng(0)
+    # two tight clusters + one extreme outlier forced into a singleton
+    X = np.concatenate([
+        rng.normal(0, 0.1, (50, 2)), rng.normal(5, 0.1, (50, 2)),
+        [[100.0, 100.0]],
+    ]).astype(np.float32)
+    labels = np.asarray([0] * 50 + [1] * 50 + [2])
+    s3 = silhouette_score(X, labels, n_states=3)
+    # sklearn scores the singleton 0; a (b-a)/b == 1 bonus would push
+    # the 3-cluster mean ABOVE the honest 2-cluster structure
+    assert s3 < 0.99
+    # fewer distinct points than k: must not crash or emit NaN centers
+    Xd = np.asarray([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]] * 30,
+                    dtype=np.float32)
+    res = cluster_microstates(Xd, n_states=5, seed=0)
+    assert np.asarray(res.labels).shape[0] == 90
+    assert np.isfinite(res.centers).all()
