@@ -10,12 +10,8 @@ Coordinates are nm on the Python side, Angstrom on disk (DCD convention).
 from __future__ import annotations
 
 import ctypes
-import hashlib
 import logging
-import os
 import struct
-import subprocess
-import tempfile
 from pathlib import Path
 from typing import Optional, Tuple
 
@@ -23,53 +19,22 @@ import numpy as np
 
 logger = logging.getLogger("pmarlo_tpu")
 
-_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _lib: Optional[ctypes.CDLL] = None
 _native_failed = False
 
 
-def _cache_dir() -> Path:
-    base = os.environ.get("PMARLO_CACHE_DIR") or os.environ.get(
-        "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
-    )
-    return Path(base) / "pmarlo_tpu"
-
-
 def _load_native() -> Optional[ctypes.CDLL]:
-    """Compile native/dcd.cpp on demand into a user cache dir.
-
-    The binary is keyed by a content hash of the source, so stale builds
-    can never shadow an edited source (mtimes are unreliable after git
-    checkout) and the package directory is never written to (works on
-    read-only installs). No prebuilt binaries ship in the repo.
-    """
+    """Compile native/dcd.cpp on demand (shared recipe: _native_build)."""
     global _lib, _native_failed
     if _lib is not None or _native_failed:
         return _lib
-    src = _NATIVE_DIR / "dcd.cpp"
+    from ._native_build import build_native
+
+    lib = build_native("dcd.cpp", "libpmarlo_dcd")
+    if lib is None:
+        _native_failed = True
+        return None
     try:
-        if not src.exists():
-            raise OSError(f"native source missing: {src}")
-        digest = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
-        so_path = _cache_dir() / f"libpmarlo_dcd-{digest}.so"
-        if not so_path.exists():
-            so_path.parent.mkdir(parents=True, exist_ok=True)
-            # build to a temp name + atomic rename: concurrent importers
-            # never load a half-written .so
-            fd, tmp = tempfile.mkstemp(
-                suffix=".so", dir=str(so_path.parent)
-            )
-            os.close(fd)
-            try:
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, str(src)],
-                    check=True, capture_output=True, timeout=120,
-                )
-                os.replace(tmp, so_path)
-            finally:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
-        lib = ctypes.CDLL(str(so_path))
         lib.pmarlo_dcd_write.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
@@ -86,7 +51,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
         ]
         lib.pmarlo_dcd_read.restype = ctypes.c_int
         _lib = lib
-    except (OSError, subprocess.SubprocessError) as exc:
+    except OSError as exc:
         logger.info("native DCD codec unavailable (%s); using Python fallback", exc)
         _native_failed = True
     return _lib
@@ -148,6 +113,10 @@ def _py_read(path: Path) -> np.ndarray:
             rec()
         axes = [np.frombuffer(rec(), dtype="<f4") for _ in range(3)]
         frames.append(np.stack(axes, axis=1))
+    if not frames:
+        # a header-only file (writer died before frame 1) must still
+        # report its atom count and a (0, N, 3) shape, not a (0,) array
+        return np.zeros((0, n_atoms, 3), dtype=np.float32)
     return np.asarray(frames)
 
 
@@ -210,6 +179,10 @@ def read_dcd(
         if count is None:
             count = n_frames - start
         count = max(min(count, n_frames - start), 0)
+        if count == 0:
+            # the native reader rejects count <= 0; an empty selection
+            # (or a header-only file) is still a valid (0, N, 3) result
+            return np.zeros((0, n_atoms, 3), dtype=np.float32)
         out = np.empty((count, n_atoms, 3), dtype=np.float32)
         rc = lib.pmarlo_dcd_read(
             str(path).encode(),

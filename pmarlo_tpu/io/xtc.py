@@ -11,12 +11,8 @@ tests. Coordinates are float32 nm (the native XTC unit), layout (T, N, 3).
 from __future__ import annotations
 
 import ctypes
-import hashlib
 import logging
-import os
 import struct
-import subprocess
-import tempfile
 from pathlib import Path
 from typing import Optional, Tuple
 
@@ -24,7 +20,6 @@ import numpy as np
 
 logger = logging.getLogger("pmarlo_tpu")
 
-_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _lib: Optional[ctypes.CDLL] = None
 _native_failed = False
 
@@ -44,38 +39,18 @@ _FIRSTIDX = 9
 _LASTIDX = len(_MAGICINTS)  # 73
 
 
-def _cache_dir() -> Path:
-    base = os.environ.get("PMARLO_CACHE_DIR") or os.environ.get(
-        "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
-    )
-    return Path(base) / "pmarlo_tpu"
-
-
 def _load_native() -> Optional[ctypes.CDLL]:
-    """Compile native/xtc.cpp on demand, keyed by a source-content hash."""
+    """Compile native/xtc.cpp on demand (shared recipe: _native_build)."""
     global _lib, _native_failed
     if _lib is not None or _native_failed:
         return _lib
-    src = _NATIVE_DIR / "xtc.cpp"
+    from ._native_build import build_native
+
+    lib = build_native("xtc.cpp", "libpmarlo_xtc")
+    if lib is None:
+        _native_failed = True
+        return None
     try:
-        if not src.exists():
-            raise OSError(f"native source missing: {src}")
-        digest = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
-        so_path = _cache_dir() / f"libpmarlo_xtc-{digest}.so"
-        if not so_path.exists():
-            so_path.parent.mkdir(parents=True, exist_ok=True)
-            fd, tmp = tempfile.mkstemp(suffix=".so", dir=str(so_path.parent))
-            os.close(fd)
-            try:
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, str(src)],
-                    check=True, capture_output=True, timeout=120,
-                )
-                os.replace(tmp, so_path)
-            finally:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
-        lib = ctypes.CDLL(str(so_path))
         fp = ctypes.POINTER(ctypes.c_float)
         ip = ctypes.POINTER(ctypes.c_int32)
         lib.pmarlo_xtc_probe.argtypes = [
@@ -94,7 +69,7 @@ def _load_native() -> Optional[ctypes.CDLL]:
         ]
         lib.pmarlo_xtc_write.restype = ctypes.c_int
         _lib = lib
-    except (OSError, subprocess.SubprocessError) as exc:
+    except OSError as exc:
         logger.info("native XTC codec unavailable (%s); using Python fallback", exc)
         _native_failed = True
     return _lib

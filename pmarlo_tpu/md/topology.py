@@ -42,14 +42,25 @@ class Topology:
         return len(self.atom_names)
 
     def neighbor_sets(self) -> List[Set[int]]:
+        # memoized: build_system's parameter/exclusion assembly calls the
+        # graph walks repeatedly; on a 12k-atom system the repeated
+        # Python traversals (dihedral enumeration especially) dominated
+        # prep cost. Topology is treated as immutable after build.
+        cached = self.__dict__.get("_neighbor_sets")
+        if cached is not None:
+            return cached
         neighbors: List[Set[int]] = [set() for _ in range(self.n_atoms)]
         for a, b in self.bonds:
             neighbors[int(a)].add(int(b))
             neighbors[int(b)].add(int(a))
+        self.__dict__["_neighbor_sets"] = neighbors
         return neighbors
 
     def angles(self) -> np.ndarray:
         """All unique bonded triples (i, j, k): paths of length 2."""
+        cached = self.__dict__.get("_angles")
+        if cached is not None:
+            return cached
         neighbors = self.neighbor_sets()
         out = []
         for j in range(self.n_atoms):
@@ -57,10 +68,15 @@ class Topology:
             for ii in range(len(nbrs)):
                 for kk in range(ii + 1, len(nbrs)):
                     out.append((nbrs[ii], j, nbrs[kk]))
-        return np.asarray(out, dtype=np.int64).reshape(-1, 3)
+        arr = np.asarray(out, dtype=np.int64).reshape(-1, 3)
+        self.__dict__["_angles"] = arr
+        return arr
 
     def proper_dihedrals(self) -> np.ndarray:
         """All unique bonded quadruples (i, j, k, l): paths of length 3."""
+        cached = self.__dict__.get("_proper_dihedrals")
+        if cached is not None:
+            return cached
         neighbors = self.neighbor_sets()
         out = []
         for j, k in ((int(a), int(b)) for a, b in self.bonds):
@@ -71,7 +87,9 @@ class Topology:
                     if l == j or l == i:
                         continue
                     out.append((i, j, k, l))
-        return np.asarray(out, dtype=np.int64).reshape(-1, 4)
+        arr = np.asarray(out, dtype=np.int64).reshape(-1, 4)
+        self.__dict__["_proper_dihedrals"] = arr
+        return arr
 
     def improper_candidates(self) -> List[Tuple[int, int, int, int]]:
         """(i, j, center, l) quadruples at trivalent centers.
@@ -91,6 +109,9 @@ class Topology:
 
     def exclusion_maps(self) -> Tuple[Set[Tuple[int, int]], Set[Tuple[int, int]]]:
         """Return (excluded12_13, pairs14) as sets of ordered (i<j) tuples."""
+        cached = self.__dict__.get("_exclusion_maps")
+        if cached is not None:
+            return cached
         neighbors = self.neighbor_sets()
         excl: Set[Tuple[int, int]] = set()
         for a, b in self.bonds:
@@ -105,6 +126,7 @@ class Topology:
             key = (min(i, l), max(i, l))
             if key not in excl:
                 pairs14.add(key)
+        self.__dict__["_exclusion_maps"] = (excl, pairs14)
         return excl, pairs14
 
 
@@ -148,9 +170,14 @@ def build_topology(
         for prev, nxt in zip(idxs[:-1], idxs[1:]):
             c = _atom_pos(residues[prev], "C")
             n = _atom_pos(residues[nxt], "N")
+            # no C->N pair = non-peptide adjacency (waters/ions sharing
+            # the protein's chain id in solvated exports): break here, or
+            # the trailing waters would keep the protein's LAST residue
+            # from being segment-last and its OXT would mismatch the
+            # interior template
             broken = (
-                c is not None and n is not None
-                and float(np.linalg.norm(c - n)) > 0.24
+                c is None or n is None
+                or float(np.linalg.norm(c - n)) > 0.24
             )
             if broken:
                 chains[f"{cid}#{seg}"] = current

@@ -64,10 +64,13 @@ _ONE_LETTER = {
 
 _WATER_NAMES = {"HOH", "WAT", "TIP3", "SOL"}
 
-#: protonation variants -> canonical residue (sequence/property reporting)
+#: protonation variants -> canonical residue (sequence/property reporting);
+#: CYX/CYM (disulfide/deprotonated cysteine) must canonicalize too or every
+#: bridged cysteine silently vanishes from sequence, MW, and pI
 _CANONICAL = {
     "ASH": "ASP", "GLH": "GLU", "LYN": "LYS",
     "HID": "HIS", "HIE": "HIS", "HIP": "HIS",
+    "CYX": "CYS", "CYM": "CYS",
 }
 
 
@@ -158,7 +161,13 @@ class Protein:
         else:
             structure = read_pdb(self.source, model=model)
         if self.box is None and getattr(structure, "box", None) is not None:
-            self.box = structure.box  # CRYST1 from a solvated input
+            # adopt CRYST1 as the periodic box only when the input is
+            # actually solvated (contains waters): nearly every raw X-ray
+            # PDB carries a real crystallographic CRYST1, and adopting it
+            # would let explicit_solvent MD run in a meaningless crystal
+            # cell with zero waters instead of raising
+            if any(r.name in _WATER_NAMES for r in structure.residues):
+                self.box = structure.box  # CRYST1 from a solvated input
         if replace_nonstandard_residues:
             from .nonstandard import replace_nonstandard
 

@@ -43,6 +43,13 @@ _FORMAL = {
     "ASH": 0, "GLH": 0, "LYN": 0, "HID": 0, "HIE": 0, "CYM": -1,
 }
 
+#: monatomic ions: charge counted, excluded from the termini walk
+_ION_CHARGE = {
+    "NA": +1, "K": +1, "CL": -1, "MG": +2, "CA": +2, "ZN": +2,
+    "MN": +2, "FE": +2, "LI": +1, "RB": +1, "CS": +1, "BR": -1,
+    "F": -1, "I": -1,
+}
+
 
 def _tip3p_offsets(rng: np.ndarray) -> np.ndarray:
     """H1/H2 offsets (nm) for one water in a random orientation.
@@ -76,10 +83,17 @@ def structure_formal_charge(structure: PDBStructure) -> int:
 
     Termini contribute +1 (free NH3+ N-terminus) and -1 (COO-
     C-terminus) per chain unless capped by ACE/NME."""
+    from ..md.topology import _WATER_NAMES
+
     charge = 0
     chains = {}
     for r in structure.residues:
-        if r.name in ("HOH", "WAT", "NA", "CL"):
+        if r.name in _WATER_NAMES:          # TIP3/SOL variants included
+            continue
+        if r.name in _ION_CHARGE:
+            # ions carry charge but are NOT chain residues — walking
+            # them through the termini loop would add spurious +1/-1
+            charge += _ION_CHARGE[r.name]
             continue
         charge += _FORMAL.get(r.name, 0)
         chains.setdefault(r.chain, []).append(r.name)

@@ -55,6 +55,17 @@ def save_checkpoint(
             "report_interval": remd.config.report_interval,
             "seed": remd.config.seed,
         },
+        # which physics the run was using — resume must reproduce it, so
+        # load_checkpoint validates the caller re-supplies the same modes
+        # (a checkpointed constrained cell-kernel run silently resumed on
+        # the default unconstrained XLA path would blow up at 2 fs)
+        "modes": {
+            "has_force_fn_override": remd._force_fn_is_override,
+            "has_constraints": remd._constraints is not None,
+            "has_bias_fn": remd.bias_fn is not None,
+            "use_pallas": bool(remd.use_pallas),
+            "has_pallas_bias": remd._pallas_bias is not None,
+        },
         "extra": extra or {},
     }
     tmp = path.with_suffix(".tmp.npz")
@@ -69,13 +80,43 @@ def load_checkpoint(
     *,
     bias_fn=None,
     mesh=None,
+    force_fn=None,
+    constraints=None,
+    use_pallas: bool = False,
+    pallas_bias=None,
 ) -> Tuple[ReplicaExchange, Optional[MetaDState], dict]:
-    """Reconstruct a ReplicaExchange (and hills ledger) from a checkpoint."""
+    """Reconstruct a ReplicaExchange (and hills ledger) from a checkpoint.
+
+    The checkpoint records which physics modes the run used (force_fn
+    override, constraints, bias, pallas). The caller must re-supply the
+    SAME modes — a constrained cell-kernel run silently resumed on the
+    default unconstrained path would be a different (and explosive)
+    simulation, so a mode mismatch raises."""
     path = Path(path)
     with np.load(path) as data:
         meta = json.loads(str(data["metadata"]))
         if meta.get("format") != _FORMAT:
             raise ValueError(f"{path} is not a REMD checkpoint ({meta.get('format')})")
+        modes = meta.get("modes", {})
+        supplied = {
+            "has_force_fn_override": force_fn is not None,
+            "has_constraints": constraints is not None,
+            "has_bias_fn": bias_fn is not None,
+            "use_pallas": bool(use_pallas),
+            "has_pallas_bias": pallas_bias is not None,
+        }
+        mismatched = {
+            k: (modes[k], supplied[k])
+            for k in supplied
+            if k in modes and bool(modes[k]) != supplied[k]
+        }
+        if mismatched:
+            raise ValueError(
+                f"checkpoint {path.name} was written with different physics "
+                f"modes than supplied (saved vs supplied): {mismatched} — "
+                "pass the same force_fn/constraints/bias/pallas options the "
+                "original run used"
+            )
         cfg_d = meta["config"]
         config = RemdConfig(
             temperatures=tuple(cfg_d["temperatures"]),
@@ -89,6 +130,8 @@ def load_checkpoint(
         remd = ReplicaExchange(
             system, jnp.asarray(positions[0]), config,
             bias_fn=bias_fn, minimize=False, mesh=mesh,
+            force_fn=force_fn, constraints=constraints,
+            use_pallas=use_pallas, pallas_bias=pallas_bias,
         )
         remd.state = MDState(
             positions=jnp.asarray(positions),

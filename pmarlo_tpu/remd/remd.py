@@ -226,6 +226,8 @@ class ReplicaExchange:
             # batched/stateful entries too so the cell kernel's
             # skin-amortized path stays biased
             force_fn = _compose_bias(force_fn, bias_fn)
+        # recorded in checkpoints so resume validates the same force path
+        self._force_fn_is_override = force_fn is not None
         self._force_fn = force_fn or make_force_fn(system, bias_fn, analytic=True)
         self._constraints = constraints
         if constraints is not None and use_pallas:

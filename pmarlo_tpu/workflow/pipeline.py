@@ -3,9 +3,13 @@ tracemalloc peak-memory accounting, fail-fast status, and JSON checkpoints.
 
 Reconstructed from the reference's CHANGELOG contract (CHANGELOG.md:757-758
 — stage timing banners, throughput + tracemalloc peak-memory summaries;
-:257-258 RunStatus). The checkpoint file makes a pipeline resumable: stages
-whose outputs are recorded are skipped on re-run (shard-level resume is the
-sampling loop's own mechanism, io/shards.py).
+:257-258 RunStatus). The checkpoint file makes a pipeline resumable: a
+completed stage's recorded context updates are REPLAYED on re-run (skipping
+the stage without restoring what it produced would hand downstream stages
+an empty context); shard-level resume is the sampling loop's own mechanism
+(io/shards.py). Context updates are persisted JSON-sanitized — numpy
+arrays round-trip as lists; stages that must hand large arrays downstream
+should write them to disk and pass paths (the reference's shard pattern).
 """
 
 from __future__ import annotations
@@ -19,7 +23,7 @@ import tracemalloc
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional
 
-from ..utils.json_io import read_json, write_json
+from ..utils.json_io import read_json, sanitize_for_json, write_json
 
 logger = logging.getLogger("pmarlo_tpu")
 
@@ -30,6 +34,13 @@ class RunStatus(str, enum.Enum):
     COMPLETED = "completed"
     FAILED = "failed"
     SKIPPED = "skipped"
+
+    @property
+    def counts_as_done(self) -> bool:
+        """SKIPPED means 'completed in an earlier run' — both survive a
+        resume (a resumed run re-writing completed stages as merely
+        'skipped' must not degrade the checkpoint for the NEXT resume)."""
+        return self in (RunStatus.COMPLETED, RunStatus.SKIPPED)
 
 
 @dataclasses.dataclass
@@ -48,6 +59,7 @@ class StageResult:
     wall_time_s: float = 0.0
     peak_memory_mb: Optional[float] = None
     error: Optional[str] = None
+    updates: Optional[Dict[str, Any]] = None
 
     def to_dict(self) -> Dict:
         return {
@@ -56,6 +68,7 @@ class StageResult:
             "wall_time_s": round(self.wall_time_s, 3),
             "peak_memory_mb": self.peak_memory_mb,
             "error": self.error,
+            "updates": self.updates,
         }
 
 
@@ -88,13 +101,17 @@ class Pipeline:
         self.stages.append(Stage(name=name, fn=fn, description=description))
         return self
 
-    def _completed_stages(self) -> set:
+    def _done_stages(self) -> Dict[str, Dict[str, Any]]:
+        """{stage name: recorded context updates} for stages already done
+        (completed in any earlier run, including ones a previous resume
+        re-recorded as skipped)."""
         if self.checkpoint is None or not self.checkpoint.exists():
-            return set()
+            return {}
         data = read_json(self.checkpoint)
         return {
-            r["name"] for r in data.get("stages", [])
-            if r.get("status") == RunStatus.COMPLETED.value
+            r["name"]: (r.get("updates") or {})
+            for r in data.get("stages", [])
+            if RunStatus(r.get("status", "pending")).counts_as_done
         }
 
     def _write_checkpoint(self, status: RunStatus):
@@ -111,13 +128,19 @@ class Pipeline:
     ) -> Dict[str, Any]:
         """Execute all stages; raises after recording a FAILED status."""
         context = dict(context or {})
-        done = self._completed_stages() if resume else set()
+        done = self._done_stages() if resume else {}
         self.results = []
         total_start = time.perf_counter()
         for stage in self.stages:
             if stage.name in done:
                 logger.info("[%s] stage %-20s SKIPPED (checkpoint)", self.name, stage.name)
-                self.results.append(StageResult(stage.name, RunStatus.SKIPPED))
+                # replay the stage's recorded outputs so downstream
+                # stages see the same context as in the original run
+                context.update(done[stage.name])
+                self.results.append(StageResult(
+                    stage.name, RunStatus.SKIPPED,
+                    updates=done[stage.name] or None,
+                ))
                 continue
             banner = f"[{self.name}] stage {stage.name:<20s} RUNNING"
             logger.info(banner)
@@ -135,7 +158,8 @@ class Pipeline:
                 if updates:
                     context.update(updates)
                 self.results.append(StageResult(
-                    stage.name, RunStatus.COMPLETED, wall, peak
+                    stage.name, RunStatus.COMPLETED, wall, peak,
+                    updates=sanitize_for_json(updates) if updates else None,
                 ))
                 logger.info(
                     "[%s] stage %-20s COMPLETED in %.2fs%s",

@@ -114,3 +114,33 @@ def test_proline_ring_not_rotatable():
                 assert _bond_in_ring(a, b, neighbors, topo.residue_ids)
                 found += 1
     assert found >= 3
+
+
+def test_cyx_counts_in_sequence_and_mass():
+    """Disulfide-renamed cysteines (CYX) must canonicalize to CYS for
+    sequence/MW/pI reporting — not vanish."""
+    from pmarlo_tpu.protein.protein import _canonical, _ONE_LETTER, _RESIDUE_MASS
+
+    assert _canonical("CYX") == "CYS"
+    assert _canonical("CYM") == "CYS"
+    assert _ONE_LETTER[_canonical("CYX")] == "C"
+    assert _canonical("CYX") in _RESIDUE_MASS
+
+
+def test_prepare_ignores_crystallographic_cryst1(tmp_path):
+    """A raw X-ray PDB's CRYST1 is a crystal cell, not a solvent box:
+    prepare() must not adopt it when the structure has no waters."""
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.io.pdb import write_pdb
+    from pmarlo_tpu.protein.protein import Protein
+
+    s = alanine_dipeptide_structure()
+    pdb = tmp_path / "xray.pdb"
+    write_pdb(pdb, s.coordinates(),
+              [a.name for r in s.residues for a in r.atoms],
+              [a.resname for r in s.residues for a in r.atoms],
+              [a.resid for r in s.residues for a in r.atoms],
+              box=(5.08, 4.28, 2.90))     # crystallographic CRYST1
+    p = Protein(str(pdb))
+    p.prepare()
+    assert p.box is None, "crystal CRYST1 adopted as a solvent box"

@@ -200,3 +200,25 @@ def test_write_shard_rejects_frame_mismatch(tmp_path):
             features=np.zeros((10, 2), np.float32),
             coordinates=np.zeros((5, 3, 3), np.float32),
         )
+
+
+def test_zero_frame_dcd_probe_and_read(tmp_path):
+    """A header-only DCD (writer died before frame 1) probes as
+    (0, n_atoms) and reads as (0, N, 3)."""
+    import struct
+
+    from pmarlo_tpu.io.dcd import probe_dcd, read_dcd
+
+    def rec(payload: bytes) -> bytes:
+        return struct.pack("<i", len(payload)) + payload + struct.pack(
+            "<i", len(payload))
+
+    header = b"CORD" + struct.pack("<20i", *([0] * 20))
+    title = struct.pack("<i", 0)
+    natoms = struct.pack("<i", 7)
+    p = tmp_path / "empty.dcd"
+    p.write_bytes(rec(header) + rec(title) + rec(natoms))
+    arr = read_dcd(p)
+    assert arr.shape == (0, 7, 3)
+    nf, na = probe_dcd(p)
+    assert (nf, na) == (0, 7)

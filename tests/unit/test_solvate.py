@@ -138,3 +138,25 @@ def test_replace_nonstandard_sep_drops_phosphate():
     # end-to-end: prepares cleanly (repair + H-add absorb the edit)
     p = Protein(out).prepare()
     assert p.topology.n_atoms > 0
+
+
+def test_formal_charge_counts_divalent_ions_and_tip3_waters():
+    """MG2+ contributes +2 to neutralization accounting; TIP3/SOL-named
+    waters are excluded from the termini walk like HOH."""
+    from pmarlo_tpu.io.pdb import PDBAtom, PDBResidue, PDBStructure
+    from pmarlo_tpu.protein.solvate import structure_formal_charge
+
+    def res(name, rid, atoms, chain="A"):
+        return PDBResidue(name=name, resid=rid, chain=chain, atoms=[
+            PDBAtom(name=a, resname=name, resid=rid, chain=chain,
+                    xyz=(0.1 * rid, 0.0, 0.0), element=a[0])
+            for a in atoms
+        ])
+
+    s = PDBStructure(residues=[
+        res("MG", 1, ["MG"], chain="I"),
+        res("TIP3", 2, ["O", "H1", "H2"], chain="W"),
+        res("SOL", 3, ["O", "H1", "H2"], chain="W"),
+    ])
+    # MG alone: +2; waters contribute nothing (no spurious termini)
+    assert structure_formal_charge(s) == 2

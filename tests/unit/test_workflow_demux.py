@@ -102,3 +102,66 @@ def test_dcd_via_trajectory_reader(tmp_path):
     assert r.probe_length() == 4
     np.testing.assert_allclose(r.load(), coords, atol=1e-5)
     assert r.metadata()["format"] == "dcd"
+
+
+def test_pipeline_resume_replays_context_and_survives_rerun(tmp_path):
+    """A skipped stage's recorded context updates must be REPLAYED (a
+    downstream stage consumes them), and a resumed run must not degrade
+    the checkpoint for the NEXT resume."""
+    from pmarlo_tpu.workflow.pipeline import Pipeline
+
+    ckpt = tmp_path / "pipe.json"
+    calls = {"a": 0, "b": 0}
+
+    def stage_a(ctx):
+        calls["a"] += 1
+        return {"x": 41}
+
+    def stage_b(ctx):
+        calls["b"] += 1
+        if calls["b"] == 1:
+            raise RuntimeError("first attempt fails")
+        return {"y": ctx["x"] + 1}   # consumes stage a's output
+
+    def build():
+        return (Pipeline("p", checkpoint=ckpt)
+                .add("a", stage_a).add("b", stage_b))
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        build().run({})
+    # resume 1: 'a' skipped but its {"x": 41} replayed; 'b' succeeds
+    ctx = build().run({})
+    assert ctx["y"] == 42
+    assert calls["a"] == 1
+    # resume 2: BOTH stages still skip (the previous resume must not
+    # have rewritten 'a' into a non-resumable status)
+    ctx = build().run({})
+    assert calls["a"] == 1 and calls["b"] == 2
+    assert ctx["y"] == 42
+
+
+def test_remd_checkpoint_mode_mismatch_raises(tmp_path, alanine_system):
+    """A checkpoint from a constrained/overridden run must refuse to
+    resume on the default physics (silently different simulation)."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from pmarlo_tpu.md.integrate import make_force_fn
+    from pmarlo_tpu.remd.checkpoint import load_checkpoint, save_checkpoint
+    from pmarlo_tpu.remd.remd import RemdConfig, ReplicaExchange
+
+    system, positions, _ = alanine_system
+    cfg = RemdConfig(n_replicas=2, t_min=300, t_max=400,
+                     exchange_frequency=25, report_interval=25, seed=1)
+    fn = make_force_fn(system, None, analytic=True)
+    remd = ReplicaExchange(system, jnp.asarray(positions), cfg,
+                           force_fn=fn, minimize=False)
+    remd.run(n_steps=25)
+    path = save_checkpoint(remd, tmp_path / "ck.npz")
+    with _pytest.raises(ValueError, match="physics modes"):
+        load_checkpoint(path, system)          # no force_fn supplied
+    # matching modes restore fine and continue
+    remd2, hills, _ = load_checkpoint(path, system, force_fn=fn)
+    res = remd2.run(n_steps=25)
+    assert res.positions.shape[1] == 2
