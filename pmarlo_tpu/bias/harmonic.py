@@ -69,6 +69,7 @@ def make_phi_psi_feature_fn(
     atom_names: Sequence[str],
     residue_ids: Sequence[int],
     cos_sin: bool = True,
+    chain_ids: Optional[Sequence[str]] = None,
 ):
     """Single-frame phi/psi feature function for CV bias composition.
 
@@ -80,7 +81,7 @@ def make_phi_psi_feature_fn(
     from ..features.builtins import phi_psi_indices
     from ..md.forces import dihedral_angles
 
-    phi_q, psi_q, _ = phi_psi_indices(atom_names, residue_ids)
+    phi_q, psi_q, _ = phi_psi_indices(atom_names, residue_ids, chain_ids)
     quads = jnp.asarray(np.concatenate([phi_q, psi_q], axis=0))
     if quads.shape[0] == 0:
         raise ValueError("system has no phi/psi dihedrals for a CV bias")

@@ -48,6 +48,9 @@ class TopologyInfo:
     residue_ids: Sequence[int]
     masses: Optional[np.ndarray] = None
     bonds: Optional[np.ndarray] = None   # (NB, 2) — needed by hbonds/sasa
+    #: per-atom chain ids: keeps phi/psi/DSSP from spanning chain
+    #: boundaries when residue numbering continues across chains
+    chain_ids: Optional[Sequence[str]] = None
 
     @classmethod
     def from_topology(cls, topology) -> "TopologyInfo":
@@ -57,6 +60,7 @@ class TopologyInfo:
             residue_names=topology.residue_names,
             residue_ids=topology.residue_ids,
             bonds=np.asarray(topology.bonds),
+            chain_ids=getattr(topology, "chain_ids", None),
         )
 
 
@@ -145,14 +149,14 @@ class PhiPsiFeature(Feature):
     name = "phi_psi"
 
     def __call__(self, traj, top: TopologyInfo):
-        phi_q, psi_q, _ = B.phi_psi_indices(top.atom_names, top.residue_ids)
+        phi_q, psi_q, _ = B.phi_psi_indices(top.atom_names, top.residue_ids, top.chain_ids)
         quads = np.concatenate([phi_q, psi_q], axis=0)
         if quads.shape[0] == 0:
             raise ValueError("system has no phi/psi dihedrals")
         return B.compute_dihedrals(traj, quads)
 
     def n_outputs(self, top: TopologyInfo) -> int:
-        phi_q, psi_q, _ = B.phi_psi_indices(top.atom_names, top.residue_ids)
+        phi_q, psi_q, _ = B.phi_psi_indices(top.atom_names, top.residue_ids, top.chain_ids)
         return phi_q.shape[0] + psi_q.shape[0]
 
     def periodic(self, top: TopologyInfo) -> np.ndarray:
@@ -167,8 +171,8 @@ class BackboneTorsionsFeature(Feature):
     name = "backbone_torsions"
 
     def _quads(self, top: TopologyInfo) -> np.ndarray:
-        phi_q, psi_q, _ = B.phi_psi_indices(top.atom_names, top.residue_ids)
-        omega_q, _ = B.omega_indices(top.atom_names, top.residue_ids)
+        phi_q, psi_q, _ = B.phi_psi_indices(top.atom_names, top.residue_ids, top.chain_ids)
+        omega_q, _ = B.omega_indices(top.atom_names, top.residue_ids, top.chain_ids)
         return np.concatenate([phi_q, psi_q, omega_q], axis=0)
 
     def __call__(self, traj, top: TopologyInfo):

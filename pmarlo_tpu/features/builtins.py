@@ -27,51 +27,63 @@ def _atoms_by_residue(atom_names, residue_ids) -> dict:
     return table
 
 
-def _residue_groups(atom_names, residue_ids):
-    """[(rid, {atom_name: index})] grouped by RUNS of equal resid in atom
-    order — a resid-keyed dict would merge residues from different chains
-    that reuse the same numbering (homodimers commonly number every chain
-    1..N)."""
+def _residue_groups(atom_names, residue_ids, chain_ids=None):
+    """[(rid, chain, {atom_name: index})] grouped by RUNS of equal
+    (resid, chain) in atom order — a resid-keyed dict would merge
+    residues from different chains that reuse the same numbering
+    (homodimers commonly number every chain 1..N). ``chain_ids``
+    (per-atom, optional) also lets dihedral derivation reject
+    consecutive-resid neighbors that sit in DIFFERENT chains (continuous
+    numbering across chains, common in consolidated exports); without
+    it every group reports chain None and only resid continuity guards."""
+    if chain_ids is None:
+        chain_ids = [None] * len(residue_ids)
     groups: list = []
     prev = object()
-    for i, (rid, name) in enumerate(zip(residue_ids, atom_names)):
-        if rid != prev:
-            groups.append((int(rid), {}))
-            prev = rid
-        atoms = groups[-1][1]
+    for i, (rid, ch, name) in enumerate(
+        zip(residue_ids, chain_ids, atom_names)
+    ):
+        if (rid, ch) != prev:
+            groups.append((int(rid), ch, {}))
+            prev = (rid, ch)
+        atoms = groups[-1][2]
         if name not in atoms:
             atoms[name] = i
     return groups
 
 
 def phi_psi_indices(
-    atom_names: Sequence[str], residue_ids: Sequence[int]
+    atom_names: Sequence[str], residue_ids: Sequence[int],
+    chain_ids: Optional[Sequence[str]] = None,
 ) -> Tuple[np.ndarray, np.ndarray, List[int]]:
     """(phi_quads, psi_quads, residue_labels).
 
     phi_i = C(i-1)-N(i)-CA(i)-C(i);  psi_i = N(i)-CA(i)-C(i)-N(i+1).
     Residues missing backbone atoms (caps) are skipped. Neighbors must be
     true peptide predecessors/successors — consecutive resids in atom
-    order; a resid jump (missing loop) or a wrap to a new chain never
-    produces a dihedral across the gap. DELIBERATE deviation from mdtraj:
+    order AND (when per-atom ``chain_ids`` are given) the same chain; a
+    resid jump (missing loop) or a wrap to a new chain never produces a
+    dihedral across the gap. Without chain_ids, continuous numbering
+    across chains cannot be told apart from one chain — pass them
+    (TopologyInfo.from_topology does). DELIBERATE deviation from mdtraj:
     phi and psi are returned as PAIRS per interior residue (mdtraj
     computes them independently, keeping the first residue's psi and the
     last residue's phi); Ramachandran/bias consumers need the pairing.
     """
-    groups = _residue_groups(atom_names, residue_ids)
+    groups = _residue_groups(atom_names, residue_ids, chain_ids)
     phi, psi, labels = [], [], []
     for g in range(1, len(groups)):
-        rid, res = groups[g]
-        prev_rid, prev_res = groups[g - 1]
+        rid, ch, res = groups[g]
+        prev_rid, prev_ch, prev_res = groups[g - 1]
         if not all(a in res for a in ("N", "CA", "C")):
             continue
-        if prev_rid != rid - 1 or "C" not in prev_res:
+        if prev_rid != rid - 1 or prev_ch != ch or "C" not in prev_res:
             continue
         phi_quad = (prev_res["C"], res["N"], res["CA"], res["C"])
         if g + 1 >= len(groups):
             continue
-        nxt_rid, nxt_res = groups[g + 1]
-        if nxt_rid != rid + 1 or "N" not in nxt_res:
+        nxt_rid, nxt_ch, nxt_res = groups[g + 1]
+        if nxt_rid != rid + 1 or nxt_ch != ch or "N" not in nxt_res:
             continue
         psi_quad = (res["N"], res["CA"], res["C"], nxt_res["N"])
         phi.append(phi_quad)
@@ -85,16 +97,17 @@ def phi_psi_indices(
 
 
 def omega_indices(
-    atom_names: Sequence[str], residue_ids: Sequence[int]
+    atom_names: Sequence[str], residue_ids: Sequence[int],
+    chain_ids: Optional[Sequence[str]] = None,
 ) -> Tuple[np.ndarray, List[int]]:
     """omega_i = CA(i-1)-C(i-1)-N(i)-CA(i) peptide-bond dihedrals
-    (consecutive-resid groups only — no dihedral across a chain break
-    or missing-loop gap)."""
-    groups = _residue_groups(atom_names, residue_ids)
+    (consecutive-resid same-chain groups only — no dihedral across a
+    chain break or missing-loop gap)."""
+    groups = _residue_groups(atom_names, residue_ids, chain_ids)
     quads, labels = [], []
     for g in range(1, len(groups)):
-        (prev_rid, a), (cur_rid, b) = groups[g - 1], groups[g]
-        if cur_rid != prev_rid + 1:
+        (prev_rid, prev_ch, a), (cur_rid, cur_ch, b) = groups[g - 1], groups[g]
+        if cur_rid != prev_rid + 1 or cur_ch != prev_ch:
             continue
         prev_ca = a.get("CA", a.get("CH3"))
         cur_ca = b.get("CA", b.get("CH3"))
@@ -124,7 +137,7 @@ def chi1_indices(
         if rid != prev:
             gnames.append(rn)
             prev = rid
-    for (rid, res), rn in zip(groups, gnames):
+    for (rid, _ch, res), rn in zip(groups, gnames):
         gamma = gamma_by_res.get(rn, "CG")
         if all(a in res for a in ("N", "CA", "CB")) and gamma in res:
             quads.append((res["N"], res["CA"], res["CB"], res[gamma]))

@@ -23,7 +23,7 @@ def compute_ramachandran(
     residue_ids: Optional[Sequence[int]] = None,
 ) -> Tuple[np.ndarray, np.ndarray, list]:
     """(phi_deg, psi_deg, residue_labels), each (T, R)."""
-    phi_q, psi_q, labels = phi_psi_indices(top.atom_names, top.residue_ids)
+    phi_q, psi_q, labels = phi_psi_indices(top.atom_names, top.residue_ids, top.chain_ids)
     if residue_ids is not None:
         keep = [i for i, r in enumerate(labels) if r in set(residue_ids)]
         phi_q, psi_q = phi_q[keep], psi_q[keep]

@@ -180,7 +180,7 @@ def ss_fractions(
     A documented simplification of DSSP (reference builtins.py:219 uses
     mdtraj's DSSP; this geometric rule has no H-bond energy term).
     """
-    phi_q, psi_q, _ = phi_psi_indices(top.atom_names, top.residue_ids)
+    phi_q, psi_q, _ = phi_psi_indices(top.atom_names, top.residue_ids, top.chain_ids)
     if phi_q.shape[0] == 0:
         raise ValueError("no phi/psi dihedrals for secondary structure")
     phi = jnp.rad2deg(compute_dihedrals(traj, phi_q))
@@ -214,31 +214,38 @@ def _backbone_indices(
     (R,) index of the amide H (-1 when absent — synthesized from the
     previous C=O direction, the standard DSSP reconstruction).
 
-    Residues are grouped SEQUENTIALLY by runs of equal residue id in
-    atom order — not by a resid-keyed dict, which would merge residues
-    from different chains that reuse the same numbering (homodimers
-    commonly number every chain 1..N)."""
+    Residues are grouped SEQUENTIALLY by runs of equal (residue id,
+    chain) in atom order — not by a resid-keyed dict, which would merge
+    residues from different chains that reuse the same numbering
+    (homodimers commonly number every chain 1..N). The returned chain
+    array (group-level) lets contiguity tests reject consecutive resids
+    that sit in different chains (continuous numbering across chains)."""
+    chains = top.chain_ids if top.chain_ids is not None else (
+        [None] * len(top.residue_ids)
+    )
     groups: list = []
-    prev_rid = object()
-    for i, (rid, name, rn) in enumerate(zip(
-        top.residue_ids, top.atom_names, top.residue_names
+    prev_key = object()
+    for i, (rid, ch, name, rn) in enumerate(zip(
+        top.residue_ids, chains, top.atom_names, top.residue_names
     )):
-        if rid != prev_rid:
-            groups.append((rid, rn, {}))
-            prev_rid = rid
-        atoms = groups[-1][2]
+        if (rid, ch) != prev_key:
+            groups.append((rid, ch, rn, {}))
+            prev_key = (rid, ch)
+        atoms = groups[-1][3]
         if name in ("N", "CA", "C", "O", "H", "HN") and name not in atoms:
             atoms[name] = i
     bb = np.full((len(groups), 4), -1, np.int64)
     hh = np.full(len(groups), -1, np.int64)
-    resnames, rids = [], []
-    for r, (rid, rn, atoms) in enumerate(groups):
+    resnames, rids, gchains = [], [], []
+    for r, (rid, ch, rn, atoms) in enumerate(groups):
         for c, name in enumerate(("N", "CA", "C", "O")):
             bb[r, c] = atoms.get(name, -1)
         hh[r] = atoms.get("H", atoms.get("HN", -1))
         resnames.append(rn)
         rids.append(int(rid))
-    return bb, hh, np.asarray(resnames), np.asarray(rids, np.int64)
+        gchains.append(ch)
+    return (bb, hh, np.asarray(resnames), np.asarray(rids, np.int64),
+            gchains)
 
 
 def kabsch_sander_hbonds(
@@ -252,7 +259,7 @@ def kabsch_sander_hbonds(
     direction (h = n + 0.101 nm * unit(c_prev - o_prev)), exactly the
     Kabsch-Sander reconstruction. Prolines and chain starts never
     donate."""
-    bb, hh, resnames, rids = _backbone_indices(top)
+    bb, hh, resnames, rids, gchains = _backbone_indices(top)
     R = bb.shape[0]
     valid = (bb >= 0).all(axis=1)
     # donors without an explicit H need the previous residue's C/O for H
@@ -263,7 +270,9 @@ def kabsch_sander_hbonds(
     # direction must not place this residue's amide H.
     has_h = hh >= 0
     contig = np.zeros(R, bool)
-    contig[1:] = rids[1:] == rids[:-1] + 1
+    contig[1:] = (rids[1:] == rids[:-1] + 1) & np.asarray(
+        [gchains[r] == gchains[r - 1] for r in range(1, R)], bool
+    )
     prev_ok = np.zeros(R, bool)
     prev_ok[1:] = valid[:-1]
     prev_ok &= contig

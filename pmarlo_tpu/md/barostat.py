@@ -307,6 +307,19 @@ def run_npt(
                 md_plus_move, carry, None, length=moves_per_chunk
             )
             v = bstate.box[0] * bstate.box[1] * bstate.box[2]
+            # synchronize velocities with the trailing half-kick before
+            # reporting T — same convention as run_md's frames, so NPT
+            # and NVT segments report comparable temperatures (the raw
+            # folded-leapfrog velocity is half a kick behind)
+            _e, f_now, _fs = force_fn.apply_dynamic(
+                st.positions, fstate, bstate.box
+            )
+            v_sync = (st.velocities
+                      + 0.5 * dt * f_now / system.masses[:, None])
+            if constraints is not None:
+                from .constraints import rattle
+
+                v_sync = rattle(constraints, v_sync, st.positions)
             frame = {
                 "positions": st.positions,
                 "box": bstate.box,
@@ -314,7 +327,7 @@ def run_npt(
                 * total_mass / v,
                 "potential_energy": energies[-1],
                 "temperature": instantaneous_temperature(
-                    system, st.velocities, n_con
+                    system, v_sync, n_con
                 ),
             }
             return (st, fstate, bstate), frame
@@ -327,11 +340,17 @@ def run_npt(
             )
             return st, bstate, frames
 
-        _RUN_NPT_CACHE[cache_key] = scan_fn
+        # keep conn alive alongside the program: the closure captures only
+        # the derived mol array, so without this a GC'd full_system's id
+        # could be recycled by a DIFFERENT system and silently hit this
+        # entry with the wrong molecule grouping
+        _RUN_NPT_CACHE[cache_key] = (scan_fn, conn)
 
     if barostat_state is None:
         barostat_state = init_barostat(system.box, jax.random.PRNGKey(seed))
-    final, bstate, frames = _RUN_NPT_CACHE[cache_key](state, barostat_state)
+    final, bstate, frames = _RUN_NPT_CACHE[cache_key][0](
+        state, barostat_state
+    )
     return final, bstate, frames
 
 

@@ -52,17 +52,24 @@ def kinetic_energy(system: System, velocities: jax.Array) -> jax.Array:
 
 
 def instantaneous_temperature(
-    system: System, velocities: jax.Array, n_constraints: int = 0
+    system: System, velocities: jax.Array, n_constraints: int = 0,
+    remove_com: bool = False,
 ) -> jax.Array:
     """Kinetic temperature. ``n_constraints`` removes constrained dof
     (rigid waters/H bonds) so constrained runs report the true T.
 
-    No -3 COM term: the Langevin O-step noise re-thermalizes the center
-    of mass within ~1/friction (nothing removes COM motion during the
-    run), so steady-state KE is (3N - n_con)/2 kT; subtracting 3 would
-    bias reported T high by 3N/(3N-3) — ~5% on a dipeptide. OpenMM
-    likewise subtracts 3 only when a CMMotionRemover is active."""
-    n_dof = max(3 * system.n_atoms - int(n_constraints), 1)
+    ``remove_com`` subtracts the 3 center-of-mass dof. Langevin runs
+    (friction > 0) must NOT: the O-step noise re-thermalizes the COM
+    within ~1/friction (nothing removes COM motion during the run), so
+    steady-state KE is (3N - n_con)/2 kT; subtracting 3 would bias
+    reported T high by 3N/(3N-3) — ~5% on a dipeptide. NVE runs
+    (friction == 0) MUST: thermalize() zeroes the COM momentum and
+    velocity Verlet conserves it exactly (internal forces sum to zero),
+    so only 3N - 3 - n_con dof carry kinetic energy. OpenMM draws the
+    same line via its CMMotionRemover."""
+    n_dof = max(
+        3 * system.n_atoms - int(n_constraints) - (3 if remove_com else 0), 1
+    )
     return 2.0 * kinetic_energy(system, velocities) / (
         n_dof * BOLTZMANN_CONSTANT_KJ_PER_MOL
     )
@@ -318,8 +325,10 @@ def run_md(
             frame = {
                 "positions": new_state.positions,
                 "potential_energy": e_now,
+                # friction == 0 is NVE: COM momentum is conserved at the
+                # zero thermalize() set, so the COM dof carry no KE
                 "temperature": instantaneous_temperature(
-                    system, v_sync, n_con
+                    system, v_sync, n_con, remove_com=(friction == 0.0)
                 ),
             }
             return (new_state, temp, fstate), frame

@@ -1,0 +1,172 @@
+"""Shared explicit-solvent MD setup: one recipe for every entry point.
+
+``run_segment`` (md/simulation.py) and ``run_replica_exchange``
+(remd/remd.py) both accept a solvated PDB and must build the SAME
+physics from it — water detection, nonbonded engine selection, rigid
+water/H-bond constraints, constrained-bonded stripping, and the
+dual minimize/MD force-fn split (minimization relaxes the FULL system
+including stiff X-H bonds; MD runs the stripped system under SHAKE,
+OpenMM createSystem semantics). Keeping two inline copies let them
+drift (the REMD copy missed NPT routing and dispersion wiring) — this
+module is the single source.
+
+Replaces the system-construction role of the reference's OpenMM
+createSystem call (src/pmarlo/simulation/__init__.py:64-71) for the
+periodic path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+
+from .forcefield import System, build_system
+from .topology import _WATER_NAMES
+
+
+def is_explicit_solvent(structure) -> bool:
+    """A periodic box AND waters = explicit-solvent input. The shared
+    water-name set (HOH/WAT/TIP3/SOL) keeps GROMACS-style SOL boxes on
+    the explicit path instead of silently dropping their waters."""
+    has_waters = any(r.name in _WATER_NAMES for r in structure.residues)
+    return getattr(structure, "box", None) is not None and has_waters
+
+
+@dataclasses.dataclass
+class ExplicitSetup:
+    """Everything an explicit-solvent driver needs, built consistently."""
+
+    system: System               # full system (stiff X-H bonds kept)
+    md_system: System            # constrained bonded terms stripped
+    positions: jax.Array
+    constraints: object          # SHAKE/RATTLE spec (or None)
+    md_force_fn: Callable        # MD path (possibly stateful cell kernel)
+    minimize_force_fn: Optional[Callable]  # FULL-system kernel, or None
+    nonbonded: str               # resolved engine name
+
+
+def resolve_nonbonded(
+    nonbonded: str, n_atoms: int, *, require_cells: bool = False
+) -> str:
+    """Resolve "auto" and validate. The dense sweep streams (N, N)
+    exclusion matrices — past a few thousand atoms the O(N) cell kernel
+    wins on both compute and memory. ``require_cells`` (NPT: the
+    barostat's dynamic box only exists in the cell engine) forces the
+    cell path regardless of size."""
+    if nonbonded == "auto":
+        return "cells" if (n_atoms >= 3000 or require_cells) else "dense"
+    if nonbonded not in ("dense", "cells", "pme"):
+        raise ValueError(
+            f"nonbonded must be auto|dense|cells|pme, got {nonbonded!r}"
+        )
+    return nonbonded
+
+
+def compose_bias(force_fn: Callable, bias_fn: Callable) -> Callable:
+    """Wrap ``force_fn(x) -> (e, f)`` so energies AND forces include the
+    CV bias (force = -grad of the bias energy), preserving the cell
+    kernel's stateful/batched entries (init_state / apply /
+    init_state_batched / apply_batched) used by the skin-amortized
+    paths. Single source for run_segment AND the REMD driver — the
+    force/bias composition rule must not drift between entry points."""
+
+    def wrapped(x):
+        e, f = force_fn(x)
+        be, bg = jax.value_and_grad(bias_fn)(x)
+        return e + be, f - bg
+
+    if hasattr(force_fn, "init_state"):
+        def _apply(x, st):
+            e, f, st = force_fn.apply(x, st)
+            be, bg = jax.value_and_grad(bias_fn)(x)
+            return e + be, f - bg, st
+
+        wrapped.init_state = force_fn.init_state
+        wrapped.apply = _apply
+    if hasattr(force_fn, "init_state_batched"):
+        def _apply_batched(xs, st):
+            e_b, f_b, st = force_fn.apply_batched(xs, st)
+            be_b, bg_b = jax.vmap(jax.value_and_grad(bias_fn))(xs)
+            return e_b + be_b, f_b - bg_b, st
+
+        wrapped.init_state_batched = force_fn.init_state_batched
+        wrapped.apply_batched = _apply_batched
+    return wrapped
+
+
+def build_explicit_setup(
+    structure,
+    *,
+    box: Optional[Tuple[float, float, float]] = None,
+    cutoff: float = 0.9,
+    nonbonded: str = "auto",
+    require_cells: bool = False,
+    dispersion_correction: bool = False,
+    build_minimize_fn: bool = True,
+    interpret: Optional[bool] = None,
+) -> ExplicitSetup:
+    """Build the full explicit-solvent setup from a solvated structure.
+
+    ``box`` overrides the structure's CRYST1 (resume paths carry the
+    evolved box); ``build_minimize_fn=False`` skips the FULL-system
+    kernel's grid/exclusion setup entirely (resume paths never
+    minimize). The minimize fn aliases the MD fn when stripping was a
+    no-op (no constraints), so nothing is built twice."""
+    system, positions = build_system(
+        structure, box=box if box is not None else structure.box,
+        cutoff=cutoff,
+    )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nonbonded = resolve_nonbonded(
+        nonbonded, system.n_atoms, require_cells=require_cells
+    )
+
+    from .constraints import build_h_constraints, strip_constrained_bonded
+
+    constraints = build_h_constraints(system)
+    # MD forces drop bonded terms the constraints replace (OpenMM
+    # createSystem semantics); minimization keeps the FULL system —
+    # unconstrained relaxation needs the stiff X-H bonds
+    md_system = (strip_constrained_bonded(system)
+                 if constraints is not None else system)
+
+    if nonbonded == "dense":
+        if dispersion_correction:
+            raise ValueError(
+                "dispersion_correction (NPT) needs the cell-list engine "
+                "(nonbonded='cells' or 'pme'), not 'dense'"
+            )
+        from .pallas_periodic import build_periodic_force_fn
+
+        def _build(sys_):
+            return build_periodic_force_fn(sys_, interpret=interpret)
+    else:
+        from .pallas_cells import build_cell_force_fn
+
+        elec = "pme" if nonbonded == "pme" else "rf"
+
+        def _build(sys_):
+            return build_cell_force_fn(
+                sys_, interpret=interpret, electrostatics=elec,
+                dispersion_correction=dispersion_correction,
+            )
+
+    md_force_fn = _build(md_system)
+    minimize_force_fn = None
+    if build_minimize_fn:
+        minimize_force_fn = (md_force_fn if md_system is system
+                             else _build(system))
+    return ExplicitSetup(
+        system=system, md_system=md_system, positions=positions,
+        constraints=constraints, md_force_fn=md_force_fn,
+        minimize_force_fn=minimize_force_fn, nonbonded=nonbonded,
+    )
+
+
+__all__ = [
+    "ExplicitSetup", "build_explicit_setup", "compose_bias",
+    "is_explicit_solvent", "resolve_nonbonded",
+]

@@ -111,17 +111,12 @@ def run_segment(
     # zero friction = velocity Verlet (the O-step of BAOAB is identity)
     md_friction = 0.0 if ensemble == "nve" else friction_per_ps
     from ..io.pdb import read_pdb
-    from .topology import _WATER_NAMES
+    from .setup import build_explicit_setup, is_explicit_solvent
 
     structure = read_pdb(pdb_file)
-    # shared water-name set (HOH/WAT/TIP3/SOL) so e.g. GROMACS-style SOL
-    # boxes route to the explicit path instead of silently dropping waters
-    has_waters = any(r.name in _WATER_NAMES for r in structure.residues)
-    explicit = structure.box is not None and has_waters
+    explicit = is_explicit_solvent(structure)
 
     if explicit:
-        from .constraints import build_h_constraints
-
         if initial_barostat_state is not None:
             box = tuple(float(b) for b in np.asarray(initial_barostat_state.box))
         elif initial_box is not None:
@@ -134,76 +129,26 @@ def run_segment(
                     "the PDB's CRYST1 record during the previous segment"
                 )
             box = structure.box
-        system, positions = build_system(
-            structure, box=box, cutoff=cutoff
+        # NPT gets the LJ tail term (OpenMM useDispersionCorrection
+        # default): its 1/V dependence sets the equilibrium density
+        # (~0.98 vs 0.968 g/cm^3 measured on a 27k TIP3P box). The
+        # FULL-system force fn (stiff X-H bonds kept) is only ever
+        # consumed by the minimizer — resume skips its grid/exclusion
+        # setup entirely.
+        setup = build_explicit_setup(
+            structure, box=box, cutoff=cutoff, nonbonded=nonbonded,
+            require_cells=(ensemble == "npt"),
+            dispersion_correction=(ensemble == "npt"),
+            build_minimize_fn=initial_state is None,
         )
-        interpret = jax.default_backend() != "tpu"
-        if nonbonded == "auto":
-            # the dense sweep streams (N, N) exclusion matrices — past a
-            # few thousand atoms the O(N) cell kernel wins on both
-            # compute and memory. The cell kernel shares the dense
-            # sweep's minimum-image validity bound (box >= 2*cutoff).
-            # NPT always needs the cell engine (the barostat's dynamic
-            # box only exists there), regardless of size.
-            nonbonded = (
-                "cells"
-                if system.n_atoms >= 3000 or ensemble == "npt"
-                else "dense"
-            )
-        constraints = build_h_constraints(system)
-        # MD forces drop bonded terms the constraints replace (OpenMM
-        # createSystem semantics); minimization keeps the FULL system —
-        # unconstrained relaxation needs the stiff X-H bonds
-        from .constraints import strip_constrained_bonded
+        system, positions = setup.system, setup.positions
+        md_system, constraints = setup.md_system, setup.constraints
+        md_base_fn, base_fn = setup.md_force_fn, setup.minimize_force_fn
+        nonbonded = setup.nonbonded
+        from .setup import compose_bias
 
-        md_system = (strip_constrained_bonded(system)
-                     if constraints is not None else system)
-        if nonbonded == "dense":
-            from .pallas_periodic import build_periodic_force_fn
-
-            def _build(sys_):
-                return build_periodic_force_fn(sys_, interpret=interpret)
-        elif nonbonded in ("cells", "pme"):
-            from .pallas_cells import build_cell_force_fn
-
-            elec = "pme" if nonbonded == "pme" else "rf"
-            # NPT gets the LJ tail term (OpenMM useDispersionCorrection
-            # default): its 1/V dependence sets the equilibrium density
-            # (~0.98 vs 0.968 g/cm^3 measured on a 27k TIP3P box)
-            disp = ensemble == "npt"
-
-            def _build(sys_):
-                return build_cell_force_fn(
-                    sys_, interpret=interpret, electrostatics=elec,
-                    dispersion_correction=disp,
-                )
-        else:
-            raise ValueError(
-                f"nonbonded must be auto|dense|cells|pme, got {nonbonded!r}"
-            )
-        md_base_fn = _build(md_system)
-        # the FULL-system force fn (stiff X-H bonds kept) is only ever
-        # consumed by the minimizer — skip its grid/exclusion setup and
-        # device arrays entirely on resume, where minimize is skipped
-        base_fn = None
-        if initial_state is None:
-            base_fn = (md_base_fn if md_system is system
-                       else _build(system))
-        if bias_fn is not None:
-            def _force_fn(x, _f=md_base_fn):
-                e, f = _f(x)
-                be, bg = jax.value_and_grad(bias_fn)(x)
-                return e + be, f - bg
-            if hasattr(md_base_fn, "init_state"):
-                # preserve the skin-amortized stateful path under bias
-                def _apply(x, st, _f=md_base_fn):
-                    e, f, st = _f.apply(x, st)
-                    be, bg = jax.value_and_grad(bias_fn)(x)
-                    return e + be, f - bg, st
-                _force_fn.init_state = md_base_fn.init_state
-                _force_fn.apply = _apply
-        else:
-            _force_fn = md_base_fn
+        _force_fn = (compose_bias(md_base_fn, bias_fn)
+                     if bias_fn is not None else md_base_fn)
         # minimize through the same tiled periodic kernel MD uses — the
         # dense XLA energy would cap solvated size by minimizer memory
         if initial_state is not None:
@@ -372,7 +317,10 @@ def _check_resume_state(initial_state, system, seed):
 
 def _attach_total_energy(result, system, n_con: int) -> None:
     """total_energy (F,) = PE + KE, with KE recovered from the reported
-    kinetic temperature (the same dof convention the reporter used)."""
+    kinetic temperature. Only called on NVE results, whose reporter uses
+    the remove_com convention (integrate.py instantaneous_temperature:
+    3N - 3 - n_con dof) — the inversion here must match EXACTLY or
+    total_energy = PE + KE*(wrong dof ratio) shows spurious drift."""
     n_dof = max(3 * system.n_atoms - 3 - int(n_con), 1)
     from ..constants import BOLTZMANN_CONSTANT_KJ_PER_MOL
 

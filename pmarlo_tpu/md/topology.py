@@ -36,6 +36,10 @@ class Topology:
     positions: np.ndarray          # (N, 3) nm
     residue_atom_ranges: List[Tuple[int, int]]  # per residue [start, stop)
     residue_sequence: List[str]
+    #: per-atom chain identifier; feature index derivation (phi/psi/DSSP)
+    #: needs it to avoid building dihedrals across chain boundaries when
+    #: residue numbering runs continuously through multiple chains
+    chain_ids: Optional[List[str]] = None
 
     @property
     def n_atoms(self) -> int:
@@ -193,6 +197,7 @@ def build_topology(
     elements: List[str] = []
     res_names: List[str] = []
     res_ids: List[int] = []
+    chain_list: List[str] = []
     positions: List[Tuple[float, float, float]] = []
     bonds: List[Tuple[int, int]] = []
     ranges: List[Tuple[int, int]] = []
@@ -250,6 +255,7 @@ def build_topology(
             elements.append(a.element)
             res_names.append(res.name)
             res_ids.append(res.resid)
+            chain_list.append(res.chain)
             positions.append(a.xyz)
         ranges.append((start, len(atom_names)))
         seq.append(res.name)
@@ -307,6 +313,7 @@ def build_topology(
         positions=np.asarray(positions, dtype=np.float64).reshape(-1, 3),
         residue_atom_ranges=ranges,
         residue_sequence=seq,
+        chain_ids=chain_list,
     )
 
 

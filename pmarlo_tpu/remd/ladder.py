@@ -183,6 +183,16 @@ def suggest_temperature_ladder(
         T2 = 0.5 * (lo + hi)
         ladder.append(T2)
         predicted.append(acc(T2))
+    if ladder[-1] < t_max:
+        # no silent caps: a truncated ladder installed as the production
+        # ladder would never sample near the requested t_max
+        raise ValueError(
+            f"acceptance-targeted ladder needs more than max_rungs="
+            f"{max_rungs} rungs to span [{t_min}, {t_max}] K at target "
+            f"acceptance {target_acceptance} (reached {ladder[-1]:.1f} K "
+            f"after {len(ladder)} rungs) — raise max_rungs, lower the "
+            "target acceptance, or narrow the temperature range"
+        )
     return np.asarray(ladder, np.float64), predicted
 
 

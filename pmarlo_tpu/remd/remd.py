@@ -140,35 +140,9 @@ class RemdResult:
         return np.asarray(frames)
 
 
-def _compose_bias(force_fn: Callable, bias_fn: Callable) -> Callable:
-    """Wrap ``force_fn(x) -> (e, f)`` so energies AND forces include the
-    CV bias (force = -grad of the bias energy), preserving the cell
-    kernel's stateful/batched entries (init_state / apply /
-    init_state_batched / apply_batched) used by the skin-amortized
-    replica path."""
-
-    def wrapped(x):
-        e, f = force_fn(x)
-        be, bg = jax.value_and_grad(bias_fn)(x)
-        return e + be, f - bg
-
-    if hasattr(force_fn, "init_state"):
-        def _apply(x, st):
-            e, f, st = force_fn.apply(x, st)
-            be, bg = jax.value_and_grad(bias_fn)(x)
-            return e + be, f - bg, st
-
-        wrapped.init_state = force_fn.init_state
-        wrapped.apply = _apply
-    if hasattr(force_fn, "init_state_batched"):
-        def _apply_batched(xs, st):
-            e_b, f_b, st = force_fn.apply_batched(xs, st)
-            be_b, bg_b = jax.vmap(jax.value_and_grad(bias_fn))(xs)
-            return e_b + be_b, f_b - bg_b, st
-
-        wrapped.init_state_batched = force_fn.init_state_batched
-        wrapped.apply_batched = _apply_batched
-    return wrapped
+# single source for the force/bias composition rule (run_segment uses
+# the same one — the two entry points must not drift)
+from ..md.setup import compose_bias as _compose_bias  # noqa: E402
 
 
 class ReplicaExchange:
@@ -687,54 +661,27 @@ def run_replica_exchange(
 
     from ..io.pdb import read_pdb
     from ..md.forcefield import build_system
-    from ..md.topology import _WATER_NAMES
+    from ..md.setup import build_explicit_setup, is_explicit_solvent
 
     config = config or RemdConfig()
     structure = read_pdb(pdb_file) if not hasattr(pdb_file, "residues") \
         else pdb_file
-    has_waters = any(r.name in _WATER_NAMES for r in structure.residues)
-    explicit = structure.box is not None and has_waters
+    explicit = is_explicit_solvent(structure)
 
     constraints = None
     force_fn = None
     minimize_fn = None
     if explicit:
-        from ..md.constraints import (
-            build_h_constraints,
-            strip_constrained_bonded,
+        # the SAME setup recipe run_segment uses (md/setup.py): engine
+        # selection, rigid-water/H constraints, stripped MD system, and
+        # the full-system minimizer kernel
+        setup = build_explicit_setup(
+            structure, cutoff=cutoff, nonbonded=nonbonded
         )
-
-        system, positions = build_system(
-            structure, box=structure.box, cutoff=cutoff
-        )
-        interpret = jax.default_backend() != "tpu"
-        if nonbonded == "auto":
-            nonbonded = "cells" if system.n_atoms >= 3000 else "dense"
-        constraints = build_h_constraints(system)
-        md_system = (strip_constrained_bonded(system)
-                     if constraints is not None else system)
-        if nonbonded == "dense":
-            from ..md.pallas_periodic import build_periodic_force_fn
-
-            minimize_fn = build_periodic_force_fn(system,
-                                                  interpret=interpret)
-            force_fn = (build_periodic_force_fn(md_system,
-                                                interpret=interpret)
-                        if md_system is not system else minimize_fn)
-        elif nonbonded in ("cells", "pme"):
-            from ..md.pallas_cells import build_cell_force_fn
-
-            elec = "pme" if nonbonded == "pme" else "rf"
-            minimize_fn = build_cell_force_fn(
-                system, interpret=interpret, electrostatics=elec
-            )
-            force_fn = (build_cell_force_fn(md_system, interpret=interpret,
-                                            electrostatics=elec)
-                        if md_system is not system else minimize_fn)
-        else:
-            raise ValueError(
-                f"nonbonded must be auto|dense|cells|pme, got {nonbonded!r}"
-            )
+        system, positions = setup.system, setup.positions
+        constraints = setup.constraints
+        force_fn = setup.md_force_fn
+        minimize_fn = setup.minimize_force_fn
     else:
         system, positions = build_system(
             structure, implicit_solvent=implicit_solvent, gb_model=gb_model

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import logging
+import numbers
 import time
 import traceback
 import tracemalloc
@@ -43,6 +44,24 @@ class RunStatus(str, enum.Enum):
         return self in (RunStatus.COMPLETED, RunStatus.SKIPPED)
 
 
+def _json_clean(obj: Any) -> bool:
+    """True when ``obj`` round-trips through a JSON checkpoint without
+    losing type fidelity (scalars/str/lists/dicts only — numpy arrays,
+    Systems, models do not; tuples degrade to lists, which downstream
+    indexing tolerates)."""
+    if obj is None or isinstance(obj, (bool, str)):
+        return True
+    if isinstance(obj, numbers.Real):  # int/float incl. numpy scalars
+        return True
+    if isinstance(obj, (list, tuple)):
+        return all(_json_clean(v) for v in obj)
+    if isinstance(obj, dict):
+        return all(
+            isinstance(k, str) and _json_clean(v) for k, v in obj.items()
+        )
+    return False
+
+
 @dataclasses.dataclass
 class Stage:
     """One pipeline stage: fn(context) -> dict of context updates."""
@@ -60,6 +79,10 @@ class StageResult:
     peak_memory_mb: Optional[float] = None
     error: Optional[str] = None
     updates: Optional[Dict[str, Any]] = None
+    #: the stage's live outputs could NOT be faithfully JSON-recorded
+    #: (arrays, Systems, models) — replaying the sanitized form would
+    #: hand downstream stages str(obj) reprs, so resume re-runs instead
+    updates_lossy: bool = False
 
     def to_dict(self) -> Dict:
         return {
@@ -69,6 +92,7 @@ class StageResult:
             "peak_memory_mb": self.peak_memory_mb,
             "error": self.error,
             "updates": self.updates,
+            "updates_lossy": self.updates_lossy,
         }
 
 
@@ -104,15 +128,28 @@ class Pipeline:
     def _done_stages(self) -> Dict[str, Dict[str, Any]]:
         """{stage name: recorded context updates} for stages already done
         (completed in any earlier run, including ones a previous resume
-        re-recorded as skipped)."""
+        re-recorded as skipped). Stages whose outputs could not be
+        faithfully JSON-recorded (updates_lossy) are deliberately NOT
+        done: replaying str(obj)/list-ified reprs would silently corrupt
+        downstream context, so resume re-runs them instead."""
         if self.checkpoint is None or not self.checkpoint.exists():
             return {}
         data = read_json(self.checkpoint)
-        return {
-            r["name"]: (r.get("updates") or {})
-            for r in data.get("stages", [])
-            if RunStatus(r.get("status", "pending")).counts_as_done
-        }
+        done = {}
+        for r in data.get("stages", []):
+            if not RunStatus(r.get("status", "pending")).counts_as_done:
+                continue
+            if r.get("updates_lossy"):
+                logger.warning(
+                    "[%s] stage %s will RE-RUN on resume: its outputs "
+                    "(live objects/arrays) cannot round-trip through the "
+                    "JSON checkpoint — stages that must skip on resume "
+                    "should write artifacts to disk and pass paths",
+                    self.name, r["name"],
+                )
+                continue
+            done[r["name"]] = r.get("updates") or {}
+        return done
 
     def _write_checkpoint(self, status: RunStatus):
         if self.checkpoint is None:
@@ -160,6 +197,7 @@ class Pipeline:
                 self.results.append(StageResult(
                     stage.name, RunStatus.COMPLETED, wall, peak,
                     updates=sanitize_for_json(updates) if updates else None,
+                    updates_lossy=bool(updates) and not _json_clean(updates),
                 ))
                 logger.info(
                     "[%s] stage %-20s COMPLETED in %.2fs%s",

@@ -205,3 +205,50 @@ def test_phi_psi_indices_homodimer_duplicate_resids():
     assert phi.shape == (2, 4)
     # second chain's quads index its own atoms (offset by 12)
     assert phi[1].min() >= 12
+
+
+def test_phi_psi_indices_continuous_numbering_across_chains():
+    """Continuous residue numbering across chains (A:1-3, B:4-6, common
+    in consolidated exports) must NOT produce inter-chain dihedrals when
+    per-atom chain ids are supplied."""
+    from pmarlo_tpu.features.builtins import phi_psi_indices
+
+    names, rids, chains = [], [], []
+    for rid, ch in ((1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B"), (6, "B")):
+        names += ["N", "CA", "C", "O"]
+        rids += [rid] * 4
+        chains += [ch] * 4
+    # without chain ids the boundary is invisible: 4 interior residues
+    _, _, labels_blind = phi_psi_indices(names, rids)
+    assert labels_blind == [2, 3, 4, 5]
+    # with chain ids: only the true interior residue of each chain
+    phi, psi, labels = phi_psi_indices(names, rids, chains)
+    assert labels == [2, 5]
+    assert phi[1].min() >= 12 and psi[0].max() < 16
+
+
+def test_dssp_contig_respects_chain_ids():
+    """Amide-H synthesis must not use the previous GROUP's C=O when that
+    group sits in a different chain (continuous numbering)."""
+    import numpy as np
+
+    from pmarlo_tpu.features.base import TopologyInfo
+    from pmarlo_tpu.features.structure import _backbone_indices
+
+    names, rids, chains, rnames = [], [], [], []
+    for rid, ch in ((1, "A"), (2, "A"), (3, "B"), (4, "B")):
+        names += ["N", "CA", "C", "O"]
+        rids += [rid] * 4
+        chains += [ch] * 4
+        rnames += ["ALA"] * 4
+    top = TopologyInfo(atom_names=names, residue_names=rnames,
+                       residue_ids=rids, chain_ids=chains)
+    bb, hh, resnames, rids_arr, gchains = _backbone_indices(top)
+    assert gchains == ["A", "A", "B", "B"]
+    # resid 3 (chain B first residue) is consecutive in number with
+    # resid 2 (chain A) but must be a chain start, not contiguous
+    contig = np.zeros(4, bool)
+    contig[1:] = (rids_arr[1:] == rids_arr[:-1] + 1) & np.asarray(
+        [gchains[r] == gchains[r - 1] for r in range(1, 4)], bool
+    )
+    assert list(contig) == [False, True, False, True]

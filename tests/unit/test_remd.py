@@ -417,3 +417,22 @@ def test_second_run_ids_history_head_is_pre_run_permutation(
     final_perm = np.asarray(r1.replica_ids[-1])
     r2 = remd.run(n_steps=100)
     np.testing.assert_array_equal(np.asarray(r2.replica_ids[0]), final_perm)
+
+
+def test_suggest_ladder_raises_on_max_rungs_truncation(
+    alanine_system_module,
+):
+    """A ladder that cannot span [t_min, t_max] within max_rungs must
+    raise, not silently return one that never samples near t_max."""
+    import jax.numpy as jnp
+
+    from pmarlo_tpu.remd.ladder import suggest_temperature_ladder
+
+    system, x, _ = alanine_system_module
+    with pytest.raises(ValueError, match="max_rungs"):
+        suggest_temperature_ladder(
+            system, jnp.asarray(x), t_min=300.0, t_max=500.0,
+            # an extreme target forces tiny rung gaps
+            target_acceptance=0.99, max_rungs=4,
+            probe_steps=200, seed=1,
+        )

@@ -165,3 +165,38 @@ def test_remd_checkpoint_mode_mismatch_raises(tmp_path, alanine_system):
     remd2, hills, _ = load_checkpoint(path, system, force_fn=fn)
     res = remd2.run(n_steps=25)
     assert res.positions.shape[1] == 2
+
+
+def test_pipeline_resume_reruns_lossy_stages(tmp_path):
+    """A stage whose outputs cannot round-trip through the JSON
+    checkpoint (arrays, live objects) must RE-RUN on resume — replaying
+    str(obj)/list-ified reprs would silently corrupt downstream context."""
+    import numpy as np
+
+    from pmarlo_tpu.workflow.pipeline import Pipeline
+
+    ckpt = tmp_path / "pipe.json"
+    calls = {"a": 0, "b": 0}
+
+    def stage_a(ctx):
+        calls["a"] += 1
+        return {"arr": np.arange(4, dtype=np.float32)}   # NOT json-clean
+
+    def stage_b(ctx):
+        calls["b"] += 1
+        if calls["b"] == 1:
+            raise RuntimeError("first attempt fails")
+        # downstream consumes the LIVE array: .dtype only exists if the
+        # stage re-ran (a replayed checkpoint value would be a list)
+        return {"total": float(ctx["arr"].sum())}
+
+    def build():
+        return (Pipeline("p", checkpoint=ckpt)
+                .add("a", stage_a).add("b", stage_b))
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        build().run({})
+    ctx = build().run({})
+    assert ctx["total"] == 6.0
+    assert calls["a"] == 2, "lossy stage must re-run, not replay"
