@@ -92,8 +92,11 @@ class PDBResidue:
 class PDBStructure:
     residues: List[PDBResidue]
     n_models: int = 1
-    #: orthorhombic box lengths (nm) from CRYST1, when present
+    #: lattice-diagonal box lengths (nm) from CRYST1, when present
     box: "Tuple[float, float, float] | None" = None
+    #: triclinic off-diagonals (bx, cx, cy) nm in GROMACS reduced form
+    #: (md/box.py), from CRYST1 angles; None -> orthorhombic
+    tilt: "Tuple[float, float, float] | None" = None
     #: chain -> SEQRES residue names (loop modeling, protein/loops.py)
     seqres: "Dict[str, List[str]] | None" = None
 
@@ -140,6 +143,7 @@ def read_pdb(path: "str | Path", model: int = 1) -> PDBStructure:
     current_model = 1
     in_wanted_model = True
     box = None
+    tilt = None
 
     seqres: Dict[str, List[str]] = {}
     for line in path.read_text().splitlines():
@@ -159,19 +163,26 @@ def read_pdb(path: "str | Path", model: int = 1) -> PDBStructure:
                     gamma = float(line[47:54])
                 except (ValueError, IndexError):
                     alpha = beta = gamma = 90.0
-                if max(abs(alpha - 90.0), abs(beta - 90.0),
-                       abs(gamma - 90.0)) > 1e-3:
-                    # Triclinic cells are not supported by the
-                    # per-component minimum-image periodic path; treating
-                    # them as orthorhombic would silently corrupt forces.
-                    logger.warning(
-                        "CRYST1 cell in %s is triclinic "
-                        "(angles %.2f/%.2f/%.2f); ignoring box — periodic "
-                        "MD requires an orthorhombic cell", path,
-                        alpha, beta, gamma,
-                    )
-                elif a > 0 and b > 0 and c > 0:
-                    box = (a, b, c)
+                if a > 0 and b > 0 and c > 0:
+                    if max(abs(alpha - 90.0), abs(beta - 90.0),
+                           abs(gamma - 90.0)) > 1e-3:
+                        # triclinic cell (GROMACS/CHARMM-GUI prep):
+                        # convert to the reduced lattice form the cell
+                        # engine runs on (md/box.py)
+                        from ..md.box import from_lengths_angles
+
+                        try:
+                            box, tilt = from_lengths_angles(
+                                a, b, c, alpha, beta, gamma
+                            )
+                        except ValueError:
+                            logger.warning(
+                                "CRYST1 cell in %s is degenerate "
+                                "(angles %.2f/%.2f/%.2f); ignoring box",
+                                path, alpha, beta, gamma,
+                            )
+                    else:
+                        box = (a, b, c)
             except ValueError:
                 pass
             continue
@@ -216,7 +227,7 @@ def read_pdb(path: "str | Path", model: int = 1) -> PDBStructure:
     if not residues:
         raise ValueError(f"no ATOM records found in {path} (model {model})")
     return PDBStructure(residues=residues, n_models=max(n_models, 1),
-                        box=box, seqres=seqres or None)
+                        box=box, tilt=tilt, seqres=seqres or None)
 
 
 def write_pdb(
@@ -229,11 +240,13 @@ def write_pdb(
     chain: str = "A",
     chains: Optional[Sequence[str]] = None,
     box: Optional[Sequence[float]] = None,
+    tilt: Optional[Sequence[float]] = None,
 ) -> Path:
     """Write one model. ``coordinates`` (N, 3) in nm.
 
     ``chains`` (per-atom) overrides the single ``chain``; ``box`` (nm, 3
-    lengths) emits an orthorhombic CRYST1 record (solvated exports).
+    lengths) emits a CRYST1 record (solvated exports), with ``tilt``
+    (bx, cx, cy — md/box.py) encoded as cell angles for triclinic cells.
     Serials and resids use hybrid-36 numbering past their PDB field
     widths (99999 / 9999) so large solvated systems round-trip with
     unique residue ids (wrapping would merge distinct waters on read)."""
@@ -248,10 +261,17 @@ def write_pdb(
         elements = [_guess_element(a, "") for a in atom_names]
     lines = []
     if box is not None:
-        a, b, c = (float(x) * 10.0 for x in box)  # nm -> A
+        if tilt is not None:
+            from ..md.box import to_lengths_angles
+
+            a, b, c, al, be, ga = to_lengths_angles(box, tilt)
+            a, b, c = a * 10.0, b * 10.0, c * 10.0  # nm -> A
+        else:
+            a, b, c = (float(x) * 10.0 for x in box)
+            al = be = ga = 90.0
         lines.append(
             f"CRYST1{a:9.3f}{b:9.3f}{c:9.3f}"
-            f"{90.0:7.2f}{90.0:7.2f}{90.0:7.2f} P 1           1"
+            f"{al:7.2f}{be:7.2f}{ga:7.2f} P 1           1"
         )
     for i in range(n):
         name = atom_names[i]

@@ -65,6 +65,11 @@ class CellGrid:
     ny: int
     nz: int
     capacity: int              # M: atom slots per cell
+    #: triclinic off-diagonals (bx, cx, cy), md/box.py reduced form;
+    #: None -> orthorhombic. Cells are then parallelepipeds binned in
+    #: FRACTIONAL coordinates; the 27-neighborhood cover argument runs
+    #: through perpendicular slab widths instead of edge lengths.
+    tilt: "Tuple[float, float, float] | None" = None
 
     @property
     def n_cells(self) -> int:
@@ -76,8 +81,24 @@ class CellGrid:
 
     @property
     def cell_size(self) -> Tuple[float, float, float]:
-        return (self.box[0] / self.nx, self.box[1] / self.ny,
-                self.box[2] / self.nz)
+        """Per-axis slab thickness bounding the neighborhood cover: the
+        edge length for orthorhombic grids, the perpendicular width per
+        cell layer for triclinic ones."""
+        if self.tilt is None:
+            return (self.box[0] / self.nx, self.box[1] / self.ny,
+                    self.box[2] / self.nz)
+        from .box import box_matrix, perp_widths
+
+        pw = perp_widths(box_matrix(self.box, self.tilt))
+        return (float(pw[0]) / self.nx, float(pw[1]) / self.ny,
+                float(pw[2]) / self.nz)
+
+    def matrices(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(H, Hinv) as float64 numpy (static jit constants)."""
+        from .box import box_matrix
+
+        H = box_matrix(self.box, self.tilt)
+        return H, np.linalg.inv(H)
 
 
 def make_cell_grid(
@@ -88,6 +109,7 @@ def make_cell_grid(
     occupancy_margin: float = 1.4,
     min_headroom: int = 8,
     lane_align: bool = False,
+    tilt: "Tuple[float, float, float] | None" = None,
 ) -> CellGrid:
     """Choose the grid: max cells with edge >= cutoff per axis; capacity
     from mean occupancy with margin. Density fluctuations in liquids are
@@ -98,9 +120,19 @@ def make_cell_grid(
     (nz * M rows, (nz+2) * M ghost run) are multiples of 128 — a Mosaic
     lowering requirement on real TPUs (interpret mode only needs the
     sublane multiple of 8)."""
-    nx = max(int(np.floor(box[0] / cutoff)), 1)
-    ny = max(int(np.floor(box[1] / cutoff)), 1)
-    nz = max(int(np.floor(box[2] / cutoff)), 1)
+    if tilt is None:
+        widths = np.asarray(box, np.float64)
+    else:
+        from .box import box_matrix, perp_widths, validate_reduced
+
+        H = box_matrix(box, tilt)
+        validate_reduced(H)
+        # the neighborhood-cover condition bounds the PERPENDICULAR
+        # slab width per cell layer, not the (longer) edge length
+        widths = perp_widths(H)
+    nx = max(int(np.floor(widths[0] / cutoff)), 1)
+    ny = max(int(np.floor(widths[1] / cutoff)), 1)
+    nz = max(int(np.floor(widths[2] / cutoff)), 1)
     mean_occ = n_atoms / float(nx * ny * nz)
     cap = int(np.ceil(occupancy_margin * mean_occ)) + min_headroom
     if lane_align:
@@ -115,7 +147,9 @@ def make_cell_grid(
     else:
         cap = ((cap + 7) // 8) * 8
     return CellGrid(box=tuple(float(b) for b in box), cutoff=float(cutoff),
-                    nx=int(nx), ny=int(ny), nz=int(nz), capacity=int(cap))
+                    nx=int(nx), ny=int(ny), nz=int(nz), capacity=int(cap),
+                    tilt=(tuple(float(t) for t in tilt)
+                          if tilt is not None else None))
 
 
 def bin_atoms(grid: CellGrid, x: jax.Array, box: jax.Array | None = None):
@@ -131,14 +165,31 @@ def bin_atoms(grid: CellGrid, x: jax.Array, box: jax.Array | None = None):
     compiled program while the grid SHAPE (nx, ny, nz, capacity) stays
     static. Callers must keep box/n_cells >= cutoff (the cell force fn
     poisons the energy when a volume move breaks the cover)."""
-    if box is None:
-        box_arr = jnp.asarray(grid.box, x.dtype)
-    else:
-        box_arr = box.astype(x.dtype)
-    # wrap into the primary box
-    xw = x - jnp.floor(x / box_arr) * box_arr
     ncell = jnp.asarray([grid.nx, grid.ny, grid.nz], x.dtype)
-    c = (xw / (box_arr / ncell)).astype(jnp.int32)
+    if grid.tilt is None:
+        if box is None:
+            box_arr = jnp.asarray(grid.box, x.dtype)
+        else:
+            box_arr = box.astype(x.dtype)
+        # wrap into the primary box
+        xw = x - jnp.floor(x / box_arr) * box_arr
+        f = xw / box_arr
+    else:
+        # triclinic: bin on FRACTIONAL coordinates (x = f @ H); the
+        # cells are parallelepipeds and the cover argument runs through
+        # perpendicular slab widths (make_cell_grid). The dynamic-box
+        # override is orthorhombic-only (NPT keeps tilt = None).
+        if box is not None:
+            raise ValueError(
+                "dynamic-box binning is orthorhombic-only; triclinic "
+                "cells use the static-box path"
+            )
+        H_np, Hinv_np = grid.matrices()
+        Hj = jnp.asarray(H_np, x.dtype)
+        f = x @ jnp.asarray(Hinv_np, x.dtype)
+        f = f - jnp.floor(f)
+        xw = f @ Hj
+    c = (f * ncell).astype(jnp.int32)
     cx = jnp.clip(c[:, 0], 0, grid.nx - 1)
     cy = jnp.clip(c[:, 1], 0, grid.ny - 1)
     cz = jnp.clip(c[:, 2], 0, grid.nz - 1)
@@ -314,13 +365,25 @@ def ghost_pad(grid: CellGrid, slots: jax.Array,
         bx, by, bz = grid.box
     else:
         bx, by, bz = box[0], box[1], box[2]
-    # shift coordinates of the wrapped boundary layers
+    # shift coordinates of the wrapped boundary layers by the LATTICE
+    # VECTOR of the crossed face: a = (ax, 0, 0), b = (tbx, by, 0),
+    # c = (tcx, tcy, cz). Orthorhombic tilt components are zero, so the
+    # extra adds vanish there; corner ghosts sit in several boundary
+    # layers and accumulate each crossed vector, exactly as required.
+    tbx, tcx, tcy = grid.tilt if grid.tilt is not None else (0.0, 0.0, 0.0)
     g = g.at[0, 0, :, :, :].add(-bx)
     g = g.at[0, -1, :, :, :].add(bx)
     g = g.at[1, :, 0, :, :].add(-by)
     g = g.at[1, :, -1, :, :].add(by)
     g = g.at[2, :, :, 0, :].add(-bz)
     g = g.at[2, :, :, -1, :].add(bz)
+    if grid.tilt is not None:
+        g = g.at[0, :, 0, :, :].add(-tbx)      # b-vector x component
+        g = g.at[0, :, -1, :, :].add(tbx)
+        g = g.at[0, :, :, 0, :].add(-tcx)      # c-vector x component
+        g = g.at[0, :, :, -1, :].add(tcx)
+        g = g.at[1, :, :, 0, :].add(-tcy)      # c-vector y component
+        g = g.at[1, :, :, -1, :].add(tcy)
     return g.reshape(C, -1)
 
 

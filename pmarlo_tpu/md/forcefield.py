@@ -222,6 +222,7 @@ def build_system(
     implicit_solvent: bool = True,
     gb_model: str = "obc2",
     box: Optional[Tuple[float, float, float]] = None,
+    tilt: Optional[Tuple[float, float, float]] = None,
     cutoff: float = 0.9,
     dtype=jnp.float32,
     dense_scales: Optional[bool] = None,
@@ -233,20 +234,38 @@ def build_system(
     "obc2" (default) or "gbn2" (the reference's amber14 + implicit/gbn2,
     src/pmarlo/simulation/__init__.py:64-71; see md/gbn2.py).
 
-    ``box`` (nm, orthorhombic lengths) switches to the EXPLICIT-solvent
+    ``box`` (nm, lattice diagonal) switches to the EXPLICIT-solvent
     periodic path: min-image LJ + reaction-field electrostatics with
     ``cutoff`` (OpenMM CutoffPeriodic semantics), GB disabled, and
     waters/ions retained in the topology (TIP3P + Joung-Cheatham).
+    ``tilt`` = (bx, cx, cy) adds triclinic off-diagonals in GROMACS
+    reduced form (md/box.py) — rhombic-dodecahedron / sheared cells.
     """
     if gb_model not in ("obc2", "gbn2"):
         raise ValueError(f"gb_model must be obc2|gbn2, got {gb_model!r}")
+    if tilt is not None and box is None:
+        raise ValueError("tilt without box: a triclinic cell needs both")
     if box is not None:
         implicit_solvent = False
-        if any(b <= 2.0 * cutoff for b in box):
-            raise ValueError(
-                f"every box length must exceed 2*cutoff = {2*cutoff} nm "
-                f"(minimum-image validity); got {box}"
-            )
+        if tilt is None:
+            if any(b <= 2.0 * cutoff for b in box):
+                raise ValueError(
+                    f"every box length must exceed 2*cutoff = {2*cutoff} "
+                    f"nm (minimum-image validity); got {box}"
+                )
+        else:
+            from .box import box_matrix, perp_widths, validate_reduced
+
+            H = box_matrix(box, tilt)
+            validate_reduced(H)
+            pw = perp_widths(H)
+            if np.min(pw) <= 2.0 * cutoff:
+                raise ValueError(
+                    "every perpendicular cell width must exceed "
+                    f"2*cutoff = {2 * cutoff} nm (triclinic minimum-"
+                    f"image validity); box {box} tilt {tilt} has "
+                    f"widths {tuple(np.round(pw, 3))}"
+                )
     if isinstance(source, Topology):
         topology = source
     else:
@@ -331,6 +350,7 @@ def build_system(
         gb_offset=(0.009 if gb_model == "obc2" else 0.0195141),
         gb_neck_scale=(0.0 if gb_model == "obc2" else 0.826836),
         box=box,
+        tilt=(tuple(float(t) for t in tilt) if tilt is not None else None),
         cutoff=cutoff,
     )
     positions = jnp.asarray(topology.positions, dtype=dtype)

@@ -137,7 +137,15 @@ def periodic_nonbonded_energy(
     box = jnp.asarray(system.box, dtype=positions.dtype)
     rc = system.cutoff
     diff = positions[:, None, :] - positions[None, :, :]
-    diff = diff - box * jnp.round(diff / box)
+    tilt = getattr(system, "tilt", None)
+    if tilt is None:
+        diff = diff - box * jnp.round(diff / box)
+    else:
+        # triclinic oracle: exact 27-image minimum (the rounded image
+        # can overestimate skewed-cell distances near the cutoff)
+        from .box import box_matrix, min_image_exact
+
+        diff = min_image_exact(diff, box_matrix(system.box, tilt))
     r2 = jnp.sum(diff * diff, axis=-1)
     n = r2.shape[0]
     eye = jnp.eye(n, dtype=positions.dtype)

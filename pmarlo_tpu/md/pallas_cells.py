@@ -262,14 +262,27 @@ def build_cell_force_fn(
         )
     n = system.n_atoms
     box_f = tuple(float(b) for b in system.box)
+    tilt_f = getattr(system, "tilt", None)
+    if tilt_f is not None:
+        tilt_f = tuple(float(t) for t in tilt_f)
+    if tilt_f is not None:
+        from .box import box_matrix, perp_widths, validate_reduced
+
+        H_np = box_matrix(box_f, tilt_f)
+        validate_reduced(H_np)
+        Hinv_np = np.linalg.inv(H_np)
+        min_width = float(np.min(perp_widths(H_np)))
+    else:
+        H_np = Hinv_np = None
+        min_width = min(box_f)
     grid = make_cell_grid(box_f, float(system.cutoff), n,
                           occupancy_margin=occupancy_margin,
-                          lane_align=not interpret)
+                          lane_align=not interpret, tilt=tilt_f)
     # Skin-amortized binning (NeighborState): most grids already have
     # free slack (cell edge = box/floor(box/rc) > rc) that costs zero
     # extra kernel work; only when the box divides too evenly do we
     # coarsen the grid to buy a minimum skin.
-    if min(box_f) < 2.0 * float(system.cutoff):
+    if min_width < 2.0 * float(system.cutoff):
         # on a 1-/2-cell axis the neighborhood legitimately contains the
         # same cell through both wrap directions; the two copies carry
         # DIFFERENT shifts, so a pair appears at distances d and L-d.
@@ -277,9 +290,11 @@ def build_cell_force_fn(
         # is silently double-counted, so refuse (the same minimum-image
         # validity bound the dense sweep assumes).
         raise ValueError(
-            f"box {box_f} is smaller than 2*cutoff ({2 * system.cutoff}) "
-            "on some axis: periodic pairs would be double-counted. Use a "
-            "larger box or a smaller cutoff."
+            f"box {box_f} (tilt {tilt_f}) has a perpendicular width "
+            f"smaller than 2*cutoff ({2 * system.cutoff}): periodic "
+            "pairs would be double-counted (and the triclinic rounded "
+            "minimum image would be unreliable). Use a larger box or a "
+            "smaller cutoff."
         )
     if skin == "auto":
         sk = free_skin(grid)
@@ -287,7 +302,7 @@ def build_cell_force_fn(
             coarser = make_cell_grid(
                 box_f, float(system.cutoff) + min_skin, n,
                 occupancy_margin=occupancy_margin,
-                lane_align=not interpret,
+                lane_align=not interpret, tilt=tilt_f,
             )
             if min(coarser.nx, coarser.ny, coarser.nz) >= 3:
                 grid = dataclasses.replace(
@@ -300,7 +315,7 @@ def build_cell_force_fn(
             grid = dataclasses.replace(
                 make_cell_grid(box_f, float(system.cutoff) + sk, n,
                                occupancy_margin=occupancy_margin,
-                               lane_align=not interpret),
+                               lane_align=not interpret, tilt=tilt_f),
                 cutoff=float(system.cutoff),
             )
             sk = free_skin(grid)
@@ -309,7 +324,7 @@ def build_cell_force_fn(
         # same cell; skinning must never break the neighborhood cover
         grid = make_cell_grid(box_f, float(system.cutoff), n,
                               occupancy_margin=occupancy_margin,
-                              lane_align=not interpret)
+                              lane_align=not interpret, tilt=tilt_f)
         sk = max(free_skin(grid), 0.0)
     use_pme = electrostatics == "pme"
     if use_pme:
@@ -322,10 +337,11 @@ def build_cell_force_fn(
         # order-6/0.05 nm reference); spacing tracks alpha so accuracy
         # holds as the tolerance moves
         pme_order = 6
-        mesh_shape = pme_grid_shape(
-            tuple(float(b) for b in system.box),
-            pme_spacing(pme_order, alpha),
-        )
+        # triclinic: mesh resolution follows the lattice-vector LENGTHS
+        # (the spline spacing along each fractional axis in real units)
+        lengths = (box_f if tilt_f is None else
+                   tuple(float(np.linalg.norm(H_np[i])) for i in range(3)))
+        mesh_shape = pme_grid_shape(lengths, pme_spacing(pme_order, alpha))
     else:
         alpha = 0.0
         mesh_shape = None
@@ -407,6 +423,18 @@ def build_cell_force_fn(
     bx, by, bz = (float(b) for b in system.box)
     box_arr = jnp.asarray([bx, by, bz], jnp.float32)
     rc = float(system.cutoff)
+    if tilt_f is None:
+        def _min_image(d, b):
+            return d - b * jnp.round(d / b)
+    else:
+        # rounded fractional minimum image — exact below half the
+        # smallest perpendicular width (md/box.py), which covers every
+        # cutoff-bounded pair here since min_width >= 2*cutoff
+        _Hj = jnp.asarray(H_np, jnp.float32)
+        _Hinvj = jnp.asarray(Hinv_np, jnp.float32)
+
+        def _min_image(d, b):
+            return d - jnp.round(d @ _Hinvj) @ _Hj
     eps_rf = float(system.solvent_dielectric)
     k_rf = (eps_rf - 1.0) / ((2.0 * eps_rf + 1.0) * rc**3)
     c_rf = 1.0 / rc + k_rf * rc * rc
@@ -464,7 +492,7 @@ def build_cell_force_fn(
             xj = jnp.roll(x, -k, axis=0)
             valid = (iota + k < N).astype(x.dtype)
             d = x - xj
-            d = d - bx_arr * jnp.round(d / bx_arr)
+            d = _min_image(d, bx_arr)
             r = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
             qq = q * jnp.roll(q, -k)
             sig_ij = 0.5 * (sig + jnp.roll(sig, -k))
@@ -478,7 +506,7 @@ def build_cell_force_fn(
         if far_idx.shape[0] == 0:
             return e_band
         dff = x[f_i] - x[f_j]
-        dff = dff - bx_arr * jnp.round(dff / bx_arr)
+        dff = _min_image(dff, bx_arr)
         rf_r = jnp.sqrt(jnp.sum(dff * dff, axis=-1) + _EPS)
         qq_f = q[f_i] * q[f_j]
         sig_f = 0.5 * (sig[f_i] + sig[f_j])
@@ -504,7 +532,7 @@ def build_cell_force_fn(
 
         def mesh_energy(x):
             return reciprocal_energy(x, q, box_t, alpha, mesh_shape,
-                                     pme_order)
+                                     pme_order, tilt=tilt_f)
 
     ncell_arr = jnp.asarray([grid.nx, grid.ny, grid.nz], jnp.float32)
 
@@ -572,7 +600,11 @@ def build_cell_force_fn(
     # ---- dynamic-box (NPT) entry points: same static grid SHAPE, box a
     # traced argument — Monte-Carlo volume moves (md/barostat.py) change
     # the box inside one compiled program. Cold binning per call; the
-    # barostat rebins after accepted moves anyway.
+    # barostat rebins after accepted moves anyway. Orthorhombic-only:
+    # the traced box is a (3,) diagonal (isotropic moves never create
+    # tilt, but a tilted STARTING cell would need a traced (3, 3) H
+    # through binning/ghosting/PME — not wired; use NVT for triclinic;
+    # the triclinic override sits after the definitions below).
     @jax.jit
     def dynamic(x, box):
         x = x.astype(jnp.float32)
@@ -647,6 +679,15 @@ def build_cell_force_fn(
         xw = st.xw_ref + (xs - st.x_ref)
         e, f = jax.vmap(_eval)(xs, st.slot, xw, st.overflow)
         return e, f, st
+
+    if tilt_f is not None:
+        def _no_npt(*_a, **_k):
+            raise NotImplementedError(
+                "the dynamic-box (NPT) path is orthorhombic-only; "
+                "triclinic cells run NVT/NVE"
+            )
+
+        dynamic = init_state_dynamic = apply_dynamic = _no_npt
 
     force_fn.grid = grid  # introspection for tests/benchmarks
     force_fn.electrostatics = electrostatics

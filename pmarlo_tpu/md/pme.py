@@ -155,14 +155,27 @@ def spread_charges(
     box: Tuple[float, float, float],
     shape: Tuple[int, int, int],
     order: int = SPLINE_ORDER,
+    tilt: Optional[Tuple[float, float, float]] = None,
 ) -> jax.Array:
     """Charge spreading with M_order spline weights as separable
     matmuls: Q[i, j, k] = sum_n (q_n Wz[n, k]) Wx[n, i] Wy[n, j] — one
     (K1, N) x (N, K2) matmul per z-plane, batched. MXU-native and
-    differentiable in ``x`` (the force pass is just autodiff)."""
+    differentiable in ``x`` (the force pass is just autodiff).
+
+    ``tilt``: triclinic off-diagonals (md/box.py). The mesh lives in
+    FRACTIONAL coordinates, so triclinic spreading is just a different
+    ``u`` map (u = (x @ Hinv) * K); the ``% K`` column wrap already
+    handles out-of-cell positions on both paths."""
     K1, K2, K3 = shape
-    L = jnp.asarray(box, x.dtype)
-    u = x / L * jnp.asarray([K1, K2, K3], x.dtype)
+    Ks = jnp.asarray([K1, K2, K3], x.dtype)
+    if tilt is None:
+        L = jnp.asarray(box, x.dtype)
+        u = x / L * Ks
+    else:
+        from .box import box_matrix
+
+        Hinv = np.linalg.inv(box_matrix(box, tilt))
+        u = (x @ jnp.asarray(Hinv, x.dtype)) * Ks
     Wx = _dense_axis_weights(u[:, 0], K1, order)         # (N, K1)
     Wy = _dense_axis_weights(u[:, 1], K2, order)
     Wz = _dense_axis_weights(u[:, 2], K3, order) * q[:, None]
@@ -180,6 +193,7 @@ def reciprocal_energy(
     alpha: float,
     shape: Tuple[int, int, int],
     order: int = SPLINE_ORDER,
+    tilt: Optional[Tuple[float, float, float]] = None,
 ) -> jax.Array:
     """Smooth-PME reciprocal-space energy (Essmann eq. 4.7):
     E = ke/(2 pi V) * sum_{m != 0} exp(-pi^2 m^2/alpha^2)/m^2 B(m) |F[Q](m)|^2.
@@ -190,11 +204,36 @@ def reciprocal_energy(
     deconvolution factors stay static (they depend only on K and
     order)."""
     K1, K2, K3 = shape
-    Q = spread_charges(x, q, box, shape, order)
+    Q = spread_charges(x, q, box, shape, order, tilt=tilt)
     F = jnp.fft.fftn(Q)
     B = (_bspline_bsq(K1, order)[:, None, None]
          * _bspline_bsq(K2, order)[None, :, None]
          * _bspline_bsq(K3, order)[None, None, :])
+    if tilt is not None:
+        if isinstance(box, jax.Array):
+            raise NotImplementedError(
+                "traced-box (NPT) reciprocal energy is orthorhombic-only"
+            )
+        from .box import box_matrix
+
+        # general reciprocal lattice: the plane-wave exponent is
+        # 2 pi i m . f with f = x @ Hinv, i.e. wavevector
+        # m~ = Hinv @ m; for lower-triangular H the inverse is lower
+        # triangular too, so the three components broadcast cheaply.
+        Hi = np.linalg.inv(box_matrix(box, tilt))
+        m1 = (np.fft.fftfreq(K1) * K1)[:, None, None]
+        m2 = (np.fft.fftfreq(K2) * K2)[None, :, None]
+        m3 = (np.fft.fftfreq(K3) * K3)[None, None, :]
+        mx = Hi[0, 0] * m1
+        my = Hi[1, 0] * m1 + Hi[1, 1] * m2
+        mz = Hi[2, 0] * m1 + Hi[2, 1] * m2 + Hi[2, 2] * m3
+        msq = mx * mx + my * my + mz * mz
+        with np.errstate(divide="ignore", invalid="ignore"):
+            infl = np.exp(-np.pi**2 * msq / alpha**2) / msq * B
+        infl[0, 0, 0] = 0.0
+        infl = jnp.asarray(infl.astype(np.float32))
+        V = float(box[0]) * float(box[1]) * float(box[2])
+        return (KE / (2.0 * np.pi * V)) * jnp.sum(infl * jnp.abs(F) ** 2)
     if isinstance(box, jax.Array):
         def ifreqs(K):
             return jnp.asarray(np.fft.fftfreq(K) * K, jnp.float32)
@@ -250,13 +289,21 @@ def real_space_energy_dense(
     box: Tuple[float, float, float],
     cutoff: float, alpha: float,
     exclude_mask: Optional[jax.Array] = None,
+    tilt: Optional[Tuple[float, float, float]] = None,
 ) -> jax.Array:
     """Dense XLA reference for the Ewald real-space sum (min-image,
     erfc(alpha r)/r inside rc). ``exclude_mask`` (N, N) of 1s for pairs
-    to SKIP (still counted by the reciprocal sum; callers correct)."""
-    L = jnp.asarray(box, x.dtype)
+    to SKIP (still counted by the reciprocal sum; callers correct).
+    Triclinic cells use the exact 27-image minimum (oracle-grade: the
+    rounded image can overestimate skewed-cell distances near rc)."""
     d = x[:, None, :] - x[None, :, :]
-    d = d - L * jnp.round(d / L)
+    if tilt is None:
+        L = jnp.asarray(box, x.dtype)
+        d = d - L * jnp.round(d / L)
+    else:
+        from .box import box_matrix, min_image_exact
+
+        d = min_image_exact(d, box_matrix(box, tilt))
     r2 = jnp.sum(d * d, axis=-1)
     n = x.shape[0]
     eye = jnp.eye(n, dtype=x.dtype)
@@ -273,6 +320,7 @@ def excluded_pair_correction(
     box: Tuple[float, float, float],
     alpha: float,
     e_i: jax.Array, e_j: jax.Array, se: jax.Array,
+    tilt: Optional[Tuple[float, float, float]] = None,
 ) -> jax.Array:
     """For pairs with electrostatic scale se < 1 the reciprocal sum
     counted a full erf(alpha r)/r interaction that the force field does
@@ -282,9 +330,18 @@ def excluded_pair_correction(
     hazard."""
     if e_i.shape[0] == 0:
         return jnp.zeros((), x.dtype)
-    L = jnp.asarray(box, x.dtype)
     d = x[e_i] - x[e_j]
-    d = d - L * jnp.round(d / L)
+    if tilt is None:
+        L = jnp.asarray(box, x.dtype)
+        d = d - L * jnp.round(d / L)
+    else:
+        from .box import box_matrix, min_image_round
+
+        H = box_matrix(box, tilt)
+        # intramolecular pairs sit far below half the min perpendicular
+        # width: the rounded image is exact there
+        d = min_image_round(d, jnp.asarray(H, x.dtype),
+                            jnp.asarray(np.linalg.inv(H), x.dtype))
     r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
     qq = q[e_i] * q[e_j]
     erf_term = KE * qq * jax.lax.erf(alpha * r) / r
@@ -301,14 +358,25 @@ def ewald_energy_dense(
     *,
     alpha: Optional[float] = None,
     shape: Optional[Tuple[int, int, int]] = None,
+    tilt: Optional[Tuple[float, float, float]] = None,
 ) -> jax.Array:
     """Complete PME electrostatic energy with the dense real-space
     reference — the validation path (Madelung tests) and the oracle the
     cell-kernel PME mode is checked against."""
     a = ewald_alpha(cutoff) if alpha is None else alpha
-    s = pme_grid_shape(box) if shape is None else shape
-    return (real_space_energy_dense(x, q, box, cutoff, a)
-            + reciprocal_energy(x, q, box, a, s)
+    if shape is None:
+        if tilt is None:
+            s = pme_grid_shape(box)
+        else:
+            from .box import box_matrix
+
+            H = box_matrix(box, tilt)
+            s = pme_grid_shape(tuple(np.linalg.norm(H[i])
+                                     for i in range(3)))
+    else:
+        s = shape
+    return (real_space_energy_dense(x, q, box, cutoff, a, tilt=tilt)
+            + reciprocal_energy(x, q, box, a, s, tilt=tilt)
             + self_energy(q, a)
             + background_energy(q, box, a))
 

@@ -100,6 +100,7 @@ def build_explicit_setup(
     structure,
     *,
     box: Optional[Tuple[float, float, float]] = None,
+    tilt: Optional[Tuple[float, float, float]] = None,
     cutoff: float = 0.9,
     nonbonded: str = "auto",
     require_cells: bool = False,
@@ -116,6 +117,8 @@ def build_explicit_setup(
     no-op (no constraints), so nothing is built twice."""
     system, positions = build_system(
         structure, box=box if box is not None else structure.box,
+        tilt=(tilt if tilt is not None
+              else getattr(structure, "tilt", None)),
         cutoff=cutoff,
     )
     if interpret is None:

@@ -129,6 +129,12 @@ def run_segment(
                     "the PDB's CRYST1 record during the previous segment"
                 )
             box = structure.box
+        if ensemble == "npt" and getattr(structure, "tilt", None) is not None:
+            raise ValueError(
+                "ensemble='npt' is orthorhombic-only (the traced "
+                "dynamic box is a (3,) diagonal); the CRYST1 cell is "
+                "triclinic — run NVT/NVE, or re-solvate in a cubic box"
+            )
         # NPT gets the LJ tail term (OpenMM useDispersionCorrection
         # default): its 1/V dependence sets the equilibrium density
         # (~0.98 vs 0.968 g/cm^3 measured on a 27k TIP3P box). The

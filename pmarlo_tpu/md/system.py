@@ -94,6 +94,12 @@ class System:
     box: Optional[Tuple[float, float, float]] = dataclasses.field(
         metadata=dict(static=True), default=None
     )
+    #: triclinic off-diagonals (bx, cx, cy) in nm (GROMACS reduced
+    #: form, md/box.py); None -> orthorhombic. ``box`` keeps carrying
+    #: the lattice diagonal (ax, by, cz) either way.
+    tilt: Optional[Tuple[float, float, float]] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
     #: nonbonded cutoff (nm) for the periodic path (min-image LJ +
     #: reaction-field electrostatics, OpenMM CutoffPeriodic semantics)
     cutoff: float = dataclasses.field(metadata=dict(static=True), default=0.9)

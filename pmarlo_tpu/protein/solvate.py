@@ -115,39 +115,90 @@ def solvate_structure(
     neutralize: bool = True,
     n_extra_ion_pairs: int = 0,
     seed: int = 2024,
+    box_shape: str = "rectangular",
 ) -> Tuple[PDBStructure, Tuple[float, float, float]]:
     """Return (solvated structure, box lengths in nm).
 
     ``padding`` is the minimum protein-to-box-face distance (the
     reference's ``solvent_padding``); ``exclusion`` is the minimum
-    water-O to protein-atom distance."""
+    water-O to protein-atom distance.
+
+    ``box_shape="dodecahedron"`` builds a rhombic-dodecahedron cell
+    (triclinic reduced form, md/box.py) whose image distance is the
+    solute's bounding-sphere diameter + 2*padding: ~29% less water than
+    the bounding cube for the same image clearance — a direct
+    throughput win for solvated MD. The returned structure carries the
+    cell in ``.box``/``.tilt`` (the second return stays the lattice
+    diagonal); note the triclinic engine needs cutoff <= d/(2*sqrt(2))
+    (perpendicular-width bound, md/pallas_cells.py)."""
     coords = structure.coordinates()
     if coords.size == 0:
         raise ValueError("cannot solvate an empty structure")
-    lo = coords.min(axis=0) - padding
-    hi = coords.max(axis=0) + padding
-    box = hi - lo
-
+    if box_shape not in ("rectangular", "dodecahedron"):
+        raise ValueError(
+            f"box_shape must be rectangular|dodecahedron, got {box_shape!r}"
+        )
     spacing = _WATER_DENSITY ** (-1.0 / 3.0)
-    counts = np.maximum(np.rint(box / spacing).astype(int), 1)
     rng = np.random.default_rng(seed)
+    tilt = None
 
-    # candidate O sites on the lattice, jittered slightly to avoid
-    # crystalline artifacts in downstream viewers
-    gx, gy, gz = [
-        lo[d] + (np.arange(counts[d]) + 0.5) * (box[d] / counts[d])
-        for d in range(3)
-    ]
-    sites = np.stack(np.meshgrid(gx, gy, gz, indexing="ij"), axis=-1)
-    sites = sites.reshape(-1, 3)
+    if box_shape == "dodecahedron":
+        from ..md.box import box_matrix, dodecahedron_vectors
+
+        center = 0.5 * (coords.min(axis=0) + coords.max(axis=0))
+        radius = float(np.sqrt(((coords - center) ** 2).sum(-1).max()))
+        d_img = 2.0 * (radius + padding)
+        box, tilt = dodecahedron_vectors(d_img)
+        H = box_matrix(box, tilt)
+        Hinv = np.linalg.inv(H)
+        # fractional candidate lattice, centered on the solute; row
+        # norms alone would overfill a sheared cell (prod|a_k| > V), so
+        # scale counts to hit the target density exactly
+        norms = np.linalg.norm(H, axis=1)
+        V = float(np.abs(np.linalg.det(H)))
+        scale = (V / float(np.prod(norms))) ** (1.0 / 3.0)
+        counts = np.maximum(
+            np.rint(norms * scale / spacing).astype(int), 1
+        )
+        fr = [
+            (np.arange(counts[k]) + 0.5) / counts[k] - 0.5
+            for k in range(3)
+        ]
+        f = np.stack(np.meshgrid(*fr, indexing="ij"), axis=-1)
+        sites = f.reshape(-1, 3) @ H + center
+        box_arr = None
+    else:
+        lo = coords.min(axis=0) - padding
+        hi = coords.max(axis=0) + padding
+        box_arr = hi - lo
+        box = (float(box_arr[0]), float(box_arr[1]), float(box_arr[2]))
+        counts = np.maximum(np.rint(box_arr / spacing).astype(int), 1)
+        # candidate O sites on the lattice, jittered slightly to avoid
+        # crystalline artifacts in downstream viewers
+        gx, gy, gz = [
+            lo[k] + (np.arange(counts[k]) + 0.5) * (box_arr[k] / counts[k])
+            for k in range(3)
+        ]
+        sites = np.stack(
+            np.meshgrid(gx, gy, gz, indexing="ij"), axis=-1
+        ).reshape(-1, 3)
     sites = sites + rng.uniform(-0.02, 0.02, sites.shape)
+
+    def _min_dist(chunk: np.ndarray) -> np.ndarray:
+        dv = chunk[:, None, :] - coords[None, :, :]
+        if tilt is not None:
+            # minimum image: a site near a cell face may clash with a
+            # protein IMAGE; the rounded image is exact at these short
+            # ranges (<< half the min perpendicular width)
+            dv = dv - np.round(dv @ Hinv) @ H
+        return np.sqrt((dv ** 2).sum(-1).min(axis=1))
 
     # overlap removal against every protein atom (chunked O(N*M))
     keep = np.ones(len(sites), dtype=bool)
     for start in range(0, len(sites), 4096):
-        chunk = sites[start:start + 4096]
-        d2 = ((chunk[:, None, :] - coords[None, :, :]) ** 2).sum(-1)
-        keep[start:start + 4096] = d2.min(axis=1) > exclusion ** 2
+        keep[start:start + 4096] = (
+            _min_dist(sites[start:start + 4096]) > exclusion
+        )
     sites = sites[keep]
 
     # neutralizing / added ions replace the waters FARTHEST from the
@@ -162,9 +213,7 @@ def solvate_structure(
         )
     dmin = np.full(len(sites), np.inf)
     for start in range(0, len(sites), 4096):
-        chunk = sites[start:start + 4096]
-        d2 = ((chunk[:, None, :] - coords[None, :, :]) ** 2).sum(-1)
-        dmin[start:start + 4096] = np.sqrt(d2.min(axis=1))
+        dmin[start:start + 4096] = _min_dist(sites[start:start + 4096])
     order = np.argsort(-dmin)
     ion_sites = sites[order[:n_ions]]
     water_sites = sites[np.sort(order[n_ions:])]
@@ -202,6 +251,7 @@ def solvate_structure(
         next_resid += 1
 
     solvated = PDBStructure(residues=residues, n_models=structure.n_models,
+                            box=tuple(float(b) for b in box), tilt=tilt,
                             seqres=structure.seqres)
     return solvated, (float(box[0]), float(box[1]), float(box[2]))
 

@@ -134,9 +134,11 @@ def test_hybrid36_resid_roundtrip(tmp_path):
     assert all(len(r.atoms) == 3 for r in loaded.residues)
 
 
-def test_triclinic_cryst1_rejected(tmp_path):
-    """Triclinic CRYST1 must not be silently treated as orthorhombic
-    (ADVICE r2 #1): box is dropped with a warning."""
+def test_triclinic_cryst1_parsed(tmp_path):
+    """Triclinic CRYST1 converts to the reduced (box, tilt) cell the
+    engine runs on (round-3 triclinic support; previously dropped with
+    a warning per ADVICE r2 #1 — never silently treated as
+    orthorhombic)."""
     lines = [
         "CRYST1   30.000   30.000   30.000  90.00  90.00 120.00 P 1"
         "           1",
@@ -147,7 +149,14 @@ def test_triclinic_cryst1_rejected(tmp_path):
     p = tmp_path / "tri.pdb"
     p.write_text("\n".join(lines) + "\n")
     s = read_pdb(p)
-    assert s.box is None
+    assert s.box is not None and s.tilt is not None
+    from pmarlo_tpu.md.box import box_matrix, validate_reduced
+
+    H = box_matrix(s.box, s.tilt)
+    validate_reduced(H)
+    # gamma = 120 deg: |b| = 3 nm with bx = 3 cos(120) reduced into
+    # [-ax/2, ax/2]; lattice volume = a b c sin(gamma)
+    assert abs(np.linalg.det(H) - 27.0 * np.sin(np.deg2rad(120.0))) < 1e-6
 
     lines[0] = ("CRYST1   30.000   30.000   30.000  90.00  90.00  90.00 P 1"
                 "           1")

@@ -1,0 +1,434 @@
+"""Triclinic periodic-cell support (md/box.py + the cell engine).
+
+Oracle strategy:
+* lattice algebra against brute force (27-image minimum, CRYST1
+  round-trip, reduction invariants);
+* cell-kernel energy/force parity on a SHEARED water box vs the dense
+  XLA reference (md/forces.py periodic path with exact 27-image
+  minimum) in both RF and PME modes;
+* the NaCl Madelung constant computed in the maximally-tilted FCC
+  PRIMITIVE cell (rhombohedral, 60-degree angles) must match the
+  orthorhombic-supercell value — same physical constant through a
+  completely different lattice description.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+import jax.numpy as jnp
+
+from pmarlo_tpu.md.box import (
+    box_matrix,
+    dodecahedron_vectors,
+    from_lengths_angles,
+    min_image_exact,
+    min_image_round,
+    perp_widths,
+    reduce_box_matrix,
+    split_matrix,
+    to_lengths_angles,
+    validate_reduced,
+    wrap_frac,
+)
+
+from pmarlo_tpu.io.pdb import PDBAtom, PDBResidue, PDBStructure
+
+
+def _water(resid, origin, chain="W"):
+    ox, oy, oz = origin
+    mk = lambda n, x, y, z, e: PDBAtom(
+        name=n, resname="HOH", resid=resid, chain=chain,
+        xyz=(x, y, z), element=e)
+    return PDBResidue(name="HOH", resid=resid, chain=chain, atoms=[
+        mk("O", ox, oy, oz, "O"),
+        mk("H1", ox + 0.09572, oy, oz, "H"),
+        mk("H2", ox - 0.02399, oy + 0.09266, oz, "H"),
+    ])
+
+
+def _water_box(n_side=5, spacing=0.31):
+    residues = []
+    rid = 1
+    for i in range(n_side):
+        for j in range(n_side):
+            for k in range(n_side):
+                residues.append(_water(
+                    rid, (0.15 + i * spacing, 0.15 + j * spacing,
+                          0.15 + k * spacing)))
+                rid += 1
+    s = PDBStructure(residues=residues)
+    L = n_side * spacing + 0.1
+    return s, (L, L, L)
+
+
+# ---------------------------------------------------------------- algebra
+
+
+def test_box_matrix_roundtrip_lengths_angles():
+    box, tilt = (3.0, 2.8, 2.5), (0.7, 0.4, -0.6)
+    la = to_lengths_angles(box, tilt)
+    box2, tilt2 = from_lengths_angles(*la)
+    H1 = box_matrix(box, tilt)
+    H2 = box_matrix(box2, tilt2)
+    # same lattice modulo reduction: reduce both
+    np.testing.assert_allclose(
+        reduce_box_matrix(H1), reduce_box_matrix(H2), atol=1e-9
+    )
+
+
+def test_from_lengths_angles_orthorhombic_snaps():
+    box, tilt = from_lengths_angles(2.0, 2.0, 2.0, 90.0, 90.0, 90.0)
+    assert tilt is None
+    np.testing.assert_allclose(box, (2.0, 2.0, 2.0))
+
+
+def test_reduction_brings_tilt_in_bounds():
+    H = box_matrix((2.0, 2.0, 2.0), (1.9, -1.7, 1.2))
+    Hr = reduce_box_matrix(H)
+    validate_reduced(Hr)
+    # same volume (reduction is unimodular)
+    assert abs(np.linalg.det(Hr) - np.linalg.det(H)) < 1e-9
+
+
+def test_validate_reduced_rejects_wild_tilt():
+    with pytest.raises(ValueError):
+        validate_reduced(box_matrix((2.0, 2.0, 2.0), (1.5, 0.0, 0.0)))
+
+
+def test_perp_widths_orthorhombic():
+    np.testing.assert_allclose(
+        perp_widths(box_matrix((2.0, 3.0, 4.0))), (2.0, 3.0, 4.0)
+    )
+
+
+def test_min_image_exact_vs_bruteforce():
+    rng = np.random.default_rng(0)
+    H = reduce_box_matrix(box_matrix((2.0, 1.8, 1.6), (0.9, 0.5, 0.8)))
+    validate_reduced(H)
+    d = jnp.asarray(rng.uniform(-4, 4, size=(256, 3)), jnp.float32)
+    got = min_image_exact(d, H)
+    # brute force over a generous +-3 image range
+    rng_n = np.arange(-3, 4)
+    shifts = np.array(np.meshgrid(rng_n, rng_n, rng_n,
+                                  indexing="ij")).reshape(3, -1).T @ H
+    cand = np.asarray(d)[:, None, :] + shifts[None, :, :]
+    best = cand[np.arange(d.shape[0]),
+                np.argmin(np.sum(cand**2, axis=-1), axis=1)]
+    np.testing.assert_allclose(
+        np.sum(np.asarray(got) ** 2, axis=-1),
+        np.sum(best**2, axis=-1), rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_min_image_round_exact_below_half_min_width():
+    rng = np.random.default_rng(1)
+    H = reduce_box_matrix(box_matrix((2.0, 1.8, 1.6), (0.9, 0.5, 0.8)))
+    half_w = 0.5 * float(np.min(perp_widths(H)))
+    Hj = jnp.asarray(H, jnp.float32)
+    Hinvj = jnp.asarray(np.linalg.inv(H), jnp.float32)
+    # displacements whose TRUE minimum image is short: build them as
+    # (short vector) + (random lattice shift)
+    short = rng.uniform(-1, 1, size=(128, 3))
+    short *= (0.9 * half_w * rng.uniform(0, 1, size=(128, 1))
+              / np.linalg.norm(short, axis=1, keepdims=True))
+    shift = rng.integers(-2, 3, size=(128, 3)).astype(np.float64) @ H
+    d = jnp.asarray(short + shift, jnp.float32)
+    got = min_image_round(d, Hj, Hinvj)
+    np.testing.assert_allclose(np.asarray(got), short, atol=2e-5)
+
+
+def test_wrap_frac_idempotent_and_in_cell():
+    rng = np.random.default_rng(2)
+    H = box_matrix((2.0, 1.8, 1.6), (0.9, 0.5, 0.8))
+    Hj = jnp.asarray(H, jnp.float32)
+    Hinvj = jnp.asarray(np.linalg.inv(H), jnp.float32)
+    x = jnp.asarray(rng.uniform(-5, 5, size=(64, 3)), jnp.float32)
+    xw = wrap_frac(x, Hj, Hinvj)
+    f = np.asarray(xw) @ np.linalg.inv(H)
+    assert f.min() >= -1e-5 and f.max() <= 1.0 + 1e-5
+    xww = wrap_frac(xw, Hj, Hinvj)
+    np.testing.assert_allclose(np.asarray(xww), np.asarray(xw), atol=1e-5)
+
+
+def test_dodecahedron_geometry():
+    d = 3.0
+    box, tilt = dodecahedron_vectors(d)
+    H = box_matrix(box, tilt)
+    validate_reduced(H)
+    # volume = d^3 / sqrt(2)  (~29% smaller than the d-cube)
+    assert abs(np.linalg.det(H) - d**3 * np.sqrt(2) / 2) < 1e-9
+    # image distance: every nonzero lattice vector in a +-2 shell is at
+    # least d long (the defining property: periodic images keep distance
+    # d, so a solute of diameter c fits with clearance (d - c) / 2)
+    rng_n = np.arange(-2, 3)
+    combos = np.array(np.meshgrid(rng_n, rng_n, rng_n,
+                                  indexing="ij")).reshape(3, -1).T
+    combos = combos[np.any(combos != 0, axis=1)]
+    dists = np.linalg.norm(combos @ H, axis=1)
+    assert dists.min() >= d - 1e-9
+
+
+# ------------------------------------------------------- engine parity
+
+
+@pytest.fixture(scope="module")
+def sheared_water_system():
+    from pmarlo_tpu.md.forcefield import build_system
+
+    s, (L, _, _) = _water_box(5)
+    box = (L, L, L)
+    tilt = (0.2, 0.2, 0.2)
+    system, x = build_system(s, box=box, tilt=tilt, cutoff=0.45,
+                             hydrogen_mass=None)
+    return system, jnp.asarray(x, jnp.float32)
+
+
+def test_build_system_rejects_thin_triclinic():
+    from pmarlo_tpu.md.forcefield import build_system
+
+    s, (L, _, _) = _water_box(5)
+    with pytest.raises(ValueError, match="perpendicular"):
+        build_system(s, box=(L, L, L), tilt=(0.8, 0.0, 0.0), cutoff=0.8)
+
+
+def test_cell_kernel_parity_sheared_rf(sheared_water_system):
+    from pmarlo_tpu.md.forces import potential_energy
+    from pmarlo_tpu.md.pallas_cells import build_cell_force_fn
+
+    system, x = sheared_water_system
+    fn = build_cell_force_fn(system, interpret=True)
+    e_k, f_k = fn(x)
+    e_d, f_d = jax.value_and_grad(
+        lambda p: potential_energy(system, p)
+    )(x)
+    f_d = -f_d
+    assert abs(float(e_k) - float(e_d)) < 5e-3 * max(1.0, abs(float(e_d)))
+    np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_d),
+                               rtol=2e-3, atol=2e-2)
+
+
+def test_cell_kernel_sheared_lattice_translation_invariance(
+    sheared_water_system,
+):
+    from pmarlo_tpu.md.pallas_cells import build_cell_force_fn
+
+    system, x = sheared_water_system
+    fn = build_cell_force_fn(system, interpret=True)
+    e0, f0 = fn(x)
+    # translate one molecule by the c lattice vector (the fully tilted
+    # one) and everything by an arbitrary offset: energy must not move
+    H = box_matrix(system.box, system.tilt)
+    xs = np.asarray(x).copy()
+    xs[:3] += H[2]
+    xs += np.array([0.13, -0.41, 0.29])
+    e1, f1 = fn(jnp.asarray(xs, jnp.float32))
+    assert abs(float(e1) - float(e0)) < 5e-2
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               atol=5e-2)
+
+
+@pytest.mark.slow
+def test_cell_kernel_parity_sheared_pme(sheared_water_system):
+    from pmarlo_tpu.md.pallas_cells import build_cell_force_fn
+    from pmarlo_tpu.md.pme import (
+        background_energy,
+        ewald_alpha,
+        excluded_pair_correction,
+        real_space_energy_dense,
+        reciprocal_energy,
+        self_energy,
+    )
+
+    system, x = sheared_water_system
+    fn = build_cell_force_fn(system, interpret=True, electrostatics="pme")
+    e_k, f_k = fn(x)
+
+    # dense composition: LJ (RF oracle without electrostatics) + Ewald
+    from pmarlo_tpu.md.forces import (
+        angle_energy,
+        bond_energy,
+        periodic_nonbonded_energy,
+        torsion_energy,
+    )
+
+    alpha = ewald_alpha(float(system.cutoff))
+    q = jnp.asarray(system.charges, jnp.float32)
+    box_t = tuple(float(b) for b in system.box)
+    tilt_t = tuple(float(t) for t in system.tilt)
+
+    # exclusion structure: scaled/excluded pairs from the sparse lists
+    from pmarlo_tpu.md.cells import _scaled_pair_list
+
+    idx, se, _sl = _scaled_pair_list(system)
+    n = system.n_atoms
+    mask = np.zeros((n, n), np.float32)
+    if idx.size:
+        mask[idx[:, 0], idx[:, 1]] = 1.0
+        mask[idx[:, 1], idx[:, 0]] = 1.0
+
+    def e_elec(p):
+        e_real = real_space_energy_dense(
+            p, q, box_t, float(system.cutoff), alpha,
+            exclude_mask=jnp.asarray(mask), tilt=tilt_t,
+        )
+        e_rec = reciprocal_energy(
+            p, q, box_t, alpha, fn.pme_mesh_shape, fn.pme_order,
+            tilt=tilt_t,
+        )
+        e_corr = excluded_pair_correction(
+            p, q, box_t, alpha,
+            jnp.asarray(idx[:, 0]), jnp.asarray(idx[:, 1]),
+            jnp.asarray(se), tilt=tilt_t,
+        )
+        return (e_real + e_rec + e_corr + self_energy(q, alpha)
+                + background_energy(q, box_t, alpha))
+
+    def e_lj_only(p):
+        import dataclasses
+
+        zeroq = dataclasses.replace(
+            system, charges=jnp.zeros_like(system.charges)
+        )
+        return periodic_nonbonded_energy(zeroq, p)
+
+    def dense_total(p):
+        return (e_elec(p) + e_lj_only(p) + bond_energy(system, p)
+                + angle_energy(system, p) + torsion_energy(system, p))
+
+    e_d, g_d = jax.value_and_grad(dense_total)(x)
+    f_d = -g_d
+    assert abs(float(e_k) - float(e_d)) < 0.35, (float(e_k), float(e_d))
+    np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_d),
+                               rtol=3e-3, atol=6e-2)
+
+
+# -------------------------------------------------- Madelung via tilt
+
+
+@pytest.mark.slow
+def test_madelung_in_fcc_primitive_cell():
+    """Rock-salt NaCl in the FCC PRIMITIVE cell (rhombohedral, 60-degree
+    angles, the maximal tilt a reduced cell allows): the Ewald energy
+    per ion pair must reproduce the Madelung constant the orthorhombic
+    supercell tests pin down (1.7476)."""
+    from pmarlo_tpu.constants import COULOMB_CONSTANT_KJ_NM_PER_MOL_E2
+    from pmarlo_tpu.md.pme import ewald_energy_dense
+
+    a = 0.564  # nm, NaCl lattice constant
+    d = a / np.sqrt(2.0)
+    # primitive FCC vectors rotated to lower-triangular form:
+    # lengths d, mutual angles 60 degrees
+    H1 = reduce_box_matrix(box_matrix(
+        *from_lengths_angles(d, d, d, 60.0, 60.0, 60.0)
+    ))
+    validate_reduced(H1)
+    n = 4  # 4x4x4 primitive supercell: 64 Na + 64 Cl
+    H = H1 * n
+    box, tilt = split_matrix(H)
+    assert tilt is not None
+    # ions: Na at fractional (i,j,k)/n, Cl at (i+1/2, j+1/2, k+1/2)/n
+    fr = np.array([(i, j, k) for i in range(n) for j in range(n)
+                   for k in range(n)], np.float64) / n
+    x_na = fr @ H
+    x_cl = (fr + 0.5 / n) @ H
+    x = jnp.asarray(np.concatenate([x_na, x_cl]), jnp.float32)
+    q = jnp.asarray([1.0] * len(x_na) + [-1.0] * len(x_cl), jnp.float32)
+    rc = 0.6
+    assert float(np.min(perp_widths(H))) > 2.0 * rc
+    e = float(ewald_energy_dense(x, q, box, rc, tilt=tilt,
+                                 alpha=ewald_alpha_for(rc)))
+    ke = COULOMB_CONSTANT_KJ_NM_PER_MOL_E2
+    # E per ion PAIR = -M * ke / r_nn, r_nn = a/2
+    madelung = -e / len(x_na) * (a / 2.0) / ke
+    assert abs(madelung - 1.747565) < 5e-3, madelung
+
+
+def ewald_alpha_for(rc):
+    from pmarlo_tpu.md.pme import ewald_alpha
+
+    return ewald_alpha(rc, 1e-5)
+
+
+# ------------------------------------------------ end-to-end pipeline
+
+
+def test_pdb_cryst1_triclinic_roundtrip(tmp_path):
+    from pmarlo_tpu.io.pdb import read_pdb, write_pdb
+
+    box, tilt = dodecahedron_vectors(3.0)
+    n = 4
+    coords = np.random.default_rng(3).uniform(0, 1.5, size=(n, 3))
+    p = write_pdb(tmp_path / "t.pdb", coords, ["O"] * n, ["HOH"] * n,
+                  list(range(1, n + 1)), box=box, tilt=tilt)
+    s = read_pdb(p)
+    assert s.tilt is not None
+    np.testing.assert_allclose(s.box, box, atol=2e-3)
+    np.testing.assert_allclose(s.tilt, tilt, atol=2e-2)
+
+
+def test_solvate_dodecahedron_and_run_segment(tmp_path):
+    import pmarlo_tpu
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.io.pdb import write_pdb
+    from pmarlo_tpu.protein.protein import Protein
+    from pmarlo_tpu.protein.solvate import solvate_structure
+
+    s = alanine_dipeptide_structure()
+    solv, box = solvate_structure(s, padding=0.55,
+                                  box_shape="dodecahedron")
+    assert solv.tilt is not None
+    # dodecahedron geometry: cz = ax / sqrt(2), tilt = (0, ax/2, ax/2)
+    assert abs(box[2] - box[0] / np.sqrt(2)) < 1e-9
+    H = box_matrix(box, solv.tilt)
+    validate_reduced(H)
+    n_waters = sum(1 for r in solv.residues if r.name == "HOH")
+    assert n_waters > 50
+    # waters fill the cell at roughly the TIP3P number density
+    V = float(np.abs(np.linalg.det(H)))
+    assert 0.7 * 33.0 < n_waters / V < 1.1 * 33.0
+
+    atoms = [a for r in solv.residues for a in r.atoms]
+    pdb = write_pdb(
+        tmp_path / "solv.pdb",
+        np.asarray([a.xyz for a in atoms]),
+        [a.name for a in atoms], [a.resname for a in atoms],
+        [a.resid for a in atoms], elements=[a.element for a in atoms],
+        chains=[a.chain or "A" for a in atoms],
+        box=solv.box, tilt=solv.tilt,
+    )
+    res = pmarlo_tpu.run_segment(
+        str(pdb), n_steps=40, report_interval=20, cutoff=0.45,
+        nonbonded="cells", temperature_K=300.0, seed=3,
+    )
+    assert np.isfinite(res["positions"]).all()
+    assert np.isfinite(res["potential_energy"]).all()
+
+
+def test_npt_rejects_triclinic(tmp_path):
+    import pmarlo_tpu
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.io.pdb import write_pdb
+    from pmarlo_tpu.protein.solvate import solvate_structure
+
+    s = alanine_dipeptide_structure()
+    solv, _ = solvate_structure(s, padding=0.55,
+                                box_shape="dodecahedron")
+    atoms = [a for r in solv.residues for a in r.atoms]
+    pdb = write_pdb(
+        tmp_path / "solv.pdb",
+        np.asarray([a.xyz for a in atoms]),
+        [a.name for a in atoms], [a.resname for a in atoms],
+        [a.resid for a in atoms], elements=[a.element for a in atoms],
+        chains=[a.chain or "A" for a in atoms],
+        box=solv.box, tilt=solv.tilt,
+    )
+    with pytest.raises(ValueError, match="orthorhombic-only"):
+        pmarlo_tpu.run_segment(
+            str(pdb), n_steps=20, report_interval=20, cutoff=0.45,
+            ensemble="npt", pressure_bar=1.0,
+        )
