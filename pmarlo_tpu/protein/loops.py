@@ -99,8 +99,13 @@ def gap_sequence_from_seqres(
 
 def _axis_rotation(points: np.ndarray, origin: np.ndarray, axis: np.ndarray,
                    theta: float) -> np.ndarray:
-    """Rodrigues rotation of points about (origin, axis)."""
-    u = axis / np.linalg.norm(axis)
+    """Rodrigues rotation of points about (origin, axis). A degenerate
+    axis (coincident pivot atoms in a collapsed trial loop) is a no-op
+    rotation rather than a NaN factory."""
+    nrm = np.linalg.norm(axis)
+    if nrm < 1e-9:
+        return points
+    u = axis / nrm
     p = points - origin
     cos, sin = math.cos(theta), math.sin(theta)
     return (origin + p * cos + np.cross(u, p) * sin
@@ -111,7 +116,10 @@ def _ccd_angle(moving: np.ndarray, fixed: np.ndarray,
                origin: np.ndarray, axis: np.ndarray) -> float:
     """Closed-form CCD step: the rotation about (origin, axis) that
     minimizes sum |R(theta) m_i - f_i|^2 (Canutescu & Dunbrack eq. 4)."""
-    u = axis / np.linalg.norm(axis)
+    nrm = np.linalg.norm(axis)
+    if nrm < 1e-9:
+        return 0.0
+    u = axis / nrm
     a = b = 0.0
     for m, f in zip(moving, fixed):
         r = m - origin

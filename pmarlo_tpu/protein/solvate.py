@@ -134,9 +134,10 @@ def solvate_structure(
     coords = structure.coordinates()
     if coords.size == 0:
         raise ValueError("cannot solvate an empty structure")
-    if box_shape not in ("rectangular", "dodecahedron"):
+    if box_shape not in ("rectangular", "cubic", "dodecahedron"):
         raise ValueError(
-            f"box_shape must be rectangular|dodecahedron, got {box_shape!r}"
+            "box_shape must be rectangular|cubic|dodecahedron, "
+            f"got {box_shape!r}"
         )
     spacing = _WATER_DENSITY ** (-1.0 / 3.0)
     rng = np.random.default_rng(seed)
@@ -153,13 +154,20 @@ def solvate_structure(
         Hinv = np.linalg.inv(H)
         # fractional candidate lattice, centered on the solute; row
         # norms alone would overfill a sheared cell (prod|a_k| > V), so
-        # scale counts to hit the target density exactly
+        # scale counts toward the target density, then pick the
+        # floor/ceil combination whose site count lands closest to
+        # V * density (plain per-axis rounding compounds cubically:
+        # 11.48 -> 11 per axis underfilled a chignolin cell by 12%)
         norms = np.linalg.norm(H, axis=1)
         V = float(np.abs(np.linalg.det(H)))
         scale = (V / float(np.prod(norms))) ** (1.0 / 3.0)
-        counts = np.maximum(
-            np.rint(norms * scale / spacing).astype(int), 1
-        )
+        base = np.maximum(norms * scale / spacing, 1.0)
+        target = V / spacing**3
+        combos = [
+            np.maximum(np.floor(base).astype(int) + np.array(d), 1)
+            for d in np.ndindex(2, 2, 2)
+        ]
+        counts = min(combos, key=lambda c: abs(float(np.prod(c)) - target))
         fr = [
             (np.arange(counts[k]) + 0.5) / counts[k] - 0.5
             for k in range(3)
@@ -167,10 +175,22 @@ def solvate_structure(
         f = np.stack(np.meshgrid(*fr, indexing="ij"), axis=-1)
         sites = f.reshape(-1, 3) @ H + center
         box_arr = None
+    elif box_shape == "cubic":
+        # rotation-safe cube: edge = bounding-sphere diameter +
+        # 2*padding, so the image clearance holds in EVERY orientation
+        # (the per-axis rectangular box does not — a tumbling solute
+        # can approach its own image along a formerly-short axis).
+        # Same image distance as the dodecahedron at 1.41x the volume.
+        center = 0.5 * (coords.min(axis=0) + coords.max(axis=0))
+        radius = float(np.sqrt(((coords - center) ** 2).sum(-1).max()))
+        edge = 2.0 * (radius + padding)
+        lo = center - 0.5 * edge
+        box_arr = np.full(3, edge)
     else:
         lo = coords.min(axis=0) - padding
         hi = coords.max(axis=0) + padding
         box_arr = hi - lo
+    if box_shape != "dodecahedron":
         box = (float(box_arr[0]), float(box_arr[1]), float(box_arr[2]))
         counts = np.maximum(np.rint(box_arr / spacing).astype(int), 1)
         # candidate O sites on the lattice, jittered slightly to avoid

@@ -160,3 +160,20 @@ def test_formal_charge_counts_divalent_ions_and_tip3_waters():
     ])
     # MG alone: +2; waters contribute nothing (no spurious termini)
     assert structure_formal_charge(s) == 2
+
+
+def test_cubic_box_shape():
+    """Rotation-safe cube: equal edges = bounding-sphere diameter +
+    2*padding, always >= the per-axis rectangular box."""
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+
+    s = alanine_dipeptide_structure()
+    solv, box = solvate_structure(s, padding=0.6, box_shape="cubic")
+    assert box[0] == box[1] == box[2]
+    assert solv.tilt is None
+    coords = s.coordinates()
+    center = 0.5 * (coords.min(axis=0) + coords.max(axis=0))
+    radius = np.sqrt(((coords - center) ** 2).sum(-1).max())
+    assert abs(box[0] - 2 * (radius + 0.6)) < 1e-9
+    rect, rbox = solvate_structure(s, padding=0.6)
+    assert all(box[0] >= rb - 1e-9 for rb in rbox)
