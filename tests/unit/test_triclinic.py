@@ -432,3 +432,28 @@ def test_npt_rejects_triclinic(tmp_path):
             str(pdb), n_steps=20, report_interval=20, cutoff=0.45,
             ensemble="npt", pressure_bar=1.0,
         )
+
+
+@pytest.mark.slow
+def test_explicit_remd_on_sheared_cell():
+    """Replica-exchange on a triclinic cell: the cell kernel batches
+    over the replica axis with fractional binning + lattice-vector
+    ghosts, SHAKE rigid water in every replica."""
+    from pmarlo_tpu.md.constraints import build_h_constraints
+    from pmarlo_tpu.md.forcefield import build_system
+    from pmarlo_tpu.md.pallas_cells import build_cell_force_fn
+    from pmarlo_tpu.remd.remd import RemdConfig, ReplicaExchange
+
+    s, (L, _, _) = _water_box(3)
+    system, x = build_system(s, box=(L, L, L), tilt=(0.12, 0.12, 0.12),
+                             cutoff=0.45, hydrogen_mass=None)
+    fn = build_cell_force_fn(system, interpret=True)
+    spec = build_h_constraints(system)
+    cfg = RemdConfig(n_replicas=2, t_min=300, t_max=360,
+                     exchange_frequency=10, report_interval=10,
+                     dt_ps=0.001, seed=0)
+    remd = ReplicaExchange(system, jnp.asarray(x), cfg, force_fn=fn,
+                           constraints=spec, minimize=False)
+    res = remd.run(n_steps=40)
+    assert np.isfinite(res.positions).all()
+    assert res.positions.shape[1] == 2
