@@ -113,7 +113,9 @@ def from_lengths_angles(
     cx = c * np.cos(be)
     cy = c * (np.cos(al) - np.cos(be) * np.cos(ga)) / np.sin(ga)
     cz2 = c * c - cx * cx - cy * cy
-    if cz2 <= 0.0:
+    # 'not (> 0)' rather than '<= 0': gamma == 0 makes cy = 0/0 = NaN,
+    # and NaN <= 0 is False — the degenerate cell must still raise
+    if not (cz2 > 0.0):
         raise ValueError(
             f"degenerate cell: lengths ({a}, {b}, {c}) nm with angles "
             f"({alpha}, {beta}, {gamma}) deg have no positive volume"

@@ -23,6 +23,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import COULOMB_CONSTANT_KJ_NM_PER_MOL_E2
 from .ff_params import GB_DIELECTRIC_OFFSET, OBC2_ALPHA, OBC2_BETA, OBC2_GAMMA
@@ -141,11 +142,18 @@ def periodic_nonbonded_energy(
     if tilt is None:
         diff = diff - box * jnp.round(diff / box)
     else:
-        # triclinic oracle: exact 27-image minimum (the rounded image
-        # can overestimate skewed-cell distances near the cutoff)
-        from .box import box_matrix, min_image_exact
+        # rounded fractional minimum image: exact for every r < cutoff
+        # because build_system enforces min perp width > 2*cutoff, and
+        # beyond-cutoff pairs are masked regardless of which image the
+        # rounding picks. (min_image_exact would be 27x the memory —
+        # an (N, N, 27, 3) candidate array OOMs mid-size systems.)
+        from .box import box_matrix, min_image_round
 
-        diff = min_image_exact(diff, box_matrix(system.box, tilt))
+        H = box_matrix(system.box, tilt)
+        diff = min_image_round(
+            diff, jnp.asarray(H, positions.dtype),
+            jnp.asarray(np.linalg.inv(H), positions.dtype),
+        )
     r2 = jnp.sum(diff * diff, axis=-1)
     n = r2.shape[0]
     eye = jnp.eye(n, dtype=positions.dtype)

@@ -264,10 +264,9 @@ def build_cell_force_fn(
     box_f = tuple(float(b) for b in system.box)
     tilt_f = getattr(system, "tilt", None)
     if tilt_f is not None:
-        tilt_f = tuple(float(t) for t in tilt_f)
-    if tilt_f is not None:
         from .box import box_matrix, perp_widths, validate_reduced
 
+        tilt_f = tuple(float(t) for t in tilt_f)
         H_np = box_matrix(box_f, tilt_f)
         validate_reduced(H_np)
         Hinv_np = np.linalg.inv(H_np)

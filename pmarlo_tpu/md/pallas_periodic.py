@@ -45,6 +45,12 @@ def build_periodic_force_fn(
 
     if system.box is None:
         raise ValueError("build_periodic_force_fn needs system.box")
+    if getattr(system, "tilt", None) is not None:
+        raise ValueError(
+            "the dense periodic sweep is orthorhombic-only (per-axis "
+            "minimum image on the box diagonal); triclinic cells need "
+            "the cell-list engine (build_cell_force_fn)"
+        )
     if tile % 128 != 0:
         raise ValueError("tile must be a multiple of 128 (lane blocking)")
 

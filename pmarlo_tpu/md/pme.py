@@ -204,16 +204,19 @@ def reciprocal_energy(
     deconvolution factors stay static (they depend only on K and
     order)."""
     K1, K2, K3 = shape
+    if tilt is not None and isinstance(box, jax.Array):
+        # must precede spread_charges: its tilt branch calls
+        # box_matrix(box, tilt), whose float() on traced entries would
+        # die with an opaque ConcretizationTypeError instead
+        raise NotImplementedError(
+            "traced-box (NPT) reciprocal energy is orthorhombic-only"
+        )
     Q = spread_charges(x, q, box, shape, order, tilt=tilt)
     F = jnp.fft.fftn(Q)
     B = (_bspline_bsq(K1, order)[:, None, None]
          * _bspline_bsq(K2, order)[None, :, None]
          * _bspline_bsq(K3, order)[None, None, :])
     if tilt is not None:
-        if isinstance(box, jax.Array):
-            raise NotImplementedError(
-                "traced-box (NPT) reciprocal energy is orthorhombic-only"
-            )
         from .box import box_matrix
 
         # general reciprocal lattice: the plane-wave exponent is
@@ -294,16 +297,27 @@ def real_space_energy_dense(
     """Dense XLA reference for the Ewald real-space sum (min-image,
     erfc(alpha r)/r inside rc). ``exclude_mask`` (N, N) of 1s for pairs
     to SKIP (still counted by the reciprocal sum; callers correct).
-    Triclinic cells use the exact 27-image minimum (oracle-grade: the
-    rounded image can overestimate skewed-cell distances near rc)."""
+    Triclinic cells use the rounded fractional minimum image — exact
+    for every r < cutoff when the cell's perpendicular widths exceed
+    2*cutoff (asserted here; beyond-cutoff pairs are masked regardless
+    of which image the rounding picks). min_image_exact would build an
+    (N, N, 27, 3) candidate array — 27x the memory of this path."""
     d = x[:, None, :] - x[None, :, :]
     if tilt is None:
         L = jnp.asarray(box, x.dtype)
         d = d - L * jnp.round(d / L)
     else:
-        from .box import box_matrix, min_image_exact
+        from .box import box_matrix, min_image_round, perp_widths
 
-        d = min_image_exact(d, box_matrix(box, tilt))
+        H = box_matrix(box, tilt)
+        if float(np.min(perp_widths(H))) <= 2.0 * float(cutoff):
+            raise ValueError(
+                "triclinic dense real-space sum needs min perpendicular "
+                f"width > 2*cutoff; box {tuple(box)} tilt {tuple(tilt)} "
+                f"vs cutoff {cutoff}"
+            )
+        d = min_image_round(d, jnp.asarray(H, x.dtype),
+                            jnp.asarray(np.linalg.inv(H), x.dtype))
     r2 = jnp.sum(d * d, axis=-1)
     n = x.shape[0]
     eye = jnp.eye(n, dtype=x.dtype)

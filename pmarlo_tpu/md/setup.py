@@ -48,18 +48,27 @@ class ExplicitSetup:
 
 
 def resolve_nonbonded(
-    nonbonded: str, n_atoms: int, *, require_cells: bool = False
+    nonbonded: str, n_atoms: int, *, require_cells: bool = False,
+    triclinic: bool = False,
 ) -> str:
     """Resolve "auto" and validate. The dense sweep streams (N, N)
     exclusion matrices — past a few thousand atoms the O(N) cell kernel
     wins on both compute and memory. ``require_cells`` (NPT: the
     barostat's dynamic box only exists in the cell engine) forces the
-    cell path regardless of size."""
+    cell path regardless of size; so does ``triclinic`` (the dense
+    Pallas sweep does per-axis minimum image on the box diagonal and
+    would silently corrupt tilted-cell forces)."""
     if nonbonded == "auto":
-        return "cells" if (n_atoms >= 3000 or require_cells) else "dense"
+        return ("cells" if (n_atoms >= 3000 or require_cells or triclinic)
+                else "dense")
     if nonbonded not in ("dense", "cells", "pme"):
         raise ValueError(
             f"nonbonded must be auto|dense|cells|pme, got {nonbonded!r}"
+        )
+    if nonbonded == "dense" and triclinic:
+        raise ValueError(
+            "nonbonded='dense' is orthorhombic-only (per-axis minimum "
+            "image); triclinic cells need 'cells' or 'pme'"
         )
     return nonbonded
 
@@ -124,7 +133,8 @@ def build_explicit_setup(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nonbonded = resolve_nonbonded(
-        nonbonded, system.n_atoms, require_cells=require_cells
+        nonbonded, system.n_atoms, require_cells=require_cells,
+        triclinic=system.tilt is not None,
     )
 
     from .constraints import build_h_constraints, strip_constrained_bonded

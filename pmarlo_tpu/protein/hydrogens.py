@@ -87,7 +87,9 @@ def assign_protonation_states(
             )
         renamed.append(res)
     return PDBStructure(residues=renamed, n_models=structure.n_models,
-                        box=structure.box, seqres=structure.seqres)
+                        box=structure.box,
+                        tilt=getattr(structure, "tilt", None),
+                        seqres=structure.seqres)
 
 
 def _template_graph(tmpl) -> Dict[str, List[str]]:
@@ -204,7 +206,9 @@ def _assign_disulfides(structure: PDBStructure) -> PDBStructure:
             )
         out.append(res)
     return PDBStructure(residues=out, n_models=structure.n_models,
-                        box=structure.box, seqres=structure.seqres)
+                        box=structure.box,
+                        tilt=getattr(structure, "tilt", None),
+                        seqres=structure.seqres)
 
 
 def add_hydrogens(
@@ -327,7 +331,9 @@ def add_hydrogens(
             atoms=kept + added,
         ))
     return PDBStructure(residues=new_residues, n_models=structure.n_models,
-                        box=structure.box, seqres=structure.seqres)
+                        box=structure.box,
+                        tilt=getattr(structure, "tilt", None),
+                        seqres=structure.seqres)
 
 
 __all__ = ["add_hydrogens", "assign_protonation_states"]

@@ -327,7 +327,8 @@ def build_missing_loops(
         new_residues = new_residues[:pos + 1] + built + new_residues[pos + 1:]
 
     return (PDBStructure(residues=new_residues, n_models=structure.n_models,
-                         box=structure.box), closures)
+                         box=structure.box,
+                         tilt=getattr(structure, "tilt", None)), closures)
 
 
 __all__ = [

@@ -81,7 +81,9 @@ def replace_nonstandard(structure: PDBStructure) -> PDBStructure:
             name=parent, resid=res.resid, chain=res.chain, atoms=atoms,
         ))
     return PDBStructure(residues=out, n_models=structure.n_models,
-                        box=structure.box, seqres=structure.seqres)
+                        box=structure.box,
+                        tilt=getattr(structure, "tilt", None),
+                        seqres=structure.seqres)
 
 
 __all__ = ["replace_nonstandard", "substitution_for"]

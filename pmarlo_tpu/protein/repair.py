@@ -222,7 +222,9 @@ def repair_missing_atoms(structure: PDBStructure) -> PDBStructure:
             + "; ".join(still_missing)
         )
     return PDBStructure(residues=new_residues, n_models=structure.n_models,
-                        box=structure.box, seqres=structure.seqres)
+                        box=structure.box,
+                        tilt=getattr(structure, "tilt", None),
+                        seqres=structure.seqres)
 
 
 def _small_cycles(neigh: Dict[str, List[str]]) -> List[List[str]]:

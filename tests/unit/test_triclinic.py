@@ -457,3 +457,83 @@ def test_explicit_remd_on_sheared_cell():
     res = remd.run(n_steps=40)
     assert np.isfinite(res.positions).all()
     assert res.positions.shape[1] == 2
+
+
+def test_auto_nonbonded_never_routes_triclinic_to_dense():
+    """Regression (review): a small triclinic system must resolve
+    'auto' to the cell engine — the dense Pallas sweep does per-axis
+    minimum image on the box diagonal and would silently corrupt
+    forces; an explicit 'dense' request must raise."""
+    from pmarlo_tpu.md.pallas_periodic import build_periodic_force_fn
+    from pmarlo_tpu.md.setup import build_explicit_setup, resolve_nonbonded
+
+    assert resolve_nonbonded("auto", 100, triclinic=True) == "cells"
+    with pytest.raises(ValueError, match="orthorhombic-only"):
+        resolve_nonbonded("dense", 100, triclinic=True)
+
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.protein.solvate import solvate_structure
+
+    solv, _ = solvate_structure(alanine_dipeptide_structure(),
+                                padding=0.55, box_shape="dodecahedron")
+    setup = build_explicit_setup(solv, cutoff=0.45, nonbonded="auto",
+                                 build_minimize_fn=False)
+    assert setup.nonbonded == "cells"
+
+    from pmarlo_tpu.md.forcefield import build_system
+
+    system, _ = build_system(solv, box=solv.box, tilt=solv.tilt,
+                             cutoff=0.45, hydrogen_mass=None)
+    with pytest.raises(ValueError, match="orthorhombic-only"):
+        build_periodic_force_fn(system)
+
+
+def test_tilt_survives_preparation_stages():
+    """Regression (review): every structure copy stage (nonstandard
+    replacement, hydrogen addition, repair) must carry the tilt — a
+    triclinic solvated structure losing its off-diagonals would pass
+    the orthorhombic length checks and run wrong minimum images."""
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.protein.hydrogens import add_hydrogens
+    from pmarlo_tpu.protein.nonstandard import replace_nonstandard
+    from pmarlo_tpu.protein.repair import repair_missing_atoms
+    from pmarlo_tpu.protein.solvate import solvate_structure
+
+    solv, _ = solvate_structure(alanine_dipeptide_structure(),
+                                padding=0.55, box_shape="dodecahedron")
+    assert solv.tilt is not None
+    for stage in (replace_nonstandard, repair_missing_atoms,
+                  add_hydrogens):
+        out = stage(solv)
+        assert getattr(out, "tilt", None) == solv.tilt, stage.__name__
+
+
+def test_spatial_decomposition_parity_sheared():
+    """Mesh-sharded cell kernel on a TRICLINIC cell: binning/ghosting
+    are global (lattice-vector shifts included) before the x-slab
+    slicing, so the spatial decomposition must reproduce the unsharded
+    run on a sheared box exactly like it does on an orthorhombic one."""
+    from jax.sharding import Mesh
+
+    from pmarlo_tpu.md.forcefield import build_system
+    from pmarlo_tpu.md.pallas_cells import build_cell_force_fn
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (conftest sets XLA_FLAGS)")
+    s, _ = _water_box(11, spacing=0.33)
+    system, x = build_system(s, box=(3.73, 3.73, 3.73),
+                             tilt=(0.4, 0.3, 0.4), cutoff=0.45,
+                             hydrogen_mass=None)
+    x = jnp.asarray(x, jnp.float32)
+    # skin=0: auto-coarsening would shrink the sheared grid to 7 cells
+    # (perp widths < box lengths) and break the 8-way divisibility
+    fn = build_cell_force_fn(system, interpret=True, skin=0.0)
+    assert fn.grid.tilt is not None
+    assert fn.grid.nx == 8
+    mesh = Mesh(np.array(jax.devices()[:8]), ("cells",))
+    fn_sh = build_cell_force_fn(system, interpret=True, mesh=mesh,
+                                skin=0.0)
+    e0, f0 = fn(x)
+    e1, f1 = fn_sh(x)
+    assert abs(float(e0) - float(e1)) < 0.05
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=0.05)
