@@ -221,6 +221,56 @@ def min_image_exact(d: jax.Array, H: jax.Array) -> jax.Array:
     )[..., 0, :]
 
 
+def tilt_ratios(box: Sequence[float],
+                tilt: Sequence[float]) -> Tuple[float, float, float]:
+    """Static (bx/ax, cx/ax, cy/by). The Monte-Carlo barostat's volume
+    moves scale the whole lattice isotropically, so these ratios are
+    INVARIANT along an NPT trajectory: a traced (3,) diagonal plus the
+    static ratios fully determines the evolving triclinic cell — the
+    barostat itself never needs to know about tilt."""
+    ax, by, _ = (float(v) for v in box)
+    bx, cx, cy = (float(v) for v in tilt)
+    return (bx / ax, cx / ax, cy / by)
+
+
+def traced_matrices(box: jax.Array,
+                    ratios: Sequence[float]) -> Tuple[jax.Array, jax.Array]:
+    """(H, Hinv) as (3, 3) device arrays from a traced (3,) diagonal and
+    static tilt ratios (closed-form lower-triangular inverse — no
+    linalg solve inside the step). With a constant ``box`` XLA folds
+    both to compile-time constants, so the static path can share this
+    code without cost."""
+    a, b, c = box[0], box[1], box[2]
+    rbx, rcx, rcy = (float(r) for r in ratios)
+    p, q, r = rbx * a, rcx * a, rcy * b
+    z = jnp.zeros_like(a)
+    H = jnp.stack([
+        jnp.stack([a, z, z]),
+        jnp.stack([p, b, z]),
+        jnp.stack([q, r, c]),
+    ])
+    Hinv = jnp.stack([
+        jnp.stack([1.0 / a, z, z]),
+        jnp.stack([-p / (a * b), 1.0 / b, z]),
+        jnp.stack([(p * r - q * b) / (a * b * c), -r / (b * c), 1.0 / c]),
+    ])
+    return H, Hinv
+
+
+def traced_perp_widths(box: jax.Array,
+                       ratios: Sequence[float]) -> jax.Array:
+    """(3,) perpendicular widths from a traced diagonal + static
+    ratios (the dynamic-box cutoff-cover guard)."""
+    H, _ = traced_matrices(box, ratios)
+    V = box[0] * box[1] * box[2]
+    cross = jnp.stack([
+        jnp.cross(H[1], H[2]),
+        jnp.cross(H[2], H[0]),
+        jnp.cross(H[0], H[1]),
+    ])
+    return V / jnp.sqrt(jnp.sum(cross * cross, axis=1))
+
+
 def dodecahedron_vectors(d: float) -> Tuple[Tuple[float, float, float],
                                             Tilt]:
     """Rhombic-dodecahedron cell with image distance ``d`` (nm) in

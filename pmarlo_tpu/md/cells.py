@@ -177,16 +177,21 @@ def bin_atoms(grid: CellGrid, x: jax.Array, box: jax.Array | None = None):
     else:
         # triclinic: bin on FRACTIONAL coordinates (x = f @ H); the
         # cells are parallelepipeds and the cover argument runs through
-        # perpendicular slab widths (make_cell_grid). The dynamic-box
-        # override is orthorhombic-only (NPT keeps tilt = None).
-        if box is not None:
-            raise ValueError(
-                "dynamic-box binning is orthorhombic-only; triclinic "
-                "cells use the static-box path"
+        # perpendicular slab widths (make_cell_grid). A traced ``box``
+        # (NPT) carries the evolving diagonal; the tilt follows via the
+        # grid's STATIC tilt ratios — the barostat's isotropic moves
+        # never change them (md/box.py tilt_ratios).
+        if box is None:
+            H_np, Hinv_np = grid.matrices()
+            Hj = jnp.asarray(H_np, x.dtype)
+            Hinvj = jnp.asarray(Hinv_np, x.dtype)
+        else:
+            from .box import tilt_ratios, traced_matrices
+
+            Hj, Hinvj = traced_matrices(
+                box.astype(x.dtype), tilt_ratios(grid.box, grid.tilt)
             )
-        H_np, Hinv_np = grid.matrices()
-        Hj = jnp.asarray(H_np, x.dtype)
-        f = x @ jnp.asarray(Hinv_np, x.dtype)
+        f = x @ Hinvj
         f = f - jnp.floor(f)
         xw = f @ Hj
     c = (f * ncell).astype(jnp.int32)
@@ -370,7 +375,16 @@ def ghost_pad(grid: CellGrid, slots: jax.Array,
     # c = (tcx, tcy, cz). Orthorhombic tilt components are zero, so the
     # extra adds vanish there; corner ghosts sit in several boundary
     # layers and accumulate each crossed vector, exactly as required.
-    tbx, tcx, tcy = grid.tilt if grid.tilt is not None else (0.0, 0.0, 0.0)
+    if grid.tilt is None:
+        tbx = tcx = tcy = 0.0
+    elif box is None:
+        tbx, tcx, tcy = grid.tilt
+    else:
+        # traced box: tilt follows the diagonal via the static ratios
+        from .box import tilt_ratios
+
+        rbx, rcx, rcy = tilt_ratios(grid.box, grid.tilt)
+        tbx, tcx, tcy = rbx * bx, rcx * bx, rcy * by
     g = g.at[0, 0, :, :, :].add(-bx)
     g = g.at[0, -1, :, :, :].add(bx)
     g = g.at[1, :, 0, :, :].add(-by)

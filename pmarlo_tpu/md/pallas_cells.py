@@ -428,12 +428,18 @@ def build_cell_force_fn(
     else:
         # rounded fractional minimum image — exact below half the
         # smallest perpendicular width (md/box.py), which covers every
-        # cutoff-bounded pair here since min_width >= 2*cutoff
-        _Hj = jnp.asarray(H_np, jnp.float32)
-        _Hinvj = jnp.asarray(Hinv_np, jnp.float32)
+        # cutoff-bounded pair here since min_width >= 2*cutoff. The
+        # lattice derives from the (possibly traced) diagonal ``b``
+        # plus the STATIC tilt ratios; with the static box_arr constant
+        # XLA folds the matrices, so the fast path pays nothing.
+        from .box import tilt_ratios as _tilt_ratios
+        from .box import traced_matrices as _traced_matrices
+
+        _ratios = _tilt_ratios(box_f, tilt_f)
 
         def _min_image(d, b):
-            return d - jnp.round(d @ _Hinvj) @ _Hj
+            Hj, Hinvj = _traced_matrices(b, _ratios)
+            return d - jnp.round(d @ Hinvj) @ Hj
     eps_rf = float(system.solvent_dielectric)
     k_rf = (eps_rf - 1.0) / ((2.0 * eps_rf + 1.0) * rc**3)
     c_rf = 1.0 / rc + k_rf * rc * rc
@@ -561,7 +567,13 @@ def build_cell_force_fn(
         # a cell overflow silently drops interactions -> poison loudly
         bad = overflow
         if box is not None:
-            bad = jnp.logical_or(bad, jnp.min(b / ncell_arr) < rc)
+            if tilt_f is None:
+                widths = b
+            else:
+                from .box import traced_perp_widths
+
+                widths = traced_perp_widths(b, _ratios)
+            bad = jnp.logical_or(bad, jnp.min(widths / ncell_arr) < rc)
         poison = jnp.where(bad, jnp.nan, 0.0).astype(jnp.float32)
         energy = jnp.sum(e_rows) + e_c + e_b + poison
         if dispersion_correction:
@@ -577,7 +589,8 @@ def build_cell_force_fn(
             else:
                 e_m, g_m = jax.value_and_grad(
                     lambda xx: reciprocal_energy(
-                        xx, q, b, alpha, mesh_shape, pme_order
+                        xx, q, b, alpha, mesh_shape, pme_order,
+                        tilt_ratios=(None if tilt_f is None else _ratios),
                     )
                 )(x)
                 energy = (energy + e_m + e_self
@@ -599,11 +612,11 @@ def build_cell_force_fn(
     # ---- dynamic-box (NPT) entry points: same static grid SHAPE, box a
     # traced argument — Monte-Carlo volume moves (md/barostat.py) change
     # the box inside one compiled program. Cold binning per call; the
-    # barostat rebins after accepted moves anyway. Orthorhombic-only:
-    # the traced box is a (3,) diagonal (isotropic moves never create
-    # tilt, but a tilted STARTING cell would need a traced (3, 3) H
-    # through binning/ghosting/PME — not wired; use NVT for triclinic;
-    # the triclinic override sits after the definitions below).
+    # barostat rebins after accepted moves anyway. The traced box is a
+    # (3,) diagonal; triclinic cells ride along because the barostat's
+    # isotropic moves preserve the tilt RATIOS (md/box.py tilt_ratios)
+    # — binning/ghosting/min-image/PME all derive the evolving lattice
+    # from the traced diagonal + the static ratios.
     @jax.jit
     def dynamic(x, box):
         x = x.astype(jnp.float32)
@@ -629,7 +642,13 @@ def build_cell_force_fn(
         accepted volume move; between moves the box is constant."""
         x = x.astype(jnp.float32)
         box = jnp.asarray(box, jnp.float32)
-        sk_t = jnp.maximum(jnp.min(box / ncell_arr) - rc, 0.0)
+        if tilt_f is None:
+            w_t = box
+        else:
+            from .box import traced_perp_widths
+
+            w_t = traced_perp_widths(box, _ratios)
+        sk_t = jnp.maximum(jnp.min(w_t / ncell_arr) - rc, 0.0)
         disp = x - st.x_ref
         need = jnp.max(jnp.sum(disp * disp, axis=1)) > (0.5 * sk_t) ** 2
         st = jax.lax.cond(need, lambda _: _fresh_state(x, box),
@@ -678,15 +697,6 @@ def build_cell_force_fn(
         xw = st.xw_ref + (xs - st.x_ref)
         e, f = jax.vmap(_eval)(xs, st.slot, xw, st.overflow)
         return e, f, st
-
-    if tilt_f is not None:
-        def _no_npt(*_a, **_k):
-            raise NotImplementedError(
-                "the dynamic-box (NPT) path is orthorhombic-only; "
-                "triclinic cells run NVT/NVE"
-            )
-
-        dynamic = init_state_dynamic = apply_dynamic = _no_npt
 
     force_fn.grid = grid  # introspection for tests/benchmarks
     force_fn.electrostatics = electrostatics

@@ -156,19 +156,29 @@ def spread_charges(
     shape: Tuple[int, int, int],
     order: int = SPLINE_ORDER,
     tilt: Optional[Tuple[float, float, float]] = None,
+    tilt_ratios: Optional[Tuple[float, float, float]] = None,
 ) -> jax.Array:
     """Charge spreading with M_order spline weights as separable
     matmuls: Q[i, j, k] = sum_n (q_n Wz[n, k]) Wx[n, i] Wy[n, j] — one
     (K1, N) x (N, K2) matmul per z-plane, batched. MXU-native and
     differentiable in ``x`` (the force pass is just autodiff).
 
-    ``tilt``: triclinic off-diagonals (md/box.py). The mesh lives in
-    FRACTIONAL coordinates, so triclinic spreading is just a different
-    ``u`` map (u = (x @ Hinv) * K); the ``% K`` column wrap already
-    handles out-of-cell positions on both paths."""
+    ``tilt``: triclinic off-diagonals (md/box.py) for a STATIC box. The
+    mesh lives in FRACTIONAL coordinates, so triclinic spreading is
+    just a different ``u`` map (u = (x @ Hinv) * K); the ``% K`` column
+    wrap already handles out-of-cell positions on both paths.
+    ``tilt_ratios`` (bx/ax, cx/ax, cy/by): the TRACED-box triclinic
+    form (NPT — isotropic moves keep the ratios static)."""
     K1, K2, K3 = shape
     Ks = jnp.asarray([K1, K2, K3], x.dtype)
-    if tilt is None:
+    if tilt_ratios is not None:
+        from .box import traced_matrices
+
+        _, Hinv = traced_matrices(
+            jnp.asarray(box, x.dtype), tilt_ratios
+        )
+        u = (x @ Hinv) * Ks
+    elif tilt is None:
         L = jnp.asarray(box, x.dtype)
         u = x / L * Ks
     else:
@@ -194,6 +204,7 @@ def reciprocal_energy(
     shape: Tuple[int, int, int],
     order: int = SPLINE_ORDER,
     tilt: Optional[Tuple[float, float, float]] = None,
+    tilt_ratios: Optional[Tuple[float, float, float]] = None,
 ) -> jax.Array:
     """Smooth-PME reciprocal-space energy (Essmann eq. 4.7):
     E = ke/(2 pi V) * sum_{m != 0} exp(-pi^2 m^2/alpha^2)/m^2 B(m) |F[Q](m)|^2.
@@ -207,15 +218,46 @@ def reciprocal_energy(
     if tilt is not None and isinstance(box, jax.Array):
         # must precede spread_charges: its tilt branch calls
         # box_matrix(box, tilt), whose float() on traced entries would
-        # die with an opaque ConcretizationTypeError instead
+        # die with an opaque ConcretizationTypeError instead. The
+        # traced-box triclinic form is ``tilt_ratios`` (NPT path).
         raise NotImplementedError(
-            "traced-box (NPT) reciprocal energy is orthorhombic-only"
+            "traced-box reciprocal energy takes tilt_ratios, not a "
+            "static tilt (md/box.py tilt_ratios)"
         )
-    Q = spread_charges(x, q, box, shape, order, tilt=tilt)
+    Q = spread_charges(x, q, box, shape, order, tilt=tilt,
+                       tilt_ratios=tilt_ratios)
     F = jnp.fft.fftn(Q)
     B = (_bspline_bsq(K1, order)[:, None, None]
          * _bspline_bsq(K2, order)[None, :, None]
          * _bspline_bsq(K3, order)[None, None, :])
+    if tilt_ratios is not None:
+        # traced (or static) diagonal + static ratios: the reciprocal
+        # wavevector is m~ = Hinv @ m with Hinv the closed-form
+        # lower-triangular inverse built on device
+        from .box import traced_matrices
+
+        box_j = jnp.asarray(box, jnp.float32)
+        _, Hi = traced_matrices(box_j, tilt_ratios)
+
+        def ifreqs(K):
+            return jnp.asarray(np.fft.fftfreq(K) * K, jnp.float32)
+
+        m1 = ifreqs(K1)[:, None, None]
+        m2 = ifreqs(K2)[None, :, None]
+        m3 = ifreqs(K3)[None, None, :]
+        mx = Hi[0, 0] * m1
+        my = Hi[1, 0] * m1 + Hi[1, 1] * m2
+        mz = Hi[2, 0] * m1 + Hi[2, 1] * m2 + Hi[2, 2] * m3
+        msq = mx * mx + my * my + mz * mz
+        infl = jnp.where(
+            msq > 0.0,
+            jnp.exp(-np.pi**2 * msq / alpha**2)
+            / jnp.where(msq > 0.0, msq, 1.0)
+            * jnp.asarray(B, jnp.float32),
+            0.0,
+        )
+        V = box_j[0] * box_j[1] * box_j[2]
+        return (KE / (2.0 * np.pi * V)) * jnp.sum(infl * jnp.abs(F) ** 2)
     if tilt is not None:
         from .box import box_matrix
 

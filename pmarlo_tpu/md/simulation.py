@@ -129,12 +129,14 @@ def run_segment(
                     "the PDB's CRYST1 record during the previous segment"
                 )
             box = structure.box
-        if ensemble == "npt" and getattr(structure, "tilt", None) is not None:
-            raise ValueError(
-                "ensemble='npt' is orthorhombic-only (the traced "
-                "dynamic box is a (3,) diagonal); the CRYST1 cell is "
-                "triclinic — run NVT/NVE, or re-solvate in a cubic box"
-            )
+        tilt = getattr(structure, "tilt", None)
+        if tilt is not None:
+            # resuming with an evolved diagonal (NPT moves scale the
+            # cell isotropically): the tilt scales by the same factor,
+            # since the tilt RATIOS are invariant along the trajectory
+            s_fac = float(box[0]) / float(structure.box[0])
+            if abs(s_fac - 1.0) > 1e-12:
+                tilt = tuple(float(t) * s_fac for t in tilt)
         # NPT gets the LJ tail term (OpenMM useDispersionCorrection
         # default): its 1/V dependence sets the equilibrium density
         # (~0.98 vs 0.968 g/cm^3 measured on a 27k TIP3P box). The
@@ -142,7 +144,8 @@ def run_segment(
         # consumed by the minimizer — resume skips its grid/exclusion
         # setup entirely.
         setup = build_explicit_setup(
-            structure, box=box, cutoff=cutoff, nonbonded=nonbonded,
+            structure, box=box, tilt=tilt, cutoff=cutoff,
+            nonbonded=nonbonded,
             require_cells=(ensemble == "npt"),
             dispersion_correction=(ensemble == "npt"),
             build_minimize_fn=initial_state is None,

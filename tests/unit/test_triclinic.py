@@ -409,7 +409,50 @@ def test_solvate_dodecahedron_and_run_segment(tmp_path):
     assert np.isfinite(res["potential_energy"]).all()
 
 
-def test_npt_rejects_triclinic(tmp_path):
+def test_dynamic_box_parity_sheared(sheared_water_system):
+    """NPT plumbing on a triclinic cell: the dynamic entry at the build
+    box must match the static path, and at a scaled box it must match a
+    FRESH static build of the isotropically scaled cell (the tilt
+    ratios are barostat invariants)."""
+    import dataclasses
+
+    from pmarlo_tpu.md.pallas_cells import build_cell_force_fn
+
+    system, x = sheared_water_system
+    for elec in ("rf", "pme"):
+        fn = build_cell_force_fn(system, interpret=True,
+                                 electrostatics=elec)
+        e0, f0 = fn(x)
+        e_d, f_d = fn.dynamic(x, jnp.asarray(system.box, jnp.float32))
+        assert abs(float(e0) - float(e_d)) < 2e-2, elec
+        np.testing.assert_allclose(np.asarray(f0), np.asarray(f_d),
+                                   atol=2e-2)
+
+        s_fac = 1.04
+        box_s = tuple(float(b) * s_fac for b in system.box)
+        tilt_s = tuple(float(t) * s_fac for t in system.tilt)
+        xs = x * s_fac
+        e_ds, f_ds = fn.dynamic(xs, jnp.asarray(box_s, jnp.float32))
+        sys_s = dataclasses.replace(system, box=box_s, tilt=tilt_s)
+        fn_s = build_cell_force_fn(sys_s, interpret=True,
+                                   electrostatics=elec, skin=0.0)
+        e_f, f_f = fn_s(xs)
+        # PME reciprocal mesh shapes may differ between the dynamic
+        # (built at the base box) and fresh builds: loose-ish band
+        tol_e = 0.3 if elec == "pme" else 2e-2
+        tol_f = 0.3 if elec == "pme" else 2e-2
+        assert abs(float(e_ds) - float(e_f)) < tol_e, (
+            elec, float(e_ds), float(e_f))
+        np.testing.assert_allclose(np.asarray(f_ds), np.asarray(f_f),
+                                   atol=tol_f)
+
+
+@pytest.mark.slow
+def test_npt_on_dodecahedron(tmp_path):
+    """run_segment(ensemble='npt') on a triclinic (dodecahedron) cell:
+    barostat volume moves scale the lattice isotropically (the tilt
+    ratios are invariant), so NPT density equilibration works in the
+    production dodecahedron workflow."""
     import pmarlo_tpu
     from pmarlo_tpu.data import alanine_dipeptide_structure
     from pmarlo_tpu.io.pdb import write_pdb
@@ -427,11 +470,19 @@ def test_npt_rejects_triclinic(tmp_path):
         chains=[a.chain or "A" for a in atoms],
         box=solv.box, tilt=solv.tilt,
     )
-    with pytest.raises(ValueError, match="orthorhombic-only"):
-        pmarlo_tpu.run_segment(
-            str(pdb), n_steps=20, report_interval=20, cutoff=0.45,
-            ensemble="npt", pressure_bar=1.0,
-        )
+    res = pmarlo_tpu.run_segment(
+        str(pdb), n_steps=60, report_interval=20, cutoff=0.45,
+        ensemble="npt", pressure_bar=1.0, barostat_interval=10,
+        seed=5,
+    )
+    dens = np.asarray(res["density_g_cm3"])
+    assert np.isfinite(dens).all() and (dens > 0.2).all()
+    box_trace = np.asarray(res["box"])
+    # isotropy: the diagonal ratios never change under the barostat
+    r0 = box_trace[:, 1] / box_trace[:, 0]
+    r1 = box_trace[:, 2] / box_trace[:, 0]
+    np.testing.assert_allclose(r0, r0[0], rtol=1e-5)
+    np.testing.assert_allclose(r1, r1[0], rtol=1e-5)
 
 
 @pytest.mark.slow
