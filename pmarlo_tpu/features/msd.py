@@ -17,14 +17,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def unwrap_trajectory(positions, box) -> jnp.ndarray:
+def unwrap_trajectory(positions, box, tilt=None) -> jnp.ndarray:
     """Undo periodic wrapping: accumulate minimum-image frame-to-frame
-    displacements. Valid while no atom moves more than box/2 between
-    consecutive frames (easily true at MD reporting intervals)."""
+    displacements. Valid while no atom moves more than half the
+    smallest (perpendicular) cell width between consecutive frames
+    (easily true at MD reporting intervals). ``tilt`` (md/box.py):
+    triclinic cells round the frame-to-frame deltas in FRACTIONAL
+    coordinates, which undoes wraps along any lattice vector."""
     positions = jnp.asarray(positions)
-    box_arr = jnp.asarray(box, positions.dtype)
     deltas = positions[1:] - positions[:-1]
-    deltas = deltas - box_arr * jnp.round(deltas / box_arr)
+    if tilt is None:
+        box_arr = jnp.asarray(box, positions.dtype)
+        deltas = deltas - box_arr * jnp.round(deltas / box_arr)
+    else:
+        from ..md.box import box_matrix
+
+        H = np.asarray(box_matrix(box, tilt))
+        Hj = jnp.asarray(H, positions.dtype)
+        Hinvj = jnp.asarray(np.linalg.inv(H), positions.dtype)
+        deltas = deltas - jnp.round(deltas @ Hinvj) @ Hj
     return jnp.concatenate(
         [positions[:1], positions[:1] + jnp.cumsum(deltas, axis=0)], axis=0
     )
@@ -38,6 +49,7 @@ def mean_squared_displacement(
     max_lag: Optional[int] = None,
     remove_com: bool = False,
     masses: Optional[np.ndarray] = None,
+    tilt=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """MSD(t) averaged over atoms and time origins.
 
@@ -57,7 +69,7 @@ def mean_squared_displacement(
     """
     x = jnp.asarray(positions)
     if box is not None:
-        x = unwrap_trajectory(x, box)
+        x = unwrap_trajectory(x, box, tilt=tilt)
     if remove_com:
         if masses is not None:
             w = jnp.asarray(masses, x.dtype)

@@ -36,16 +36,19 @@ def radial_distribution(
     *,
     r_max: float = 1.0,
     n_bins: int = 100,
+    tilt: Optional[Tuple[float, float, float]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """g(r) between selections ``idx_a`` and ``idx_b`` (default: a-a).
 
-    positions: (F, N, 3) trajectory; box: (3,) orthorhombic edges (the
-    explicit-solvent convention everywhere in md/); r_max should stay
-    <= min(box)/2 so min-image distances are unambiguous. Passing
-    overlapping selections (including ``idx_b`` equal to ``idx_a`` by
-    value) is handled: identical-atom pairs are excluded and the
-    partner density is discounted accordingly, so ``rdf(x, box, o)``
-    and ``rdf(x, box, o, o)`` agree.
+    positions: (F, N, 3) trajectory; box: (3,) lattice diagonal (the
+    explicit-solvent convention everywhere in md/), with ``tilt`` the
+    triclinic off-diagonals (md/box.py) for sheared/dodecahedron cells;
+    r_max should stay <= half the smallest perpendicular width so
+    min-image distances are unambiguous. Passing overlapping
+    selections (including ``idx_b`` equal to ``idx_a`` by value) is
+    handled: identical-atom pairs are excluded and the partner density
+    is discounted accordingly, so ``rdf(x, box, o)`` and
+    ``rdf(x, box, o, o)`` agree.
 
     Returns (r_centers (n_bins,), g (n_bins,)) as numpy arrays.
     """
@@ -53,10 +56,20 @@ def radial_distribution(
     if positions.ndim == 2:
         positions = positions[None]
     box_arr = jnp.asarray(box, positions.dtype)
-    if float(r_max) > float(jnp.min(box_arr)) / 2 + 1e-9:
+    if tilt is None:
+        half_width = float(jnp.min(box_arr)) / 2
+        Hj = Hinvj = None
+    else:
+        from ..md.box import box_matrix, perp_widths
+
+        H = box_matrix(box, tilt)
+        half_width = float(np.min(perp_widths(H))) / 2
+        Hj = jnp.asarray(H, positions.dtype)
+        Hinvj = jnp.asarray(np.linalg.inv(H), positions.dtype)
+    if float(r_max) > half_width + 1e-9:
         raise ValueError(
-            f"r_max {r_max} exceeds half the smallest box edge "
-            f"{float(jnp.min(box_arr)) / 2:.4f} — min-image ambiguous"
+            f"r_max {r_max} exceeds half the smallest perpendicular "
+            f"cell width {half_width:.4f} — min-image ambiguous"
         )
     ia = np.asarray(idx_a, np.int32)
     ib = ia if idx_b is None else np.asarray(idx_b, np.int32)
@@ -74,7 +87,12 @@ def radial_distribution(
         xa = x[idx_a_arr]                   # (A, 3)
         xb = x[idx_b_arr]                   # (B, 3)
         d = xa[:, None, :] - xb[None, :, :]
-        d = d - box_arr * jnp.round(d / box_arr)
+        if tilt is None:
+            d = d - box_arr * jnp.round(d / box_arr)
+        else:
+            # rounded fractional minimum image: exact below half the
+            # min perpendicular width, which bounds r_max above
+            d = d - jnp.round(d @ Hinvj) @ Hj
         r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
         r = jnp.where(self_mask, 2.0 * r_max, r)
         bins = jnp.clip((r / dr).astype(jnp.int32), 0, n_bins)

@@ -59,7 +59,12 @@ def _load_native() -> Optional[ctypes.CDLL]:
 
 # --- pure-Python fallback -------------------------------------------------------
 
-def _py_write(path: Path, coords_ang: np.ndarray, dt_ps: float, save_interval: int):
+def _py_write(path: Path, coords_ang: np.ndarray, dt_ps: float,
+              save_interval: int, cell: "np.ndarray | None" = None):
+    """``cell``: optional 6-vector X-PLOR/CHARMM unit-cell record
+    [a, cos(gamma), b, cos(beta), cos(alpha), c] in Angstrom (the VMD
+    dcdplugin heuristic reads values in [-1, 1] as cosines), written
+    once per frame."""
     n_frames, n_atoms = coords_ang.shape[:2]
     with path.open("wb") as f:
         def rec(payload: bytes):
@@ -74,12 +79,15 @@ def _py_write(path: Path, coords_ang: np.ndarray, dt_ps: float, save_interval: i
         icntrl[3] = n_frames * save_interval
         delta = struct.unpack("<i", struct.pack("<f", dt_ps / 0.0488882129))[0]
         icntrl[9] = delta
+        icntrl[10] = 0 if cell is None else 1
         icntrl[19] = 24
         rec(b"CORD" + struct.pack("<20i", *icntrl))
         title = b"Created by pmarlo_tpu python DCD writer".ljust(80)
         rec(struct.pack("<i", 1) + title)
         rec(struct.pack("<i", n_atoms))
         for frame in coords_ang:
+            if cell is not None:
+                rec(np.asarray(cell, dtype="<f8").tobytes())
             for d in range(3):
                 rec(frame[:, d].astype("<f4").tobytes())
 
@@ -128,8 +136,16 @@ def write_dcd(
     *,
     dt_ps: float = 0.002,
     save_interval: int = 1,
+    box: "Tuple[float, float, float] | None" = None,
+    tilt: "Tuple[float, float, float] | None" = None,
 ) -> Path:
-    """Write (T, N, 3) nm coordinates as a DCD file."""
+    """Write (T, N, 3) nm coordinates as a DCD file.
+
+    ``box``/``tilt`` (nm, md/box.py convention) emit a per-frame
+    X-PLOR/CHARMM unit-cell record [a, cos(gamma), b, cos(beta),
+    cos(alpha), c] in Angstrom — the layout VMD/mdtraj read. Cell
+    writing uses the Python path (the native fast path handles the
+    no-cell layout only; the native READER skips cell records fine)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     coords = np.ascontiguousarray(
@@ -137,6 +153,16 @@ def write_dcd(
     )
     if coords.ndim != 3 or coords.shape[-1] != 3:
         raise ValueError(f"coordinates must be (T, N, 3), got {coords.shape}")
+    if box is not None:
+        from ..md.box import to_lengths_angles
+
+        a, b, c, al, be, ga = to_lengths_angles(box, tilt)
+        cell = np.array([
+            a * 10.0, np.cos(np.deg2rad(ga)), b * 10.0,
+            np.cos(np.deg2rad(be)), np.cos(np.deg2rad(al)), c * 10.0,
+        ])
+        _py_write(path, coords, dt_ps, save_interval, cell=cell)
+        return path
     lib = _load_native()
     if lib is not None:
         rc = lib.pmarlo_dcd_write(
@@ -168,6 +194,41 @@ def probe_dcd(path: "str | Path") -> Tuple[int, int]:
     return arr.shape[0], arr.shape[1]
 
 
+def read_dcd_box(
+    path: "str | Path",
+) -> "Tuple[Tuple[float, float, float], Tuple[float, float, float] | None] | None":
+    """(box, tilt) in nm from the FIRST frame's unit-cell record, or
+    None for cell-less files. Applies the VMD dcdplugin heuristic:
+    angle slots in [-1, 1] are cosines, otherwise degrees."""
+    path = Path(path)
+    data = path.read_bytes()
+    (n,) = struct.unpack_from("<i", data, 0)
+    header = data[4:4 + n]
+    if header[:4] != b"CORD":
+        raise ValueError(f"{path} is not a DCD file")
+    icntrl = struct.unpack_from("<20i", header, 4)
+    if icntrl[10] == 0:
+        return None
+    off = 4 + n + 4
+    for _ in range(2):  # title + natoms records
+        (m,) = struct.unpack_from("<i", data, off)
+        off += 4 + m + 4
+    (m,) = struct.unpack_from("<i", data, off)
+    if m != 48:
+        raise ValueError(f"unexpected unit-cell record size {m}")
+    cell = np.frombuffer(data, dtype="<f8", count=6, offset=off + 4)
+
+    def ang(v):
+        return float(np.rad2deg(np.arccos(np.clip(v, -1.0, 1.0)))
+                     if abs(v) <= 1.0 else v)
+
+    a, b, c = cell[0] / 10.0, cell[2] / 10.0, cell[5] / 10.0
+    gamma, beta, alpha = ang(cell[1]), ang(cell[3]), ang(cell[4])
+    from ..md.box import from_lengths_angles
+
+    return from_lengths_angles(a, b, c, alpha, beta, gamma)
+
+
 def read_dcd(
     path: "str | Path", start: int = 0, count: Optional[int] = None
 ) -> np.ndarray:
@@ -197,4 +258,4 @@ def read_dcd(
     return arr.astype(np.float32) / 10.0
 
 
-__all__ = ["write_dcd", "read_dcd", "probe_dcd"]
+__all__ = ["write_dcd", "read_dcd", "read_dcd_box", "probe_dcd"]

@@ -362,6 +362,13 @@ def _package_result(system, final_state, frames, e_min, n_steps, dt_ps,
                 "atom_names": list(system.atom_names),
                 "residue_names": list(system.residue_names),
                 "residue_ids": list(system.residue_ids),
+                # periodic-cell provenance (None for implicit solvent):
+                # analysis (RDF min-image, MSD unwrapping) and format
+                # conversion need the lattice, not just coordinates
+                "box": (list(system.box) if system.box is not None
+                        else None),
+                "tilt": (list(system.tilt) if system.tilt is not None
+                         else None),
             },
         )
         writer.write_frames(np.asarray(frames["positions"]))

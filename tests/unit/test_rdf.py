@@ -40,7 +40,7 @@ def test_two_fixed_atoms_single_shell():
 
 
 def test_rmax_beyond_half_box_rejected():
-    with pytest.raises(ValueError, match="half the smallest box"):
+    with pytest.raises(ValueError, match="half the smallest perpendicular"):
         radial_distribution(np.zeros((1, 4, 3)), (1.0, 1.0, 1.0),
                             np.arange(4), r_max=0.6)
 

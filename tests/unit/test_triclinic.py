@@ -588,3 +588,58 @@ def test_spatial_decomposition_parity_sheared():
     e1, f1 = fn_sh(x)
     assert abs(float(e0) - float(e1)) < 0.05
     np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=0.05)
+
+
+def test_rdf_and_msd_triclinic():
+    """Observables on triclinic cells: an ideal gas's g(r) is flat at 1
+    in a sheared cell, and fractional-coordinate unwrapping recovers a
+    straight-line walk that wraps across tilted faces."""
+    from pmarlo_tpu.features.msd import unwrap_trajectory
+    from pmarlo_tpu.features.rdf import radial_distribution
+
+    rng = np.random.default_rng(7)
+    box, tilt = (2.0, 2.0, 1.5), (0.5, 0.4, 0.6)
+    H = box_matrix(box, tilt)
+    # ideal gas: uniform in FRACTIONAL coordinates
+    f = rng.uniform(size=(6, 400, 3))
+    x = f @ H
+    r, g = radial_distribution(x, box, np.arange(400), r_max=0.6,
+                               n_bins=24, tilt=tilt)
+    assert abs(float(np.mean(g[4:])) - 1.0) < 0.12, g
+    # orthorhombic call on tilted data would NOT be flat (sanity that
+    # the tilt parameter matters): skip the strict check, just ensure
+    # the tilt-aware bound rejects over-long r_max
+    with pytest.raises(ValueError, match="perpendicular"):
+        radial_distribution(x, box, np.arange(400), r_max=0.95,
+                            tilt=tilt)
+
+    # unwrap: a straight-line walk wrapped into the cell
+    steps = rng.normal(scale=0.05, size=(40, 5, 3))
+    true_path = np.cumsum(steps, axis=0) + H.sum(0) / 2
+    fwrap = (true_path @ np.linalg.inv(H)) % 1.0
+    wrapped = fwrap @ H
+    unwrapped = np.asarray(unwrap_trajectory(wrapped, box, tilt=tilt))
+    d0 = unwrapped - true_path
+    # equal up to one constant lattice translation per atom
+    np.testing.assert_allclose(d0 - d0[0:1], 0.0, atol=1e-5)
+
+
+def test_dcd_cell_roundtrip(tmp_path):
+    from pmarlo_tpu.io.dcd import read_dcd, read_dcd_box, write_dcd
+
+    box, tilt = dodecahedron_vectors(2.8)
+    coords = np.random.default_rng(1).uniform(0, 2.0, size=(3, 17, 3))
+    p = write_dcd(tmp_path / "t.dcd", coords, box=box, tilt=tilt)
+    got = read_dcd(p)
+    np.testing.assert_allclose(got, coords, atol=1e-4)
+    box2, tilt2 = read_dcd_box(p)
+    np.testing.assert_allclose(box2, box, atol=1e-6)
+    np.testing.assert_allclose(tilt2, tilt, atol=1e-6)
+    # orthorhombic cell round-trips with tilt None
+    p2 = write_dcd(tmp_path / "o.dcd", coords, box=(2.0, 2.1, 2.2))
+    b3, t3 = read_dcd_box(p2)
+    np.testing.assert_allclose(b3, (2.0, 2.1, 2.2), atol=1e-6)
+    assert t3 is None
+    # cell-less file reports None
+    p3 = write_dcd(tmp_path / "n.dcd", coords)
+    assert read_dcd_box(p3) is None
