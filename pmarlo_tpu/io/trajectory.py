@@ -215,10 +215,14 @@ class DCDTrajectoryWriter:
             np.concatenate(self._frames, axis=0)
             if self._frames else np.zeros((0, 0, 3), np.float32)
         )
+        box = self.metadata.get("box")
+        tilt = self.metadata.get("tilt")
         write_dcd(
             self.path, coords,
             dt_ps=float(self.metadata.get("dt_ps", 0.002)),
             save_interval=int(self.metadata.get("report_interval", 1)),
+            box=tuple(box) if box is not None else None,
+            tilt=tuple(tilt) if tilt is not None else None,
         )
         self._frames = []
         self._closed = True
@@ -263,10 +267,20 @@ class XTCTrajectoryWriter:
         dt = float(self.metadata.get("dt_ps", 0.002))
         interval = int(self.metadata.get("report_interval", 1))
         T = coords.shape[0]
+        box = self.metadata.get("box")
+        if box is not None:
+            from ..md.box import box_matrix
+
+            box_nm = np.asarray(
+                box_matrix(box, self.metadata.get("tilt")), np.float32
+            )
+        else:
+            box_nm = None
         write_xtc(
             self.path, coords,
             steps=np.arange(T, dtype=np.int32) * interval,
             times_ps=np.arange(T, dtype=np.float32) * (dt * interval),
+            box_nm=box_nm,
         )
         self._frames = []
         self._closed = True

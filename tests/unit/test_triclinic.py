@@ -643,3 +643,33 @@ def test_dcd_cell_roundtrip(tmp_path):
     # cell-less file reports None
     p3 = write_dcd(tmp_path / "n.dcd", coords)
     assert read_dcd_box(p3) is None
+
+
+def test_trajectory_writers_carry_cell(tmp_path):
+    """run_segment's writer metadata (box/tilt) must land in the
+    output files: DCD unit-cell records, XTC 3x3 box matrices."""
+    from pmarlo_tpu.io.dcd import read_dcd_box
+    from pmarlo_tpu.io.trajectory import (
+        DCDTrajectoryWriter,
+        XTCTrajectoryWriter,
+    )
+    from pmarlo_tpu.io.xtc import read_xtc
+
+    box, tilt = dodecahedron_vectors(2.4)
+    coords = np.random.default_rng(4).uniform(0, 2, size=(2, 9, 3))
+    meta = {"box": list(box), "tilt": list(tilt), "dt_ps": 0.002,
+            "report_interval": 10}
+    w = DCDTrajectoryWriter(tmp_path / "t.dcd", metadata=dict(meta))
+    w.write_frames(coords)
+    w.close()
+    b2, t2 = read_dcd_box(tmp_path / "t.dcd")
+    np.testing.assert_allclose(b2, box, atol=1e-6)
+    np.testing.assert_allclose(t2, tilt, atol=1e-6)
+
+    w = XTCTrajectoryWriter(tmp_path / "t.xtc", metadata=dict(meta))
+    w.write_frames(coords)
+    w.close()
+    _, _, _, boxes = read_xtc(tmp_path / "t.xtc", return_metadata=True)
+    H = box_matrix(box, tilt)
+    np.testing.assert_allclose(np.asarray(boxes[0]).reshape(3, 3), H,
+                               atol=1e-5)
