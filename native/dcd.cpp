@@ -43,9 +43,12 @@ bool read_record(std::FILE* f, std::vector<char>& buf) {
 extern "C" {
 
 // Write a DCD file. coords: (n_frames, n_atoms, 3) float32, Angstrom.
-// Returns 0 on success, negative error codes otherwise.
-int pmarlo_dcd_write(const char* path, const float* coords, int64_t n_frames,
-                     int64_t n_atoms, double dt_ps, int64_t save_interval) {
+// cells: optional (n_frames, 6) float64 X-PLOR unit-cell records
+// [a, cos(gamma), b, cos(beta), cos(alpha), c] in Angstrom (NULL for a
+// cell-less file). Returns 0 on success, negative error codes otherwise.
+int pmarlo_dcd_write_cells(const char* path, const float* coords,
+                           int64_t n_frames, int64_t n_atoms, double dt_ps,
+                           int64_t save_interval, const double* cells) {
     if (!path || !coords || n_frames <= 0 || n_atoms <= 0) return -1;
     std::FILE* f = std::fopen(path, "wb");
     if (!f) return -2;
@@ -61,7 +64,7 @@ int pmarlo_dcd_write(const char* path, const float* coords, int64_t n_frames,
     icntrl[3] = (int32_t)(n_frames * save_interval);  // NSTEP
     float delta = (float)(dt_ps / 0.0488882129);      // AKMA time units
     std::memcpy(&icntrl[9], &delta, 4);               // DELTA
-    icntrl[10] = 0;                      // no unit cell
+    icntrl[10] = cells ? 1 : 0;          // unit-cell flag
     icntrl[19] = 24;                     // CHARMM version stamp
     if (!write_record(f, header, 84)) { std::fclose(f); return -3; }
 
@@ -79,6 +82,12 @@ int pmarlo_dcd_write(const char* path, const float* coords, int64_t n_frames,
     std::vector<float> axis((size_t)n_atoms);
     const int32_t rec = (int32_t)(4 * n_atoms);
     for (int64_t fr = 0; fr < n_frames; ++fr) {
+        if (cells) {
+            if (!write_record(f, cells + fr * 6, 48)) {
+                std::fclose(f);
+                return -4;
+            }
+        }
         const float* frame = coords + fr * n_atoms * 3;
         for (int d = 0; d < 3; ++d) {
             for (int64_t a = 0; a < n_atoms; ++a) axis[(size_t)a] = frame[a * 3 + d];
@@ -87,6 +96,13 @@ int pmarlo_dcd_write(const char* path, const float* coords, int64_t n_frames,
     }
     std::fclose(f);
     return 0;
+}
+
+// Back-compat cell-less entry point.
+int pmarlo_dcd_write(const char* path, const float* coords, int64_t n_frames,
+                     int64_t n_atoms, double dt_ps, int64_t save_interval) {
+    return pmarlo_dcd_write_cells(path, coords, n_frames, n_atoms, dt_ps,
+                                  save_interval, nullptr);
 }
 
 // Probe a DCD file: fills n_frames/n_atoms/has_cell. Returns 0 on success.

@@ -34,7 +34,7 @@ def __getattr__(name):
         from . import trr
 
         return getattr(trr, name)
-    if name in {"write_dcd", "read_dcd", "probe_dcd"}:
+    if name in {"write_dcd", "read_dcd", "read_dcd_box", "probe_dcd"}:
         from . import dcd
 
         return getattr(dcd, name)

@@ -40,6 +40,12 @@ def _load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
         ]
         lib.pmarlo_dcd_write.restype = ctypes.c_int
+        lib.pmarlo_dcd_write_cells.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.pmarlo_dcd_write_cells.restype = ctypes.c_int
         lib.pmarlo_dcd_probe.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -61,11 +67,20 @@ def _load_native() -> Optional[ctypes.CDLL]:
 
 def _py_write(path: Path, coords_ang: np.ndarray, dt_ps: float,
               save_interval: int, cell: "np.ndarray | None" = None):
-    """``cell``: optional 6-vector X-PLOR/CHARMM unit-cell record
+    """``cell``: optional X-PLOR/CHARMM unit-cell record(s)
     [a, cos(gamma), b, cos(beta), cos(alpha), c] in Angstrom (the VMD
-    dcdplugin heuristic reads values in [-1, 1] as cosines), written
-    once per frame."""
+    dcdplugin heuristic reads values in [-1, 1] as cosines) — a (6,)
+    constant cell or (T, 6) per-frame cells (NPT traces)."""
     n_frames, n_atoms = coords_ang.shape[:2]
+    if cell is not None:
+        cell = np.asarray(cell, dtype="<f8")
+        if cell.ndim == 1:
+            cell = np.broadcast_to(cell, (n_frames, 6))
+        elif cell.shape != (n_frames, 6):
+            raise ValueError(
+                f"cell must be (6,) or (T, 6); got {cell.shape} for "
+                f"{n_frames} frames"
+            )
     with path.open("wb") as f:
         def rec(payload: bytes):
             f.write(struct.pack("<i", len(payload)))
@@ -85,19 +100,19 @@ def _py_write(path: Path, coords_ang: np.ndarray, dt_ps: float,
         title = b"Created by pmarlo_tpu python DCD writer".ljust(80)
         rec(struct.pack("<i", 1) + title)
         rec(struct.pack("<i", n_atoms))
-        for frame in coords_ang:
+        for t, frame in enumerate(coords_ang):
             if cell is not None:
-                rec(np.asarray(cell, dtype="<f8").tobytes())
+                rec(np.ascontiguousarray(cell[t]).tobytes())
             for d in range(3):
                 rec(frame[:, d].astype("<f4").tobytes())
 
 
-def _py_read(path: Path) -> np.ndarray:
-    data = path.read_bytes()
+def _iter_records(data: bytes):
+    """Walk Fortran length-prefixed records — the ONE parser both
+    _py_read and read_dcd_box use (two hand-rolled offset walkers would
+    silently drift apart)."""
     off = 0
-
-    def rec():
-        nonlocal off
+    while off < len(data):
         (n,) = struct.unpack_from("<i", data, off)
         off += 4
         payload = data[off : off + n]
@@ -106,20 +121,25 @@ def _py_read(path: Path) -> np.ndarray:
         off += 4
         if n2 != n:
             raise ValueError("corrupt DCD record")
-        return payload
+        yield payload
 
-    header = rec()
+
+def _py_read(path: Path) -> np.ndarray:
+    records = _iter_records(path.read_bytes())
+    header = next(records)
     if header[:4] != b"CORD":
         raise ValueError(f"{path} is not a DCD file")
     icntrl = struct.unpack_from("<20i", header, 4)
     has_cell = icntrl[10] != 0
-    rec()  # title
-    (n_atoms,) = struct.unpack("<i", rec())
+    next(records)  # title
+    (n_atoms,) = struct.unpack("<i", next(records))
     frames = []
-    while off < len(data):
+    for rec0 in records:
         if has_cell:
-            rec()
-        axes = [np.frombuffer(rec(), dtype="<f4") for _ in range(3)]
+            rec0 = next(records)  # skip the cell, take X
+        axes = [np.frombuffer(rec0, dtype="<f4")] + [
+            np.frombuffer(next(records), dtype="<f4") for _ in range(2)
+        ]
         frames.append(np.stack(axes, axis=1))
     if not frames:
         # a header-only file (writer died before frame 1) must still
@@ -141,11 +161,13 @@ def write_dcd(
 ) -> Path:
     """Write (T, N, 3) nm coordinates as a DCD file.
 
-    ``box``/``tilt`` (nm, md/box.py convention) emit a per-frame
-    X-PLOR/CHARMM unit-cell record [a, cos(gamma), b, cos(beta),
-    cos(alpha), c] in Angstrom — the layout VMD/mdtraj read. Cell
-    writing uses the Python path (the native fast path handles the
-    no-cell layout only; the native READER skips cell records fine)."""
+    ``box``/``tilt`` (nm, md/box.py convention; each may be a single
+    (3,) cell or (T, 3) per-frame values for NPT traces) emit
+    per-frame X-PLOR/CHARMM unit-cell records [a, cos(gamma), b,
+    cos(beta), cos(alpha), c] in Angstrom — the layout VMD/mdtraj
+    read. Cell writing uses the Python path (the native fast path
+    handles the no-cell layout only; the native READER skips cell
+    records fine)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     coords = np.ascontiguousarray(
@@ -156,12 +178,41 @@ def write_dcd(
     if box is not None:
         from ..md.box import to_lengths_angles
 
-        a, b, c, al, be, ga = to_lengths_angles(box, tilt)
-        cell = np.array([
-            a * 10.0, np.cos(np.deg2rad(ga)), b * 10.0,
-            np.cos(np.deg2rad(be)), np.cos(np.deg2rad(al)), c * 10.0,
-        ])
-        _py_write(path, coords, dt_ps, save_interval, cell=cell)
+        box_arr = np.atleast_2d(np.asarray(box, np.float64))     # (T|1, 3)
+        tilt_arr = (np.atleast_2d(np.asarray(tilt, np.float64))
+                    if tilt is not None else None)
+
+        def one_cell(k):
+            tk = None
+            if tilt_arr is not None:
+                tk = tilt_arr[min(k, tilt_arr.shape[0] - 1)]
+            a, b, c, al, be, ga = to_lengths_angles(
+                box_arr[min(k, box_arr.shape[0] - 1)], tk
+            )
+            return [a * 10.0, np.cos(np.deg2rad(ga)), b * 10.0,
+                    np.cos(np.deg2rad(be)), np.cos(np.deg2rad(al)),
+                    c * 10.0]
+
+        if box_arr.shape[0] == 1 and (tilt_arr is None
+                                      or tilt_arr.shape[0] == 1):
+            cell = np.array(one_cell(0))
+        else:
+            cell = np.array([one_cell(k) for k in range(coords.shape[0])])
+        lib = _load_native()
+        if lib is not None and hasattr(lib, "pmarlo_dcd_write_cells"):
+            cells = np.ascontiguousarray(
+                np.broadcast_to(cell, (coords.shape[0], 6)), np.float64
+            )
+            rc = lib.pmarlo_dcd_write_cells(
+                str(path).encode(),
+                coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                coords.shape[0], coords.shape[1], dt_ps, save_interval,
+                cells.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            )
+            if rc != 0:
+                raise IOError(f"native DCD write failed with code {rc}")
+        else:
+            _py_write(path, coords, dt_ps, save_interval, cell=cell)
         return path
     lib = _load_native()
     if lib is not None:
@@ -201,22 +252,19 @@ def read_dcd_box(
     None for cell-less files. Applies the VMD dcdplugin heuristic:
     angle slots in [-1, 1] are cosines, otherwise degrees."""
     path = Path(path)
-    data = path.read_bytes()
-    (n,) = struct.unpack_from("<i", data, 0)
-    header = data[4:4 + n]
+    records = _iter_records(path.read_bytes())
+    header = next(records)
     if header[:4] != b"CORD":
         raise ValueError(f"{path} is not a DCD file")
     icntrl = struct.unpack_from("<20i", header, 4)
     if icntrl[10] == 0:
         return None
-    off = 4 + n + 4
-    for _ in range(2):  # title + natoms records
-        (m,) = struct.unpack_from("<i", data, off)
-        off += 4 + m + 4
-    (m,) = struct.unpack_from("<i", data, off)
-    if m != 48:
-        raise ValueError(f"unexpected unit-cell record size {m}")
-    cell = np.frombuffer(data, dtype="<f8", count=6, offset=off + 4)
+    next(records)  # title
+    next(records)  # natoms
+    payload = next(records)
+    if len(payload) != 48:
+        raise ValueError(f"unexpected unit-cell record size {len(payload)}")
+    cell = np.frombuffer(payload, dtype="<f8", count=6)
 
     def ang(v):
         return float(np.rad2deg(np.arccos(np.clip(v, -1.0, 1.0)))

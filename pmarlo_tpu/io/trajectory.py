@@ -186,6 +186,29 @@ def get_reader(path: "str | Path") -> TrajectoryReader:
     return TrajectoryReader(Path(path))
 
 
+def _cell_for_frames(metadata: Dict, n_frames: int):
+    """(box, tilt) for a format writer: static (3,) tuples, or
+    per-frame (T, 3) arrays when the metadata carries an NPT
+    ``box_trace`` — the evolving lattice must land in the file, not
+    the build-time cell (density/wrapping read from the file would
+    otherwise be wrong for every frame after the first accepted volume
+    move). Tilt scales with the traced diagonal via the invariant
+    ratios (md/box.py tilt_ratios)."""
+    box = metadata.get("box")
+    tilt = metadata.get("tilt")
+    trace = metadata.get("box_trace")
+    if box is None:
+        return None, None
+    if trace is not None:
+        tr = np.asarray(trace, np.float64)
+        if tr.ndim == 2 and tr.shape == (n_frames, 3):
+            if tilt is None:
+                return tr, None
+            s = tr[:, :1] / float(box[0])
+            return tr, s * np.asarray(tilt, np.float64)
+    return tuple(box), (tuple(tilt) if tilt is not None else None)
+
+
 @dataclasses.dataclass
 class DCDTrajectoryWriter:
     """Buffered DCD writer (native C++ codec via io.dcd)."""
@@ -215,14 +238,12 @@ class DCDTrajectoryWriter:
             np.concatenate(self._frames, axis=0)
             if self._frames else np.zeros((0, 0, 3), np.float32)
         )
-        box = self.metadata.get("box")
-        tilt = self.metadata.get("tilt")
+        box, tilt = _cell_for_frames(self.metadata, coords.shape[0])
         write_dcd(
             self.path, coords,
             dt_ps=float(self.metadata.get("dt_ps", 0.002)),
             save_interval=int(self.metadata.get("report_interval", 1)),
-            box=tuple(box) if box is not None else None,
-            tilt=tuple(tilt) if tilt is not None else None,
+            box=box, tilt=tilt,
         )
         self._frames = []
         self._closed = True
@@ -267,13 +288,23 @@ class XTCTrajectoryWriter:
         dt = float(self.metadata.get("dt_ps", 0.002))
         interval = int(self.metadata.get("report_interval", 1))
         T = coords.shape[0]
-        box = self.metadata.get("box")
+        box, tilt = _cell_for_frames(self.metadata, T)
         if box is not None:
             from ..md.box import box_matrix
 
-            box_nm = np.asarray(
-                box_matrix(box, self.metadata.get("tilt")), np.float32
-            )
+            box_np = np.atleast_2d(np.asarray(box, np.float64))
+            if box_np.shape[0] == 1:
+                box_nm = np.asarray(box_matrix(box_np[0], tilt), np.float32)
+            else:
+                tilt_np = (np.asarray(tilt, np.float64)
+                           if tilt is not None else None)
+                box_nm = np.stack([
+                    np.asarray(box_matrix(
+                        box_np[k],
+                        None if tilt_np is None else tilt_np[k],
+                    ), np.float32)
+                    for k in range(box_np.shape[0])
+                ])
         else:
             box_nm = None
         write_xtc(

@@ -230,14 +230,18 @@ def reciprocal_energy(
     B = (_bspline_bsq(K1, order)[:, None, None]
          * _bspline_bsq(K2, order)[None, :, None]
          * _bspline_bsq(K3, order)[None, None, :])
-    if tilt_ratios is not None:
-        # traced (or static) diagonal + static ratios: the reciprocal
-        # wavevector is m~ = Hinv @ m with Hinv the closed-form
-        # lower-triangular inverse built on device
+    # ONE influence-function pipeline, two homes: the reciprocal
+    # wavevector is always m~ = Hinv @ m (lower-triangular Hinv, so the
+    # three components broadcast cheaply; orthorhombic cells are just
+    # zero ratios). A traced box (NPT) builds it on DEVICE via
+    # traced_matrices; a static box precomputes the whole influence
+    # array in float64 numpy and folds it into the program as a
+    # constant.
+    if isinstance(box, jax.Array) or tilt_ratios is not None:
         from .box import traced_matrices
 
         box_j = jnp.asarray(box, jnp.float32)
-        _, Hi = traced_matrices(box_j, tilt_ratios)
+        _, Hi = traced_matrices(box_j, tilt_ratios or (0.0, 0.0, 0.0))
 
         def ifreqs(K):
             return jnp.asarray(np.fft.fftfreq(K) * K, jnp.float32)
@@ -258,60 +262,22 @@ def reciprocal_energy(
         )
         V = box_j[0] * box_j[1] * box_j[2]
         return (KE / (2.0 * np.pi * V)) * jnp.sum(infl * jnp.abs(F) ** 2)
-    if tilt is not None:
-        from .box import box_matrix
 
-        # general reciprocal lattice: the plane-wave exponent is
-        # 2 pi i m . f with f = x @ Hinv, i.e. wavevector
-        # m~ = Hinv @ m; for lower-triangular H the inverse is lower
-        # triangular too, so the three components broadcast cheaply.
-        Hi = np.linalg.inv(box_matrix(box, tilt))
-        m1 = (np.fft.fftfreq(K1) * K1)[:, None, None]
-        m2 = (np.fft.fftfreq(K2) * K2)[None, :, None]
-        m3 = (np.fft.fftfreq(K3) * K3)[None, None, :]
-        mx = Hi[0, 0] * m1
-        my = Hi[1, 0] * m1 + Hi[1, 1] * m2
-        mz = Hi[2, 0] * m1 + Hi[2, 1] * m2 + Hi[2, 2] * m3
-        msq = mx * mx + my * my + mz * mz
-        with np.errstate(divide="ignore", invalid="ignore"):
-            infl = np.exp(-np.pi**2 * msq / alpha**2) / msq * B
-        infl[0, 0, 0] = 0.0
-        infl = jnp.asarray(infl.astype(np.float32))
-        V = float(box[0]) * float(box[1]) * float(box[2])
-        return (KE / (2.0 * np.pi * V)) * jnp.sum(infl * jnp.abs(F) ** 2)
-    if isinstance(box, jax.Array):
-        def ifreqs(K):
-            return jnp.asarray(np.fft.fftfreq(K) * K, jnp.float32)
+    from .box import box_matrix
 
-        m1 = (ifreqs(K1) / box[0])[:, None, None]
-        m2 = (ifreqs(K2) / box[1])[None, :, None]
-        m3 = (ifreqs(K3) / box[2])[None, None, :]
-        msq = m1 * m1 + m2 * m2 + m3 * m3
-        infl = jnp.where(
-            msq > 0.0,
-            jnp.exp(-np.pi**2 * msq / alpha**2)
-            / jnp.where(msq > 0.0, msq, 1.0)
-            * jnp.asarray(B, jnp.float32),
-            0.0,
-        )
-        V = box[0] * box[1] * box[2]
-        return (KE / (2.0 * np.pi * V)) * jnp.sum(infl * jnp.abs(F) ** 2)
-
-    bx, by, bz = (float(b) for b in box)
-    V = bx * by * bz
-
-    def freqs(K, L):
-        m = np.fft.fftfreq(K) * K            # 0, 1, ..., -1
-        return (m / L).astype(np.float64)
-
-    m1 = freqs(K1, bx)[:, None, None]
-    m2 = freqs(K2, by)[None, :, None]
-    m3 = freqs(K3, bz)[None, None, :]
-    msq = m1 * m1 + m2 * m2 + m3 * m3
+    Hi = np.linalg.inv(box_matrix(box, tilt))
+    m1 = (np.fft.fftfreq(K1) * K1)[:, None, None]
+    m2 = (np.fft.fftfreq(K2) * K2)[None, :, None]
+    m3 = (np.fft.fftfreq(K3) * K3)[None, None, :]
+    mx = Hi[0, 0] * m1
+    my = Hi[1, 0] * m1 + Hi[1, 1] * m2
+    mz = Hi[2, 0] * m1 + Hi[2, 1] * m2 + Hi[2, 2] * m3
+    msq = mx * mx + my * my + mz * mz
     with np.errstate(divide="ignore", invalid="ignore"):
         infl = np.exp(-np.pi**2 * msq / alpha**2) / msq * B
     infl[0, 0, 0] = 0.0
     infl = jnp.asarray(infl.astype(np.float32))
+    V = float(box[0]) * float(box[1]) * float(box[2])
     return (KE / (2.0 * np.pi * V)) * jnp.sum(infl * jnp.abs(F) ** 2)
 
 

@@ -21,7 +21,7 @@ from ..constants import (
     DEFAULT_TEMPERATURE_K,
     DEFAULT_TIMESTEP_PS,
 )
-from ..io.trajectory import TrajectoryWriter
+from ..io.trajectory import get_writer
 from .forcefield import build_system
 from .integrate import run_md, thermalize
 from .minimize import minimize_energy
@@ -135,6 +135,17 @@ def run_segment(
             # cell isotropically): the tilt scales by the same factor,
             # since the tilt RATIOS are invariant along the trajectory
             s_fac = float(box[0]) / float(structure.box[0])
+            for k in (1, 2):
+                s_k = float(box[k]) / float(structure.box[k])
+                if abs(s_k - s_fac) > 1e-6 * max(abs(s_fac), 1.0):
+                    raise ValueError(
+                        "triclinic resume box must be an ISOTROPIC "
+                        "scale of the structure's CRYST1 cell (the "
+                        "barostat only ever scales isotropically); got "
+                        f"per-axis factors ({s_fac:.6f}, "
+                        f"{float(box[1]) / float(structure.box[1]):.6f}, "
+                        f"{float(box[2]) / float(structure.box[2]):.6f})"
+                    )
             if abs(s_fac - 1.0) > 1e-12:
                 tilt = tuple(float(t) * s_fac for t in tilt)
         # NPT gets the LJ tail term (OpenMM useDispersionCorrection
@@ -195,6 +206,7 @@ def run_segment(
             result = _package_result(
                 system, final_state, frames, e_min, n_steps, dt_ps,
                 temperature_K, report_interval, output_file,
+                box_trace=frames["box"],
             )
             result["box"] = frames["box"]
             result["density_g_cm3"] = frames["density_g_cm3"]
@@ -339,7 +351,8 @@ def _attach_total_energy(result, system, n_con: int) -> None:
 
 
 def _package_result(system, final_state, frames, e_min, n_steps, dt_ps,
-                    temperature_K, report_interval, output_file):
+                    temperature_K, report_interval, output_file,
+                    box_trace=None):
     result = {
         "system": system,
         "final_state": final_state,
@@ -352,7 +365,9 @@ def _package_result(system, final_state, frames, e_min, n_steps, dt_ps,
         "temperature_K": temperature_K,
     }
     if output_file is not None:
-        writer = TrajectoryWriter(
+        # dispatch by suffix: .dcd/.xtc format writers (cell records
+        # from the metadata box/tilt/box_trace), else the npz store
+        writer = get_writer(
             Path(output_file),
             metadata={
                 "temperature_K": temperature_K,
@@ -369,6 +384,10 @@ def _package_result(system, final_state, frames, e_min, n_steps, dt_ps,
                         else None),
                 "tilt": (list(system.tilt) if system.tilt is not None
                          else None),
+                # NPT: per-frame diagonals so format writers stamp the
+                # EVOLVING lattice, not the build-time cell
+                "box_trace": (np.asarray(box_trace).tolist()
+                              if box_trace is not None else None),
             },
         )
         writer.write_frames(np.asarray(frames["positions"]))

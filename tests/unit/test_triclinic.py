@@ -473,9 +473,18 @@ def test_npt_on_dodecahedron(tmp_path):
     res = pmarlo_tpu.run_segment(
         str(pdb), n_steps=60, report_interval=20, cutoff=0.45,
         ensemble="npt", pressure_bar=1.0, barostat_interval=10,
-        seed=5,
+        seed=5, output_file=tmp_path / "npt.xtc",
     )
     dens = np.asarray(res["density_g_cm3"])
+    # the EVOLVING lattice must land in the format output per frame
+    from pmarlo_tpu.io.xtc import read_xtc
+
+    _, _, _, boxes = read_xtc(tmp_path / "npt.xtc", return_metadata=True)
+    s_last = float(np.asarray(res["box"])[-1][0] / solv.box[0])
+    H_last = box_matrix(np.asarray(res["box"])[-1],
+                        np.asarray(solv.tilt) * s_last)
+    np.testing.assert_allclose(np.asarray(boxes[-1]).reshape(3, 3),
+                               H_last, atol=1e-4)
     assert np.isfinite(dens).all() and (dens > 0.2).all()
     box_trace = np.asarray(res["box"])
     # isotropy: the diagonal ratios never change under the barostat
