@@ -459,7 +459,12 @@ def bench_npt_and_nve(shared: dict) -> dict:
 
         n_dof = 3 * system.n_atoms - 3 - _nc(spec)
         kT = BOLTZMANN_CONSTANT_KJ_PER_MOL * 300.0
-        n_nve = 2000
+        # drift = SLOPE of a linear fit over checkpoints, not a
+        # two-point difference: E_tot carries bounded O(dt^2) shadow
+        # oscillations whose start/end sampling noise (~0.5 kT/dof/ns
+        # over a 4 ps window) would swamp the real secular drift this
+        # row exists to catch
+        n_seg, seg = 12, 500
         for elec in ("rf", "pme"):
             # reuse the kernels (and their compiled 100-step scan
             # programs) from bench_cells_25k — no rebuilds here
@@ -474,15 +479,17 @@ def bench_npt_and_nve(shared: dict) -> dict:
                 return float(e) + float(kinetic_energy(
                     system, s.velocities))
 
-            e_start = etot(st)
-            st, _ = run_md(system, st, n_steps=n_nve, dt=DT_PS,
-                           friction=0.0, temperature_K=300.0,
-                           report_interval=n_nve, force_fn=fn,
-                           constraints=spec)
-            e_end = etot(st)
-            ns = n_nve * DT_PS * 1e-3
+            es = [etot(st)]
+            for _ in range(n_seg):
+                st, _ = run_md(system, st, n_steps=seg, dt=DT_PS,
+                               friction=0.0, temperature_K=300.0,
+                               report_interval=seg, force_fn=fn,
+                               constraints=spec)
+                es.append(etot(st))
+            t_ns = np.arange(n_seg + 1) * seg * DT_PS * 1e-3
+            slope = float(np.polyfit(t_ns, np.asarray(es), 1)[0])
             out[f"nve_drift_kT_per_dof_per_ns_{elec}"] = (
-                (e_end - e_start) / kT / n_dof / ns
+                slope / kT / n_dof
             )
     except Exception as exc:  # pragma: no cover - bench resilience
         out["nve_error"] = str(exc)[:200]
