@@ -103,6 +103,7 @@ def test_run_segment_rejects_unknown_ensemble(tmp_path):
                     ensemble="nvk")
 
 
+@pytest.mark.slow
 def test_run_segment_resume_from_final_state(tmp_path):
     """initial_state= continues dynamics: no re-minimize/re-thermalize,
     and the chained run picks up exactly where the first ended."""

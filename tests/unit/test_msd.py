@@ -34,6 +34,7 @@ def test_ballistic_msd_quadratic():
     np.testing.assert_allclose(msd, expect, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_random_walk_diffusion_recovered():
     """Discrete 3D Gaussian random walk: D = sigma^2/(2 dt) per axis,
     MSD slope = 6D. Recover D within 15%."""

@@ -371,6 +371,7 @@ def test_pdb_cryst1_triclinic_roundtrip(tmp_path):
     np.testing.assert_allclose(s.tilt, tilt, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_solvate_dodecahedron_and_run_segment(tmp_path):
     import pmarlo_tpu
     from pmarlo_tpu.data import alanine_dipeptide_structure
@@ -409,6 +410,7 @@ def test_solvate_dodecahedron_and_run_segment(tmp_path):
     assert np.isfinite(res["potential_energy"]).all()
 
 
+@pytest.mark.slow
 def test_dynamic_box_parity_sheared(sheared_water_system):
     """NPT plumbing on a triclinic cell: the dynamic entry at the build
     box must match the static path, and at a scaled box it must match a
@@ -682,3 +684,46 @@ def test_trajectory_writers_carry_cell(tmp_path):
     H = box_matrix(box, tilt)
     np.testing.assert_allclose(np.asarray(boxes[0]).reshape(3, 3), H,
                                atol=1e-5)
+
+
+@pytest.mark.slow
+def test_npt_density_cell_shape_invariant(tmp_path):
+    """The equilibrium NPT density is a property of the water model,
+    not the cell shape: a dodecahedron cell and a cube at the same
+    state point must equilibrate to densities that agree within the
+    small-box noise band. This cross-checks the whole triclinic NPT
+    stack (traced lattice, ghost shifts, min-image, barostat Jacobian)
+    against the orthorhombic path it must be physically equivalent to."""
+    import pmarlo_tpu
+    from pmarlo_tpu.io.pdb import write_pdb
+
+    def solvated_pdb(shape, name):
+        s, _ = _water_box(4, spacing=0.31)
+        if shape == "dodecahedron":
+            box, tilt = dodecahedron_vectors(4 * 0.31 + 0.26)
+        else:
+            L = 4 * 0.31 + 0.1
+            box, tilt = (L, L, L), None
+        atoms = [a for r in s.residues for a in r.atoms]
+        return write_pdb(
+            tmp_path / name, np.asarray([a.xyz for a in atoms]),
+            [a.name for a in atoms], [a.resname for a in atoms],
+            [a.resid for a in atoms], elements=[a.element for a in atoms],
+            chains=["W"] * len(atoms), box=box, tilt=tilt,
+        )
+
+    dens = {}
+    for shape in ("cube", "dodecahedron"):
+        res = pmarlo_tpu.run_segment(
+            solvated_pdb(shape, f"{shape}.pdb"), n_steps=800,
+            report_interval=100, cutoff=0.45, ensemble="npt",
+            pressure_bar=1.0, barostat_interval=20, seed=9,
+            minimize_iterations=100,
+        )
+        d = np.asarray(res["density_g_cm3"])
+        assert np.isfinite(d).all()
+        dens[shape] = float(d[len(d) // 2:].mean())
+    # 64-water cells: ~1.0 g/cm^3 with percent-to-few-percent noise
+    assert 0.75 < dens["cube"] < 1.35, dens
+    assert 0.75 < dens["dodecahedron"] < 1.35, dens
+    assert abs(dens["cube"] - dens["dodecahedron"]) < 0.22, dens
