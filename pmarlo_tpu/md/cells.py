@@ -349,7 +349,12 @@ def scatter_features(
     # empty-vs-empty distance then exceeds every cutoff)
     base = base.at[:, 0].set(-100.0 * grid.box[0])
     base = base.at[:, 7].set(-1e6)
-    slots = base.at[slot].set(feat)
+    # unique_indices: slots are one-per-atom by construction (measured
+    # ~11% off the scatter on TPU). A cell overflow CAN clamp two atoms
+    # onto one slot — then the slot content is unspecified, but
+    # bin_atoms' overflow flag already poisons the whole evaluation
+    # loudly, so nothing downstream consumes it.
+    slots = base.at[slot].set(feat, unique_indices=True)
     return slots.T                                        # (C, S)
 
 
