@@ -50,6 +50,24 @@ def dispersion_coefficient(system) -> float:
     integral = 4.0 * eps_ab * (
         sig_ab**12 / (9.0 * rc**9) - sig_ab**6 / (3.0 * rc**3)
     )
+    r_sw = getattr(system, "switch_distance", None)
+    if r_sw is not None:
+        # with the switching function active (md/forces.py lj_switch)
+        # the potential also misses (1 - S(r)) * E_LJ(r) on [r_sw, rc];
+        # OpenMM's tail correction integrates this region numerically —
+        # 64-point Gauss-Legendre is overkill-exact for a smooth
+        # polynomial-in-1/r integrand
+        r_sw = float(r_sw)
+        xg, wg = np.polynomial.legendre.leggauss(64)
+        r = 0.5 * (rc - r_sw) * xg + 0.5 * (rc + r_sw)      # (G,)
+        w = 0.5 * (rc - r_sw) * wg
+        x = (r - r_sw) / (rc - r_sw)
+        s_of_r = 1.0 + x**3 * (-10.0 + x * (15.0 - 6.0 * x))
+        sr6 = (sig_ab[..., None] / r) ** 6                   # (K, K, G)
+        e_r = 4.0 * eps_ab[..., None] * (sr6 * sr6 - sr6)
+        integral = integral + np.sum(
+            (1.0 - s_of_r) * e_r * r * r * w, axis=-1
+        )
     return float(np.sum(n_ab * integral))
 
 

@@ -224,6 +224,7 @@ def build_system(
     box: Optional[Tuple[float, float, float]] = None,
     tilt: Optional[Tuple[float, float, float]] = None,
     cutoff: float = 0.9,
+    switch_distance: Optional[float] = None,
     dtype=jnp.float32,
     dense_scales: Optional[bool] = None,
 ) -> Tuple[System, jnp.ndarray]:
@@ -240,11 +241,27 @@ def build_system(
     waters/ions retained in the topology (TIP3P + Joung-Cheatham).
     ``tilt`` = (bx, cx, cy) adds triclinic off-diagonals in GROMACS
     reduced form (md/box.py) — rhombic-dodecahedron / sheared cells.
+    ``switch_distance`` (nm, explicit path only) enables the OpenMM-
+    parity LJ switching function: the quintic smoothstep takes the
+    unshifted LJ energy smoothly to zero on [switch_distance, cutoff],
+    making LJ forces continuous at the cutoff (NonbondedForce
+    ``setUseSwitchingFunction``/``setSwitchingDistance`` semantics).
     """
     if gb_model not in ("obc2", "gbn2"):
         raise ValueError(f"gb_model must be obc2|gbn2, got {gb_model!r}")
     if tilt is not None and box is None:
         raise ValueError("tilt without box: a triclinic cell needs both")
+    if switch_distance is not None:
+        if box is None:
+            raise ValueError(
+                "switch_distance applies to the periodic LJ path only; "
+                "the implicit-solvent path runs NoCutoff (no switching)"
+            )
+        if not 0.0 < float(switch_distance) < cutoff:
+            raise ValueError(
+                f"switch_distance must lie in (0, cutoff={cutoff}); "
+                f"got {switch_distance}"
+            )
     if box is not None:
         implicit_solvent = False
         if tilt is None:
@@ -352,6 +369,8 @@ def build_system(
         box=box,
         tilt=(tuple(float(t) for t in tilt) if tilt is not None else None),
         cutoff=cutoff,
+        switch_distance=(None if switch_distance is None
+                         else float(switch_distance)),
     )
     positions = jnp.asarray(topology.positions, dtype=dtype)
     return system, positions

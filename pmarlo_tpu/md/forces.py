@@ -32,6 +32,25 @@ from .system import System
 _EPS = 1e-12
 
 
+def lj_switch(r, r_switch: float, r_cutoff: float):
+    """OpenMM LJ switching function: quintic smoothstep S and dS/dr.
+
+    S(x) = 1 - 10 x^3 + 15 x^4 - 6 x^5 with x = (r - r_sw)/(rc - r_sw),
+    clipped to [0, 1]: S = 1 below the switch distance, S = 0 at the
+    cutoff, with zero first AND second derivatives at both ends — so
+    multiplying the unshifted LJ energy by S makes energy and force
+    continuous at the cutoff (NonbondedForce ``setUseSwitchingFunction``
+    semantics; the reference's Systems are built by OpenMM createSystem
+    at /root/reference/src/pmarlo/protein/protein.py:733, where this is
+    an optional knob). Pure arithmetic: safe inside Pallas kernels.
+    Returns ``(S, dS/dr)``."""
+    inv_w = 1.0 / (r_cutoff - r_switch)
+    x = jnp.clip((r - r_switch) * inv_w, 0.0, 1.0)
+    s = 1.0 + x * x * x * (-10.0 + x * (15.0 - x * 6.0))
+    ds = x * x * (-30.0 + x * (60.0 - x * 30.0)) * inv_w
+    return s, ds
+
+
 def bond_energy(system: System, positions: jax.Array) -> jax.Array:
     ri = positions[system.bond_idx[:, 0]]
     rj = positions[system.bond_idx[:, 1]]
@@ -168,8 +187,14 @@ def periodic_nonbonded_energy(
     # contribute EXACTLY no LJ, matching the kernels' sqrt(eps)-channel
     # formulation (gradients are w.r.t. positions, so sqrt(0) is safe)
     sr6 = (sigma_ij * inv_r) ** 6
-    sr6c = (sigma_ij / rc) ** 6
-    e_lj = 4.0 * eps_ij * ((sr6 * sr6 - sr6) - (sr6c * sr6c - sr6c))
+    if system.switch_distance is None:
+        sr6c = (sigma_ij / rc) ** 6
+        e_lj = 4.0 * eps_ij * ((sr6 * sr6 - sr6) - (sr6c * sr6c - sr6c))
+    else:
+        # switching replaces the potential shift: unshifted LJ times the
+        # smoothstep (already 0 at rc, so no shift is needed)
+        sw, _ = lj_switch(r, float(system.switch_distance), rc)
+        e_lj = 4.0 * eps_ij * (sr6 * sr6 - sr6) * sw
     e_lj = e_lj * system.scale_lj * within
 
     # reaction field: E = ke q q (1/r + k_rf r^2 - c_rf), r < rc
@@ -329,6 +354,7 @@ __all__ = [
     "torsion_energy",
     "nonbonded_energy",
     "periodic_nonbonded_energy",
+    "lj_switch",
     "gb_energy",
     "born_radii",
     "dihedral_angles",

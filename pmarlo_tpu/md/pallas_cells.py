@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import COULOMB_CONSTANT_KJ_NM_PER_MOL_E2
+from .forces import lj_switch
 from .cells import (
     C_FEAT,
     CellGrid,
@@ -88,7 +89,7 @@ def _erfc_as(x):
 
 def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool,
                       elec_mode: str = "rf", alpha: float = 0.0,
-                      band: int = 0):
+                      band: int = 0, switch: "float | None" = None):
     """pallas_call computing per-slot energy rows and forces from the
     sorted slot array + its ghost. Returns fn(slots, ghost) ->
     (e (S, 1), F (S, 3)).
@@ -148,8 +149,18 @@ def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool,
             # per pair (rsqrt) instead of two in RF mode
             eps_ij = r[5][:, None] * c[5][None, :]
             sr6 = (sig_ij * inv_r) ** 6
-            sr6c = (sig_ij * (1.0 / rc)) ** 6
-            e_lj = 4.0 * eps_ij * ((sr6 * sr6 - sr6) - (sr6c * sr6c - sr6c))
+            if switch is None:
+                sr6c = (sig_ij * (1.0 / rc)) ** 6
+                e_lj = 4.0 * eps_ij * ((sr6 * sr6 - sr6)
+                                       - (sr6c * sr6c - sr6c))
+            else:
+                # switched LJ (md/forces.py lj_switch): unshifted energy
+                # times the quintic smoothstep; the hand-written force
+                # below must carry the product rule (S' term) so kernel
+                # forces stay the exact gradient of the kernel energy
+                e_lj_raw = 4.0 * eps_ij * (sr6 * sr6 - sr6)
+                sw, dsw = lj_switch(rr, switch, rc)
+                e_lj = e_lj_raw * sw
             qq = r[3][:, None] * c[3][None, :]
             if elec_mode == "rf":
                 e_el = ke * qq * (inv_r + k_rf * rr * rr - c_rf)
@@ -167,6 +178,8 @@ def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool,
                                   axis=1, keepdims=True)
 
             w_lj = 4.0 * eps_ij * (-12.0 * sr6 * sr6 + 6.0 * sr6) * inv_r
+            if switch is not None:
+                w_lj = w_lj * sw + e_lj_raw * dsw
             W = (w_lj + w_el) * within * inv_r
             f0 = -jnp.sum(W * dd0, axis=1, keepdims=True)
             f1 = -jnp.sum(W * dd1, axis=1, keepdims=True)
@@ -345,10 +358,13 @@ def build_cell_force_fn(
         alpha = 0.0
         mesh_shape = None
     D = exclusion_band_width(system)
+    switch_d = (None if system.switch_distance is None
+                else float(system.switch_distance))
     if mesh is None:
         sweep = _build_cell_sweep(
             grid, system, interpret,
             elec_mode="ewald" if use_pme else "rf", alpha=alpha, band=D,
+            switch=switch_d,
         )
     else:
         # SPATIAL DECOMPOSITION over one large system: shard the kernel
@@ -379,6 +395,7 @@ def build_cell_force_fn(
         local_sweep = _build_cell_sweep(
             local_grid, system, interpret,
             elec_mode="ewald" if use_pme else "rf", alpha=alpha, band=D,
+            switch=switch_d,
         )
         slab_rows = cxl * grid.ny * grid.nz * grid.capacity
         ghost_col = (grid.ny + 2) * (grid.nz + 2) * grid.capacity
@@ -455,8 +472,14 @@ def build_cell_force_fn(
         inv_r = 1.0 / r
         within = (r < rc).astype(r.dtype) * valid
         sr6 = (sig_ij * inv_r) ** 6
-        sr6c = (sig_ij * (1.0 / rc)) ** 6
-        lj = 4.0 * eps_ij * ((sr6 * sr6 - sr6) - (sr6c * sr6c - sr6c))
+        if switch_d is None:
+            sr6c = (sig_ij * (1.0 / rc)) ** 6
+            lj = 4.0 * eps_ij * ((sr6 * sr6 - sr6) - (sr6c * sr6c - sr6c))
+        else:
+            # same switched form the kernel counts (forces via autodiff
+            # of this energy, so the S' term comes for free here)
+            lj = (4.0 * eps_ij * (sr6 * sr6 - sr6)
+                  * lj_switch(r, switch_d, rc)[0])
         full = (se_p >= 1.0).astype(r.dtype)
         e = lj * sl_p * within
         if use_pme:

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import COULOMB_CONSTANT_KJ_NM_PER_MOL_E2
+from .forces import lj_switch
 from .system import System
 
 _EPS = 1e-12
@@ -87,6 +88,8 @@ def build_periodic_force_fn(
 
     bx, by, bz = (float(b) for b in system.box)
     rc = float(system.cutoff)
+    switch_d = (None if system.switch_distance is None
+                else float(system.switch_distance))
     eps_rf = float(system.solvent_dielectric)
     k_rf = (eps_rf - 1.0) / ((2.0 * eps_rf + 1.0) * rc**3)
     c_rf = 1.0 / rc + k_rf * rc * rc
@@ -116,10 +119,17 @@ def build_periodic_force_fn(
         sig_ij = 0.5 * (sig_i_ref[...] + sig_j_ref[...])
         eps_ij = eps_i_ref[...] * eps_j_ref[...]  # channels carry sqrt(eps)
         sr6 = (sig_ij * inv_r) ** 6
-        sr6c = (sig_ij * (1.0 / rc)) ** 6
         sl = sl_ref[...]
-        e_lj = 4.0 * eps_ij * ((sr6 * sr6 - sr6)
-                               - (sr6c * sr6c - sr6c)) * sl
+        if switch_d is None:
+            sr6c = (sig_ij * (1.0 / rc)) ** 6
+            e_lj = 4.0 * eps_ij * ((sr6 * sr6 - sr6)
+                                   - (sr6c * sr6c - sr6c)) * sl
+        else:
+            # OpenMM switching (md/forces.py lj_switch): unshifted LJ
+            # times the smoothstep; force carries the product rule below
+            e_lj_raw = 4.0 * eps_ij * (sr6 * sr6 - sr6) * sl
+            sw, dsw = lj_switch(r, switch_d, rc)
+            e_lj = e_lj_raw * sw
         qq = q_i_ref[...] * q_j_ref[...]
         se = se_ref[...]
         full = (se >= 1.0).astype(xi.dtype)
@@ -131,6 +141,8 @@ def build_periodic_force_fn(
 
         # dE/dr (unordered pair), both directions summed per row
         w_lj = 4.0 * eps_ij * (-12.0 * sr6 * sr6 + 6.0 * sr6) * inv_r * sl
+        if switch_d is not None:
+            w_lj = w_lj * sw + e_lj_raw * dsw
         w_rf = ke * qq * (-inv_r * inv_r + 2.0 * k_rf * r) * full
         w_14 = -ke * qq * inv_r * inv_r * se * (1.0 - full)
         W = (w_lj + w_rf) * within + w_14 * one

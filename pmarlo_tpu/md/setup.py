@@ -111,6 +111,7 @@ def build_explicit_setup(
     box: Optional[Tuple[float, float, float]] = None,
     tilt: Optional[Tuple[float, float, float]] = None,
     cutoff: float = 0.9,
+    switch_distance: Optional[float] = None,
     nonbonded: str = "auto",
     require_cells: bool = False,
     dispersion_correction: bool = False,
@@ -129,6 +130,7 @@ def build_explicit_setup(
         tilt=(tilt if tilt is not None
               else getattr(structure, "tilt", None)),
         cutoff=cutoff,
+        switch_distance=switch_distance,
     )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -43,6 +43,7 @@ def run_segment(
     gb_model: str = "gbn2",
     force_path: str = "auto",
     cutoff: float = 0.9,
+    switch_distance: Optional[float] = None,
     nonbonded: str = "auto",
     ensemble: str = "nvt",
     pressure_bar: float = 1.0,
@@ -88,7 +89,13 @@ def run_segment(
     ``nonbonded`` selects the explicit-path engine: "dense" (O(N^2)
     sweep + reaction field), "cells" (O(N) cell-list kernel + reaction
     field), "pme" (cell-list kernel + smooth-PME electrostatics), or
-    "auto" (cells past 3000 atoms, dense below).
+    "auto" (cells past 3000 atoms, dense below). ``switch_distance``
+    (nm, explicit path only) enables the OpenMM-parity LJ switching
+    function: unshifted LJ times the quintic smoothstep on
+    [switch_distance, cutoff], taking LJ energy AND force smoothly to
+    zero at the cutoff (NonbondedForce ``setUseSwitchingFunction``
+    semantics) — tightens NVE conservation at a few extra vector ops
+    per pair.
 
     ``ensemble="nve"`` runs microcanonical dynamics: velocities are
     still drawn at ``temperature_K`` (Maxwell-Boltzmann start), then the
@@ -156,6 +163,7 @@ def run_segment(
         # setup entirely.
         setup = build_explicit_setup(
             structure, box=box, tilt=tilt, cutoff=cutoff,
+            switch_distance=switch_distance,
             nonbonded=nonbonded,
             require_cells=(ensemble == "npt"),
             dispersion_correction=(ensemble == "npt"),
@@ -241,6 +249,12 @@ def run_segment(
             "ensemble='npt' requires an explicit-solvent periodic input "
             "(CRYST1 box + waters); this structure routed to the "
             "implicit-solvent path"
+        )
+    if switch_distance is not None:
+        raise ValueError(
+            "switch_distance applies to the explicit-solvent periodic "
+            "path only; this structure routed to the implicit-solvent "
+            "path (NoCutoff, nothing to switch)"
         )
     system, positions = build_system(
         structure, implicit_solvent=implicit_solvent, gb_model=gb_model

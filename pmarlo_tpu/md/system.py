@@ -103,6 +103,16 @@ class System:
     #: nonbonded cutoff (nm) for the periodic path (min-image LJ +
     #: reaction-field electrostatics, OpenMM CutoffPeriodic semantics)
     cutoff: float = dataclasses.field(metadata=dict(static=True), default=0.9)
+    #: LJ switching distance (nm): OpenMM ``setUseSwitchingFunction``
+    #: parity. None (default, matching createSystem) -> potential-shifted
+    #: truncation at ``cutoff``; a value in (0, cutoff) multiplies the
+    #: UNSHIFTED LJ energy by the quintic smoothstep S(r) on
+    #: [switch_distance, cutoff] so both energy and force go smoothly to
+    #: zero at the cutoff (md/forces.py lj_switch). Electrostatics (RF /
+    #: Ewald) are unaffected, as in OpenMM.
+    switch_distance: Optional[float] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
 
     @property
     def n_atoms(self) -> int:
