@@ -641,6 +641,7 @@ def run_replica_exchange(
     gb_model: str = "gbn2",
     target_acceptance: Optional[float] = None,
     cutoff: float = 0.9,
+    switch_distance: Optional[float] = None,
     nonbonded: str = "auto",
 ) -> Tuple[RemdResult, System]:
     """One-call REMD (reference CHANGELOG.md:22 run_replica_exchange).
@@ -656,7 +657,8 @@ def run_replica_exchange(
     force path, and ``nonbonded`` engine selection ("dense" O(N^2)
     sweep, "cells" O(N) cell-list kernel, "pme" cells + smooth-PME, or
     "auto": cells past 3000 atoms). Ladder probes and Metropolis swaps
-    run through the same force path."""
+    run through the same force path. ``switch_distance`` enables the
+    OpenMM-parity LJ switching function (see ``run_segment``)."""
     import dataclasses as _dc
 
     from ..io.pdb import read_pdb
@@ -676,13 +678,20 @@ def run_replica_exchange(
         # selection, rigid-water/H constraints, stripped MD system, and
         # the full-system minimizer kernel
         setup = build_explicit_setup(
-            structure, cutoff=cutoff, nonbonded=nonbonded
+            structure, cutoff=cutoff, switch_distance=switch_distance,
+            nonbonded=nonbonded,
         )
         system, positions = setup.system, setup.positions
         constraints = setup.constraints
         force_fn = setup.md_force_fn
         minimize_fn = setup.minimize_force_fn
     else:
+        if switch_distance is not None:
+            raise ValueError(
+                "switch_distance applies to the explicit-solvent "
+                "periodic path only; this structure routed to the "
+                "implicit-solvent path (NoCutoff, nothing to switch)"
+            )
         system, positions = build_system(
             structure, implicit_solvent=implicit_solvent, gb_model=gb_model
         )

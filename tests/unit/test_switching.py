@@ -198,3 +198,12 @@ def test_run_segment_switch_distance(tmp_path):
                       switch_distance=0.35, nonbonded="cells", seed=1)
     assert np.isfinite(np.asarray(res["positions"])).all()
     assert np.isfinite(float(res["potential_energy"][-1]))
+
+
+def test_remd_refuses_switch_on_implicit_path():
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.remd.remd import run_replica_exchange
+
+    with pytest.raises(ValueError, match="switch_distance"):
+        run_replica_exchange(alanine_dipeptide_structure(), n_steps=10,
+                             switch_distance=0.35)
