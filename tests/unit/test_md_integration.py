@@ -128,6 +128,7 @@ def test_run_segment_resume_from_final_state(tmp_path):
         np.asarray(chained["positions"][1]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_resume_branching_seeds_decorrelate(tmp_path):
     """N walkers branched from one checkpoint with different seeds must
     draw DIFFERENT noise (seed folds into the checkpoint key); the same
@@ -190,6 +191,7 @@ def test_run_md_rejects_force_fn_plus_bias_fn(alanine_system):
                force_fn=fn, bias_fn=lambda x: jnp.sum(x**2))
 
 
+@pytest.mark.slow
 def test_run_md_cache_reuses_self_built_force_fn(alanine_system):
     """Dense-path segment chaining (force_fn=None) must hit the compile
     cache on the second call — keying on the fresh closure's id() would

@@ -24,6 +24,7 @@ def test_unwrap_recovers_straight_line():
                                true - true[0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ballistic_msd_quadratic():
     """Constant-velocity atoms: MSD(t) = |v|^2 t^2 exactly."""
     t = np.arange(30, dtype=np.float32)

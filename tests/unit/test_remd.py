@@ -370,6 +370,7 @@ def test_run_replica_exchange_explicit_solvent(tmp_path):
     assert res.positions.shape[1] == 2
 
 
+@pytest.mark.slow
 def test_force_fn_override_composes_bias(alanine_system_module):
     """bias_fn + force_fn override: the bias must reach BOTH the
     dynamics and the Metropolis energies — storing the override
@@ -404,6 +405,7 @@ def test_force_fn_override_composes_bias(alanine_system_module):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_second_run_ids_history_head_is_pre_run_permutation(
     alanine_system_module,
 ):

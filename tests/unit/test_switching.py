@@ -110,6 +110,7 @@ def test_switched_energy_differs_only_in_lj_tail(switched_water_system):
     assert abs(e_sw - e_ref) < 0.05 * abs(e_ref)
 
 
+@pytest.mark.slow
 def test_cell_kernel_switch_parity(switched_water_system):
     from pmarlo_tpu.md.pallas_cells import build_cell_force_fn
 
@@ -181,6 +182,7 @@ def test_dispersion_tail_switch_aware(switched_water_system):
     np.testing.assert_allclose(c_limit, c_plain, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_run_segment_switch_distance(tmp_path):
     """End-to-end: a solvated segment accepts switch_distance and stays
     finite; the implicit path refuses it loudly."""

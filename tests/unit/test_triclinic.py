@@ -570,6 +570,7 @@ def test_tilt_survives_preparation_stages():
         assert getattr(out, "tilt", None) == solv.tilt, stage.__name__
 
 
+@pytest.mark.slow
 def test_spatial_decomposition_parity_sheared():
     """Mesh-sharded cell kernel on a TRICLINIC cell: binning/ghosting
     are global (lattice-vector shifts included) before the x-slab
