@@ -248,6 +248,7 @@ def build_cell_force_fn(
     skin: "str | float" = "auto",
     min_skin: float = 0.015,
     dispersion_correction: bool = False,
+    pme_mesh_refine: float = 1.0,
 ) -> Callable:
     """Jitted ``fn(x (N,3)) -> (energy, forces (N,3))`` for the FULL
     periodic potential via the cell-list kernel (pair stage) + sparse
@@ -353,7 +354,21 @@ def build_cell_force_fn(
         # (the spline spacing along each fractional axis in real units)
         lengths = (box_f if tilt_f is None else
                    tuple(float(np.linalg.norm(H_np[i])) for i in range(3)))
-        mesh_shape = pme_grid_shape(lengths, pme_spacing(pme_order, alpha))
+        if pme_mesh_refine < 1.0:
+            raise ValueError(
+                f"pme_mesh_refine must be >= 1, got {pme_mesh_refine}"
+            )
+        # pme_mesh_refine > 1 densifies the reciprocal mesh past the
+        # default accuracy target. Measured NVE effect is small: on the
+        # 27k TIP3P box the drift moves 0.486 -> 0.466 kT/dof/ns at 2x
+        # (and RISES to 0.668 when ewald_tolerance tightens to 1e-5,
+        # because more Ewald weight lands on the mesh) — the PME drift
+        # floor is f32 spreading/FFT force noise, not spacing. The knob
+        # exists for reciprocal-force accuracy studies, not as a
+        # conservation rescue.
+        mesh_shape = pme_grid_shape(
+            lengths, pme_spacing(pme_order, alpha) / pme_mesh_refine
+        )
     else:
         alpha = 0.0
         mesh_shape = None

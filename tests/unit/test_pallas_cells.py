@@ -419,6 +419,13 @@ def test_spatial_decomposition_pme_parity():
     np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=0.05)
 
 
+def test_pme_mesh_refine_validation(water_system):
+    system, _ = water_system
+    with pytest.raises(ValueError, match="pme_mesh_refine"):
+        build_cell_force_fn(system, interpret=True, electrostatics="pme",
+                            pme_mesh_refine=0.5)
+
+
 def test_box_below_min_image_bound_refused():
     """box < 2*cutoff double-counts periodic pairs through both wrap
     directions. build_system refuses at construction; the kernel builder
