@@ -286,6 +286,7 @@ class Protein:
         gb_model: str = "gbn2",
         explicit_solvent: bool = False,
         cutoff: float = 0.9,
+        switch_distance: Optional[float] = None,
     ):
         """Build the MD System + positions from the prepared topology.
 
@@ -297,7 +298,10 @@ class Protein:
         waters and ions, uses min-image LJ + reaction-field
         electrostatics at ``cutoff`` (OpenMM CutoffPeriodic), and
         disables GB — a capability BEYOND the reference, whose MD is
-        implicit-solvent only.
+        implicit-solvent only. ``switch_distance`` enables the
+        OpenMM-parity LJ switching function on the periodic path
+        (``NonbondedForce.setSwitchingDistance`` semantics; see
+        md/forces.py lj_switch).
         """
         self._require_prepared()
         if explicit_solvent:
@@ -312,6 +316,12 @@ class Protein:
             return build_system(
                 topo, hydrogen_mass=hydrogen_mass,
                 box=self.box, tilt=self.tilt, cutoff=cutoff,
+                switch_distance=switch_distance,
+            )
+        if switch_distance is not None:
+            raise ValueError(
+                "switch_distance applies to the explicit-solvent "
+                "periodic path only (pass explicit_solvent=True)"
             )
         return build_system(
             self.topology,

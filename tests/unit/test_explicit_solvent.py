@@ -214,8 +214,11 @@ def test_solvated_pdb_round_trip(tmp_path):
     p2 = Protein(str(out)).prepare(keep_waters=True, solvate=True)
     assert p2.box is not None
     np.testing.assert_allclose(p2.box, p1.box, atol=1e-3)
-    system, _ = p2.create_system(explicit_solvent=True)
+    system, _ = p2.create_system(explicit_solvent=True,
+                                 switch_distance=0.75)
     assert system.n_atoms == p1.structure.n_atoms
+    # LJ switching threads through the Protein facade (test_switching.py)
+    assert float(system.switch_distance) == 0.75
 
 
 @pytest.mark.slow

@@ -202,6 +202,18 @@ def test_run_segment_switch_distance(tmp_path):
     assert np.isfinite(float(res["potential_energy"][-1]))
 
 
+def test_protein_create_system_switch_refusal():
+    """Protein.create_system refuses switch_distance on the implicit
+    (NoCutoff) path; the explicit pass-through is asserted in
+    test_explicit_solvent.py::test_solvated_pdb_round_trip."""
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.protein.protein import Protein
+
+    p = Protein(alanine_dipeptide_structure()).prepare()
+    with pytest.raises(ValueError, match="switch_distance"):
+        p.create_system(switch_distance=0.35)
+
+
 def test_remd_refuses_switch_on_implicit_path():
     from pmarlo_tpu.data import alanine_dipeptide_structure
     from pmarlo_tpu.remd.remd import run_replica_exchange
