@@ -141,6 +141,76 @@ def test_dense_kernel_switch_parity(switched_water_system):
     )
 
 
+@pytest.mark.slow
+def test_pme_switch_parity(switched_water_system):
+    """Cell kernel in PME mode WITH switching vs the composed dense
+    oracle: switched pure-LJ dense path (charges zeroed — the dense
+    oracle reads system.switch_distance) + dense Ewald electrostatics
+    (test_pallas_cells.py::test_pme_mode_parity_water pattern). Closes
+    the one engine/option combination the RF parity tests don't cover."""
+    import dataclasses
+
+    from pmarlo_tpu.constants import COULOMB_CONSTANT_KJ_NM_PER_MOL_E2 as KE
+    from pmarlo_tpu.md.pallas_cells import build_cell_force_fn
+    from pmarlo_tpu.md.pme import (
+        background_energy,
+        ewald_alpha,
+        real_space_energy_dense,
+        reciprocal_energy,
+        self_energy,
+    )
+
+    system, x = switched_water_system
+    fn = build_cell_force_fn(system, interpret=True, electrostatics="pme")
+    e, f = fn(x)
+    assert np.isfinite(float(e)) and np.isfinite(np.asarray(f)).all()
+
+    box = tuple(float(b) for b in system.box)
+    rc = float(system.cutoff)
+    alpha = ewald_alpha(rc)
+    shape = fn.pme_mesh_shape
+    order = fn.pme_order
+    q = jnp.asarray(system.charges, jnp.float32)
+
+    sys_lj = dataclasses.replace(
+        system, charges=jnp.zeros_like(jnp.asarray(system.charges))
+    )
+    e_lj_ref, g_lj_ref = jax.value_and_grad(
+        lambda p: potential_energy(sys_lj, p)
+    )(x)
+
+    se = np.asarray(system.scale_elec)
+    excl = jnp.asarray((se < 1.0).astype(np.float32))
+
+    def e_elec(p):
+        er = real_space_energy_dense(p, q, box, rc, alpha,
+                                     exclude_mask=excl)
+        em = reciprocal_energy(p, q, box, alpha, shape, order)
+        iu = np.triu_indices(se.shape[0], k=1)
+        keep = se[iu] < 1.0
+        ei = jnp.asarray(iu[0][keep])
+        ej = jnp.asarray(iu[1][keep])
+        sev = jnp.asarray(se[iu][keep].astype(np.float32))
+        L = jnp.asarray(box, jnp.float32)
+        d = p[ei] - p[ej]
+        d = d - L * jnp.round(d / L)
+        r = jnp.sqrt(jnp.sum(d * d, axis=1) + 1e-12)
+        qq = q[ei] * q[ej]
+        corr = jnp.sum(sev * KE * qq / r
+                       - KE * qq * jax.lax.erf(alpha * r) / r)
+        return (er + em + corr + self_energy(q, alpha)
+                + background_energy(q, box, alpha))
+
+    e_el_ref, g_el_ref = jax.value_and_grad(e_elec)(x)
+    e_ref = float(e_lj_ref) + float(e_el_ref)
+    assert abs(float(e) - e_ref) < max(0.3, 2e-4 * abs(e_ref)), (
+        float(e), e_ref
+    )
+    np.testing.assert_allclose(
+        np.asarray(f), -np.asarray(g_lj_ref + g_el_ref), atol=1.0, rtol=5e-3
+    )
+
+
 def test_switch_forces_vanish_at_cutoff(switched_water_system):
     """The point of switching: per-pair LJ force is continuous (-> 0)
     at the cutoff. Checked through the smoothstep-scaled pair force of
