@@ -7,12 +7,15 @@ src/pmarlo/io/trajectory_reader.py, trajectory_writer.py).
 """
 
 from .pdb import PDBStructure, read_pdb, write_pdb
+from .cif import read_cif, read_structure
 from .trajectory import TrajectoryWriter, TrajectoryReader, iterload
 from .shards import write_shard, read_shard, select_shard_paths, shard_id
 
 __all__ = [
     "PDBStructure",
     "read_pdb",
+    "read_cif",
+    "read_structure",
     "write_pdb",
     "TrajectoryWriter",
     "TrajectoryReader",

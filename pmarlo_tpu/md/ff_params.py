@@ -143,6 +143,7 @@ _ANGLE_LIST: List[Tuple[Tuple[str, str, str], Tuple[float, float]]] = [
     (("H1", "CT", "N3"), (50.0, 109.50)),
     (("CT", "N3", "H"), (50.0, 109.50)), (("H", "N3", "H"), (35.0, 109.50)),
     (("CT", "N3", "HP"), (50.0, 109.50)), (("HP", "N3", "HP"), (35.0, 109.50)),
+    (("CT", "N3", "CT"), (50.0, 109.50)), (("H", "N3", "HP"), (35.0, 109.50)),
     (("HP", "CT", "C"), (50.0, 109.50)), (("HP", "CT", "CT"), (50.0, 109.50)),
     (("O2", "C", "O2"), (80.0, 126.00)), (("CT", "C", "O2"), (70.0, 117.00)),
     (("CT", "CT", "OH"), (50.0, 109.50)), (("H1", "CT", "OH"), (50.0, 109.50)),

@@ -508,6 +508,29 @@ TEMPLATES["NGLY"] = _t(
     head=None,
 )
 
+TEMPLATES["NPRO"] = _t(
+    # N-terminal proline: the ring nitrogen is secondary, so the charged
+    # terminus is NH2+ (H2/H3 only — CD takes the third substituent
+    # slot). Charges are the amber aminont library NPRO set (sums to
+    # exactly +1), closing the reference parity hole: PDBFixer handles
+    # PRO-initial chains (reference protein/protein.py:334-373) and this
+    # raised NotImplementedError through round 3.
+    atoms={
+        "N": ("N3", -0.2020), "H2": ("H", 0.3120), "H3": ("H", 0.3120),
+        "CD": ("CT", -0.0120), "HD2": ("HP", 0.1000), "HD3": ("HP", 0.1000),
+        "CG": ("CT", -0.1210), "HG2": ("HC", 0.1000), "HG3": ("HC", 0.1000),
+        "CB": ("CT", -0.1150), "HB2": ("HC", 0.1000), "HB3": ("HC", 0.1000),
+        "CA": ("CT", 0.1000), "HA": ("HP", 0.1000),
+        "C": ("C", 0.5260), "O": ("O", -0.5000),
+    },
+    bonds=[("N", "H2"), ("N", "H3"), ("N", "CA"), ("N", "CD"),
+           ("CA", "HA"), ("CA", "C"), ("C", "O"),
+           ("CA", "CB"), ("CB", "HB2"), ("CB", "HB3"), ("CB", "CG"),
+           ("CG", "HG2"), ("CG", "HG3"), ("CG", "CD"), ("CD", "HD2"),
+           ("CD", "HD3")],
+    head=None,
+)
+
 TEMPLATES["CGLY"] = _t(
     atoms={
         "N": ("N", -0.3821), "H": ("H", 0.2681), "CA": ("CT", -0.2493),
@@ -536,8 +559,6 @@ def make_terminal_variant(resname: str, kind: str) -> ResidueTemplate:
     bonds = list(base["bonds"])  # type: ignore[index]
     tmpl = {"atoms": atoms, "bonds": bonds, "head": base["head"], "tail": base["tail"]}
     if kind == "nterm":
-        if resname == "PRO":
-            raise NotImplementedError("N-terminal proline variant not yet provided")
         atoms.pop("H", None)
         bonds = [b for b in bonds if "H" not in b]
         n_type, _ = atoms["N"]

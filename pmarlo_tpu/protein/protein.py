@@ -165,7 +165,11 @@ class Protein:
         if isinstance(self.source, PDBStructure):
             structure = self.source
         else:
-            structure = read_pdb(self.source, model=model)
+            # format dispatch by suffix: .pdb fixed-width or .cif/.mmcif
+            # (reference protein.py:137 accepts both on the constructor)
+            from ..io.cif import read_structure
+
+            structure = read_structure(self.source, model=model)
         if self.box is None and getattr(structure, "box", None) is not None:
             # adopt CRYST1 as the periodic box only when the input is
             # actually solvated (contains waters): nearly every raw X-ray

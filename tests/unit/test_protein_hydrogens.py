@@ -21,7 +21,7 @@ def test_variant_charge_closure():
     expected = {
         "ASH": 0, "GLH": 0, "LYN": 0, "HIP": 1, "HID": 0, "HIE": 0,
         "ASP": -1, "GLU": -1, "LYS": 1, "ARG": 1, "HIS": 0,
-        "NGLY": 1, "CGLY": -1,
+        "NGLY": 1, "CGLY": -1, "NPRO": 1,
         "NA": 1, "CL": -1,   # monovalent ions (explicit-solvent path)
     }
     for name, tmpl in TEMPLATES.items():
