@@ -206,8 +206,17 @@ def run_npt(
     full_system: Optional[System] = None,
     seed: int = 0,
     barostat_state: Optional[BarostatState] = None,
+    bias_fn: Optional[Callable] = None,
 ) -> Tuple[MDState, BarostatState, dict]:
     """NPT MD: Langevin (NVT) chunks punctuated by MC volume moves.
+
+    ``bias_fn(x) -> scalar`` composes a CV bias into constant-pressure
+    sampling: the Langevin chunks run on the biased force
+    (``f - grad(bias)``) and the volume move's acceptance uses the
+    biased potential — the MC ΔU must include the bias's response to
+    the molecule-rigid COM scaling, or the sampled (V, x) distribution
+    is not exp(-β[U + U_bias + PV]). Composition rule identical to the
+    NVT path (setup.compose_bias).
 
     ``barostat_state``: pass the BarostatState returned by a previous
     ``run_npt`` call to CONTINUE a run — keeps the evolved box, the
@@ -246,8 +255,22 @@ def run_npt(
     n_mols = int(mol.max()) + 1
     total_mass = float(np.asarray(system.masses).sum())
 
+    if bias_fn is not None:
+        def _move_energy(x, b):
+            return force_fn.dynamic(x, b)[0] + bias_fn(x)
+
+        def _apply_dynamic(x, fs, box):
+            e, f, fs2 = force_fn.apply_dynamic(x, fs, box)
+            be, bg = jax.value_and_grad(bias_fn)(x)
+            return e + be, f - bg, fs2
+    else:
+        def _move_energy(x, b):
+            return force_fn.dynamic(x, b)[0]
+
+        _apply_dynamic = force_fn.apply_dynamic
+
     move = make_volume_move(
-        lambda x, b: force_fn.dynamic(x, b)[0],
+        _move_energy,
         mol, system.masses, n_mols,
         pressure_bar=pressure_bar, temperature_K=temperature_K,
     )
@@ -263,7 +286,8 @@ def run_npt(
     n_chunks = n_steps // report_interval
 
     cache_key = (
-        id(system), id(force_fn), id(constraints), id(conn), n_steps, dt,
+        id(system), id(force_fn), id(constraints), id(conn), id(bias_fn),
+        n_steps, dt,
         friction, float(temperature_K), float(pressure_bar),
         barostat_interval, report_interval,
     )
@@ -276,7 +300,7 @@ def run_npt(
             new_st, energy, fstate = langevin_step(
                 system, st, dt=dt, friction=friction,
                 temperature_K=temperature_K,
-                force_fn=lambda x, fs: force_fn.apply_dynamic(x, fs, box),
+                force_fn=lambda x, fs: _apply_dynamic(x, fs, box),
                 constraints=constraints, force_state=fstate,
             )
             return (new_st, box, fstate), energy
@@ -311,7 +335,7 @@ def run_npt(
             # reporting T — same convention as run_md's frames, so NPT
             # and NVT segments report comparable temperatures (the raw
             # folded-leapfrog velocity is half a kick behind)
-            _e, f_now, _fs = force_fn.apply_dynamic(
+            _e, f_now, _fs = _apply_dynamic(
                 st.positions, fstate, bstate.box
             )
             v_sync = (st.velocities
@@ -340,11 +364,11 @@ def run_npt(
             )
             return st, bstate, frames
 
-        # keep conn alive alongside the program: the closure captures only
-        # the derived mol array, so without this a GC'd full_system's id
-        # could be recycled by a DIFFERENT system and silently hit this
-        # entry with the wrong molecule grouping
-        _RUN_NPT_CACHE[cache_key] = (scan_fn, conn)
+        # keep conn/bias alive alongside the program: the closure
+        # captures only derived objects, so without this a GC'd
+        # full_system's (or bias_fn's) id could be recycled by a
+        # DIFFERENT object and silently hit this entry
+        _RUN_NPT_CACHE[cache_key] = (scan_fn, conn, bias_fn)
 
     if barostat_state is None:
         barostat_state = init_barostat(system.box, jax.random.PRNGKey(seed))

@@ -117,10 +117,10 @@ def run_segment(
         raise ValueError(f"ensemble must be nvt|nve|npt, got {ensemble!r}")
     # zero friction = velocity Verlet (the O-step of BAOAB is identity)
     md_friction = 0.0 if ensemble == "nve" else friction_per_ps
-    from ..io.pdb import read_pdb
+    from ..io.cif import read_structure
     from .setup import build_explicit_setup, is_explicit_solvent
 
-    structure = read_pdb(pdb_file)
+    structure = read_structure(pdb_file)
     explicit = is_explicit_solvent(structure)
 
     if explicit:
@@ -195,10 +195,6 @@ def run_segment(
                     "ensemble='npt' needs the cell-list engine "
                     "(nonbonded='cells' or 'pme')"
                 )
-            if bias_fn is not None:
-                raise NotImplementedError(
-                    "ensemble='npt' with a CV bias is not supported yet"
-                )
             from .barostat import run_npt
 
             final_state, bstate, frames = run_npt(
@@ -210,6 +206,7 @@ def run_segment(
                 constraints=constraints, full_system=system,
                 seed=2024 if seed is None else seed,
                 barostat_state=initial_barostat_state,
+                bias_fn=bias_fn,
             )
             result = _package_result(
                 system, final_state, frames, e_min, n_steps, dt_ps,
