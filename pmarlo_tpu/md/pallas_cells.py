@@ -249,6 +249,7 @@ def build_cell_force_fn(
     min_skin: float = 0.015,
     dispersion_correction: bool = False,
     pme_mesh_refine: float = 1.0,
+    pme_precise: bool = False,
 ) -> Callable:
     """Jitted ``fn(x (N,3)) -> (energy, forces (N,3))`` for the FULL
     periodic potential via the cell-list kernel (pair stage) + sparse
@@ -261,6 +262,13 @@ def build_cell_force_fn(
     the kernel + FFT reciprocal / self / background terms (md/pme.py) —
     the OpenMM default for solvated systems the reference relies on
     (/root/reference/src/pmarlo/protein/protein.py:733).
+
+    ``pme_precise`` computes the reciprocal fractional coordinates
+    and spline weights in df32 compensated arithmetic
+    (md/pme.py spread_charges_precise): ~2.9x lower reciprocal force
+    noise at pure-elementwise extra cost — the knob that closes the
+    round-3 PME NVE drift gap. Static box only (the NPT dynamic
+    entries raise; thermostatted NPT absorbs the noise anyway).
 
     ``dispersion_correction`` adds the isotropic LJ tail energy
     2 pi C / V (md/dispersion.py; OpenMM's useDispersionCorrection
@@ -575,7 +583,8 @@ def build_cell_force_fn(
 
         def mesh_energy(x):
             return reciprocal_energy(x, q, box_t, alpha, mesh_shape,
-                                     pme_order, tilt=tilt_f)
+                                     pme_order, tilt=tilt_f,
+                                     precise=pme_precise)
 
     ncell_arr = jnp.asarray([grid.nx, grid.ny, grid.nz], jnp.float32)
 

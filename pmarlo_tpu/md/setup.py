@@ -117,6 +117,7 @@ def build_explicit_setup(
     dispersion_correction: bool = False,
     build_minimize_fn: bool = True,
     interpret: Optional[bool] = None,
+    pme_precise: bool = False,
 ) -> ExplicitSetup:
     """Build the full explicit-solvent setup from a solvated structure.
 
@@ -167,6 +168,7 @@ def build_explicit_setup(
             return build_cell_force_fn(
                 sys_, interpret=interpret, electrostatics=elec,
                 dispersion_correction=dispersion_correction,
+                pme_precise=pme_precise,
             )
 
     md_force_fn = _build(md_system)

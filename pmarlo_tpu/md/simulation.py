@@ -45,6 +45,7 @@ def run_segment(
     cutoff: float = 0.9,
     switch_distance: Optional[float] = None,
     nonbonded: str = "auto",
+    pme_precise: bool = False,
     ensemble: str = "nvt",
     pressure_bar: float = 1.0,
     barostat_interval: int = 25,
@@ -95,7 +96,10 @@ def run_segment(
     [switch_distance, cutoff], taking LJ energy AND force smoothly to
     zero at the cutoff (NonbondedForce ``setUseSwitchingFunction``
     semantics) — tightens NVE conservation at a few extra vector ops
-    per pair.
+    per pair. ``pme_precise`` (PME engine, static-box ensembles)
+    computes the reciprocal spreading weights in compensated df32
+    arithmetic — ~3x lower mesh force noise for conservation-critical
+    NVE work at near-zero cost (md/pme.py spread_charges_precise).
 
     ``ensemble="nve"`` runs microcanonical dynamics: velocities are
     still drawn at ``temperature_K`` (Maxwell-Boltzmann start), then the
@@ -161,10 +165,16 @@ def run_segment(
         # FULL-system force fn (stiff X-H bonds kept) is only ever
         # consumed by the minimizer — resume skips its grid/exclusion
         # setup entirely.
+        if pme_precise and ensemble == "npt":
+            raise ValueError(
+                "pme_precise supports static-box ensembles (nvt/nve); "
+                "the NPT traced-box path keeps fast spreading (the "
+                "thermostat/barostat absorb reciprocal force noise)"
+            )
         setup = build_explicit_setup(
             structure, box=box, tilt=tilt, cutoff=cutoff,
             switch_distance=switch_distance,
-            nonbonded=nonbonded,
+            nonbonded=nonbonded, pme_precise=pme_precise,
             require_cells=(ensemble == "npt"),
             dispersion_correction=(ensemble == "npt"),
             build_minimize_fn=initial_state is None,
