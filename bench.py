@@ -465,14 +465,36 @@ def bench_npt_and_nve(shared: dict) -> dict:
         # over a 4 ps window) would swamp the real secular drift this
         # row exists to catch
         n_seg, seg = 12, 500
-        for elec in ("rf", "pme"):
-            # reuse the kernels (and their compiled 100-step scan
-            # programs) from bench_cells_25k — no rebuilds here
-            fn = shared["fn_rf"] if elec == "rf" else shared["fn_pme"]
+        from pmarlo_tpu.md.pallas_cells import build_cell_force_fn as _bld
+
+        fns = {
+            "rf": shared["fn_rf"],
+            "pme": shared["fn_pme"],
+            # the compensated-df32 reciprocal path (md/pme.py
+            # spread_charges_precise): the knob that closes the round-3
+            # f32-noise drift floor (VERDICT r3 item #2) — measure both
+            # the drift AND its step cost next to plain pme
+            "pme_precise": _bld(md_system, electrostatics="pme",
+                                pme_precise=True),
+        }
+        for elec, fn in fns.items():
             st, _ = run_md(system, st0, n_steps=100, dt=DT_PS,
                            friction=1.0, temperature_K=300.0,
                            report_interval=100, force_fn=fn,
                            constraints=spec)
+            if elec == "pme_precise":
+                # step cost next to the plain-pme row (the VERDICT bar:
+                # drift <= 0.2 at <= 20% extra step cost)
+                jax.block_until_ready(st.positions)
+                tq = time.perf_counter()
+                st, _ = run_md(system, st, n_steps=100, dt=DT_PS,
+                               friction=1.0, temperature_K=300.0,
+                               report_interval=100, force_fn=fn,
+                               constraints=spec)
+                jax.block_until_ready(st.positions)
+                out["cells_pme_precise_ms_per_step"] = (
+                    (time.perf_counter() - tq) / 100 * 1e3
+                )
 
             def etot(s):
                 e, _f = fn(s.positions)
@@ -496,12 +518,19 @@ def bench_npt_and_nve(shared: dict) -> dict:
     return out
 
 
-def bench_protein_remd_ladder() -> dict:
-    """3gd8 REMD with an acceptance-targeted ladder
-    (remd/ladder.py suggest_temperature_ladder): the round-2 4-rung/60K
-    ladder accepted ~0 swaps; the designed ladder must land in the
-    target band (VERDICT r2 item #7)."""
+def bench_protein_remd_production() -> dict:
+    """PRODUCTION-SPAN protein REMD, end-to-end (VERDICT r3 item #1).
+
+    3gd8 (3,350 atoms, GBn2 implicit solvent via the tiled pair kernel):
+    ``suggest_temperature_ladder`` designs a production ladder over
+    300-375 K at target acceptance 0.3 (round 3 only demonstrated a
+    2-rung/6 K smoke), a warm-up block equilibrates + compiles, and a
+    timed multi-block run records per-rung acceptance + aggregate
+    ns/day. The demuxed coldest-rung trajectories then flow through the
+    flagship pipeline: phi/psi featurization -> shard store -> MSM
+    (the workload the framework exists for, BASELINE.json north star)."""
     import os
+    import tempfile
 
     pdb = "/root/reference/tests/_assets/3gd8.pdb"
     if not os.path.exists(pdb):
@@ -509,6 +538,15 @@ def bench_protein_remd_ladder() -> dict:
     try:
         import jax.numpy as jnp
 
+        from pmarlo_tpu.analysis.discretize import discretize_dataset
+        from pmarlo_tpu.features.base import TopologyInfo
+        from pmarlo_tpu.features.featurize import featurize_trajectory
+        from pmarlo_tpu.io.shards import (
+            emit_shards_from_trajectory,
+            read_shard,
+            select_shard_paths,
+        )
+        from pmarlo_tpu.md.minimize import minimize_energy
         from pmarlo_tpu.md.pallas_pair import build_pair_force_fn
         from pmarlo_tpu.protein.protein import Protein
         from pmarlo_tpu.remd.ladder import suggest_temperature_ladder
@@ -517,35 +555,77 @@ def bench_protein_remd_ladder() -> dict:
         p = Protein(pdb, ph=7.0).prepare()
         system, x0 = p.create_system()
         fn = build_pair_force_fn(system, tile=256)
-        from pmarlo_tpu.md.minimize import minimize_energy
-
         xmin, _ = minimize_energy(system, jnp.asarray(x0), force_fn=fn)
+        # design target 0.45 to MEASURE ~0.25-0.35: short probes
+        # under-sample the energy fluctuations (autocorrelation), so the
+        # Gaussian model predicts wider-than-real spacing — the first
+        # production run (target 0.30, 8 rungs/75 K) measured 0.15
         ladder, predicted = suggest_temperature_ladder(
-            system, xmin, t_min=300.0, t_max=306.0,
-            target_acceptance=0.3, probe_steps=300, force_fn=fn,
-            max_rungs=8,
+            system, xmin, t_min=300.0, t_max=375.0,
+            target_acceptance=0.45, probe_steps=600, n_probe=6,
+            force_fn=fn, max_rungs=48,
         )
+        R = len(ladder)
         cfg = RemdConfig(
-            n_replicas=len(ladder),
+            n_replicas=R,
             temperatures=tuple(float(t) for t in ladder),
-            exchange_frequency=10, report_interval=10, dt_ps=DT_PS, seed=0,
-            attempts_per_block=30,
+            exchange_frequency=100, report_interval=100, dt_ps=DT_PS,
+            seed=0, attempts_per_block=10,
         )
         remd = ReplicaExchange(system, xmin, cfg,
                                force_fn=fn, minimize=False)
-        res = remd.run(n_steps=300)
+        # warm-up block: compiles the 10-attempt executable AND serves as
+        # the equilibration phase (the timed run reuses the executable)
+        remd.run(n_steps=1000)
+        n_steps = 4000
+        t0 = time.perf_counter()
+        res = remd.run(n_steps=n_steps)
+        wall = time.perf_counter() - t0
         acc = res.acceptance_matrix
-        acc = float(np.nanmean(acc[np.isfinite(acc)])) if np.isfinite(
-            acc).any() else 0.0
+        finite = acc[np.isfinite(acc)]
+
+        # flagship pipeline on the two coldest rungs: demux (rung-major
+        # by construction) -> phi/psi -> shards -> MSM
+        info = TopologyInfo.from_topology(p.topology)
+        t_pipe = time.perf_counter()
+        with tempfile.TemporaryDirectory() as td:
+            for rung in (0, 1):
+                X, _ = featurize_trajectory(
+                    res.demuxed_trajectory(rung), "phi_psi", info,
+                    cos_sin_expand=True,
+                )
+                emit_shards_from_trajectory(
+                    td, np.asarray(X),
+                    temperature_K=float(res.temperatures[rung]),
+                    run_id="bench", frames_per_shard=10, dt_ps=DT_PS,
+                    feature_spec=["phi_psi"],
+                )
+            shards = [read_shard(q) for q in select_shard_paths(td)]
+            msm = discretize_dataset(shards, n_states=8, lag=2, seed=0)
+        pipe_wall = time.perf_counter() - t_pipe
+
+        agg = n_steps * DT_PS * 1e-3 * R * 86_400.0 / wall
+        mean_acc = float(finite.mean()) if finite.size else 0.0
         return {
-            "protein_remd_rungs": len(ladder),
+            "protein_remd_rungs": R,
             "protein_remd_t_span": [float(ladder[0]), float(ladder[-1])],
             "protein_remd_predicted_acceptance": float(np.mean(predicted)),
-            "protein_remd_measured_acceptance": acc,
-            "protein_remd_acceptance_in_band": bool(0.1 <= acc <= 0.7),
+            "protein_remd_measured_acceptance": mean_acc,
+            "protein_remd_min_pair_acceptance": (
+                float(finite.min()) if finite.size else 0.0
+            ),
+            "protein_remd_acceptance_in_band": bool(
+                finite.size and 0.1 <= mean_acc <= 0.7
+            ),
+            "protein_remd_aggregate_ns_per_day": agg,
+            "protein_remd_wall_s": wall,
+            "protein_remd_exchange_attempts": int(res.exchange_attempts),
+            "protein_remd_msm_states": int(msm.transition_matrix.shape[0]),
+            "protein_remd_msm_counted_pairs": int(msm.counted_pairs),
+            "protein_remd_pipeline_wall_s": pipe_wall,
         }
     except Exception as exc:  # pragma: no cover - bench resilience
-        return {"protein_remd_error": str(exc)[:200]}
+        return {"protein_remd_error": str(exc)[:300]}
 
 
 def bench_cpu_denominator() -> dict:
@@ -603,7 +683,7 @@ def main() -> None:
     cells = bench_cells_25k(shared)
     npt_nve = bench_npt_and_nve(shared)
     dodec = bench_dodecahedron()
-    ladder = bench_protein_remd_ladder()
+    ladder = bench_protein_remd_production()
     cpu = bench_cpu_denominator()
     value = remd["ns_per_day_aggregate"]
 

@@ -59,6 +59,65 @@ def test_remd_to_shards_to_analysis(alanine, tmp_path):
 
 
 @pytest.mark.slow
+def test_ladder_to_remd_to_shards_to_msm(alanine, tmp_path):
+    """The FULL flagship pipeline in miniature (VERDICT r3 item #1):
+    acceptance-targeted ladder design -> REMD with that ladder -> demux
+    -> featurize -> shard store -> MSM. Mirrors bench.py's
+    bench_protein_remd_production on the alanine system."""
+    from pmarlo_tpu.analysis.discretize import discretize_dataset
+    from pmarlo_tpu.features.featurize import featurize_trajectory
+    from pmarlo_tpu.io.shards import (
+        emit_shards_from_trajectory,
+        read_shard,
+        select_shard_paths,
+    )
+    from pmarlo_tpu.md.minimize import minimize_energy
+    from pmarlo_tpu.remd.ladder import suggest_temperature_ladder
+    from pmarlo_tpu.remd.remd import RemdConfig, ReplicaExchange
+
+    system, positions, topo, info = alanine
+    xmin, _ = minimize_energy(system, positions, max_iterations=100)
+    ladder, predicted = suggest_temperature_ladder(
+        system, xmin, t_min=300.0, t_max=500.0, target_acceptance=0.3,
+        probe_steps=200, max_rungs=32,
+    )
+    # the designed ladder must actually span the request and stay sane
+    assert len(ladder) >= 3
+    assert ladder[0] == 300.0 and ladder[-1] == 500.0
+    assert all(0.25 <= p <= 1.0 for p in predicted[:-1])
+
+    cfg = RemdConfig(
+        n_replicas=len(ladder),
+        temperatures=tuple(float(t) for t in ladder),
+        exchange_frequency=50, report_interval=50, seed=3,
+    )
+    remd = ReplicaExchange(system, xmin, cfg, minimize=False)
+    res = remd.run(n_steps=2000)
+    acc = res.acceptance_matrix
+    finite = acc[np.isfinite(acc)]
+    # a designed ladder must exchange (the round-2 4-rung/60K hand
+    # ladder accepted ~0 swaps — that failure mode stays dead)
+    assert finite.size and finite.mean() > 0.05
+
+    for rung in (0, 1):
+        X, _ = featurize_trajectory(
+            res.demuxed_trajectory(rung), "phi_psi", info,
+            cos_sin_expand=True,
+        )
+        emit_shards_from_trajectory(
+            tmp_path, np.asarray(X),
+            temperature_K=float(res.temperatures[rung]),
+            run_id="ladder-e2e", frames_per_shard=10, dt_ps=cfg.dt_ps,
+            feature_spec=["phi_psi"],
+        )
+    shards = [read_shard(p) for p in select_shard_paths(tmp_path)]
+    assert len(shards) == 8  # 40 frames per rung -> 4 shards each
+    result = discretize_dataset(shards, n_states=5, lag=2, seed=0)
+    assert result.counted_pairs == result.expected_pair_count
+    assert np.isclose(result.stationary_distribution.sum(), 1.0)
+
+
+@pytest.mark.slow
 def test_multidevice_sharded_remd_matches_serial(alanine):
     """Replica axis sharded over the 8-device CPU mesh must reproduce the
     UNSHARDED run exactly: identical swap decisions, replica_ids history,
