@@ -41,6 +41,9 @@ TYPE_MASSES: Dict[str, float] = {
     "N": 14.01, "NA": 14.01, "NB": 14.01, "N2": 14.01, "N3": 14.01,
     "O": 16.00, "O2": 16.00, "OH": 16.00, "OW": 16.00, "OS": 16.00,
     "S": 32.06, "SH": 32.06,
+    # nucleic acids (parm94 base/backbone types)
+    "P": 30.97, "CK": 12.01, "CM": 12.01, "CQ": 12.01,
+    "NC": 14.01, "N*": 14.01,
     # monovalent ions (Joung-Cheatham TIP3P set)
     "Na+": 22.99, "Cl-": 35.45,
 }
@@ -49,7 +52,7 @@ TYPE_MASSES: Dict[str, float] = {
 TYPE_ELEMENTS: Dict[str, str] = {
     t: ("H" if m < 2.0
         else {12.01: "C", 14.01: "N", 16.00: "O", 32.06: "S",
-              22.99: "Na", 35.45: "Cl"}[m])
+              30.97: "P", 22.99: "Na", 35.45: "Cl"}[m])
     for t, m in TYPE_MASSES.items()
 }
 
@@ -71,6 +74,8 @@ TYPE_LJ: Dict[str, Tuple[float, float]] = {
     "N2": (1.8240, 0.1700), "N3": (1.8240, 0.1700),
     "O": (1.6612, 0.2100), "O2": (1.6612, 0.2100), "OH": (1.7210, 0.2104),
     "OS": (1.6837, 0.1700),
+    "P": (2.1000, 0.2000), "CK": (1.9080, 0.0860), "CM": (1.9080, 0.0860),
+    "CQ": (1.9080, 0.0860), "NC": (1.8240, 0.1700), "N*": (1.8240, 0.1700),
     "S": (2.0000, 0.2500), "SH": (2.0000, 0.2500),
     # TIP3P water (frcmod.tip3p) and Joung-Cheatham monovalent ions
     "OW": (1.7683, 0.1520), "HW": (0.0001, 0.0000),
@@ -113,6 +118,25 @@ _BOND_LIST = [
     # arginine guanidinium
     _b("CA", "N2", 481.0, 1.340), _b("N2", "H", 434.0, 1.010),
     _b("CT", "N2", 337.0, 1.463),
+    # nucleic acids (parm94 nucleic section)
+    _b("CT", "H2", 340.0, 1.090),
+    _b("CT", "OS", 320.0, 1.410),
+    _b("OS", "P", 230.0, 1.610), _b("OH", "P", 230.0, 1.610),
+    _b("O2", "P", 525.0, 1.480),
+    _b("CT", "N*", 337.0, 1.475),
+    _b("CK", "NB", 529.0, 1.304), _b("CK", "N*", 440.0, 1.371),
+    _b("CK", "H5", 367.0, 1.080),
+    _b("CB", "N*", 436.0, 1.374), _b("CB", "NC", 461.0, 1.354),
+    _b("CB", "NB", 414.0, 1.391),
+    _b("CB", "CB", 520.0, 1.370), _b("CB", "C", 447.0, 1.419),
+    _b("CA", "NC", 483.0, 1.339), _b("CQ", "NC", 502.0, 1.324),
+    _b("CQ", "H5", 367.0, 1.080), _b("CA", "NA", 427.0, 1.381),
+    _b("C", "NA", 418.0, 1.388), _b("C", "N*", 424.0, 1.383),
+    _b("C", "NC", 457.0, 1.358),
+    _b("CM", "N*", 448.0, 1.365), _b("CM", "CM", 549.0, 1.350),
+    _b("CM", "CA", 427.0, 1.433), _b("CM", "C", 410.0, 1.444),
+    _b("CM", "CT", 317.0, 1.510), _b("CM", "H4", 367.0, 1.080),
+    _b("CM", "HA", 367.0, 1.080),
     # TIP3P water (flexible fallback; production water is SHAKE-rigid)
     _b("OW", "HW", 553.0, 0.9572),
 ]
@@ -192,6 +216,45 @@ _ANGLE_LIST: List[Tuple[Tuple[str, str, str], Tuple[float, float]]] = [
     (("H1", "CT", "N2"), (50.0, 109.50)),
     # proline-ring strain around N
     (("C", "N", "C"), (50.0, 121.90)),
+    # --- nucleic acids (parm94 nucleic section; theta0 to ~0.5 deg) ----
+    (("O2", "P", "O2"), (140.0, 119.90)), (("O2", "P", "OS"), (100.0, 108.23)),
+    (("OS", "P", "OS"), (45.0, 102.60)), (("O2", "P", "OH"), (100.0, 108.23)),
+    (("OS", "P", "OH"), (45.0, 102.60)),
+    (("CT", "OS", "P"), (100.0, 120.50)), (("CT", "OS", "CT"), (60.0, 109.50)),
+    (("OS", "CT", "CT"), (50.0, 109.50)), (("OS", "CT", "H1"), (50.0, 109.50)),
+    (("OS", "CT", "H2"), (50.0, 109.50)), (("OS", "CT", "N*"), (50.0, 109.50)),
+    (("CT", "CT", "N*"), (50.0, 109.50)), (("H1", "CT", "N*"), (50.0, 109.50)),
+    (("H2", "CT", "N*"), (50.0, 109.50)), (("CT", "CT", "H2"), (50.0, 109.50)),
+    (("CT", "N*", "C"), (70.0, 117.60)), (("CT", "N*", "CB"), (70.0, 125.80)),
+    (("CT", "N*", "CK"), (70.0, 128.80)), (("CT", "N*", "CM"), (70.0, 121.20)),
+    (("CB", "N*", "CK"), (70.0, 105.40)), (("C", "N*", "CM"), (70.0, 121.60)),
+    (("CK", "NB", "CB"), (70.0, 103.80)),
+    (("N*", "CK", "NB"), (70.0, 113.90)),
+    (("N*", "CK", "H5"), (50.0, 123.05)), (("NB", "CK", "H5"), (50.0, 123.05)),
+    (("N*", "CB", "CB"), (70.0, 106.20)), (("N*", "CB", "NC"), (70.0, 126.00)),
+    (("NB", "CB", "CB"), (70.0, 110.40)), (("NB", "CB", "CA"), (70.0, 132.40)),
+    (("NB", "CB", "C"), (70.0, 130.00)), (("CB", "CB", "NC"), (70.0, 127.70)),
+    (("CA", "CB", "CB"), (70.0, 117.30)), (("C", "CB", "CB"), (70.0, 119.20)),
+    (("CB", "CA", "NC"), (70.0, 117.30)), (("CB", "CA", "N2"), (70.0, 123.50)),
+    (("N2", "CA", "NC"), (70.0, 119.30)), (("NA", "CA", "N2"), (70.0, 116.00)),
+    (("NA", "CA", "NC"), (70.0, 123.30)),
+    (("CM", "CA", "N2"), (70.0, 120.10)), (("CM", "CA", "NC"), (70.0, 121.50)),
+    (("CA", "NC", "CB"), (70.0, 112.20)), (("CA", "NC", "CQ"), (70.0, 118.60)),
+    (("CQ", "NC", "CB"), (70.0, 111.00)), (("CA", "NC", "C"), (70.0, 120.50)),
+    (("NC", "CQ", "NC"), (70.0, 129.10)), (("NC", "CQ", "H5"), (50.0, 115.45)),
+    (("C", "NA", "C"), (70.0, 126.40)), (("C", "NA", "CA"), (70.0, 125.20)),
+    (("C", "NA", "H"), (30.0, 116.80)), (("CA", "NA", "H"), (30.0, 118.00)),
+    (("N*", "C", "NA"), (70.0, 115.40)), (("N*", "C", "NC"), (70.0, 118.60)),
+    (("N*", "C", "O"), (80.0, 120.90)), (("NA", "C", "O"), (80.0, 120.60)),
+    (("NC", "C", "O"), (80.0, 122.50)),
+    (("CB", "C", "NA"), (70.0, 111.30)), (("CB", "C", "O"), (80.0, 128.80)),
+    (("CM", "C", "NA"), (70.0, 114.10)), (("CM", "C", "O"), (80.0, 125.30)),
+    (("CM", "CM", "C"), (70.0, 120.70)), (("CM", "CM", "CA"), (70.0, 117.00)),
+    (("CM", "CM", "CT"), (70.0, 119.70)), (("CM", "CM", "HA"), (50.0, 119.70)),
+    (("CM", "CM", "H4"), (50.0, 119.70)),
+    (("N*", "CM", "CM"), (70.0, 121.20)), (("N*", "CM", "H4"), (50.0, 119.10)),
+    (("CT", "CM", "C"), (70.0, 119.70)), (("CM", "CT", "HC"), (50.0, 109.50)),
+    (("HA", "CM", "CA"), (50.0, 123.30)),
     # TIP3P water (flexible fallback)
     (("HW", "OW", "HW"), (100.0, 104.52)),
 ]
@@ -241,6 +304,35 @@ DIHEDRAL_PARAMS: Dict[Tuple[str, str, str, str], List[DihedralTerm]] = {
     ("X", "CR", "NA", "X"): [(4, 9.30, 180.0, 2)],
     ("X", "CR", "NB", "X"): [(2, 10.00, 180.0, 2)],
     ("X", "C", "OH", "X"): [(2, 4.60, 180.0, 2)],
+    # nucleic acids (parm94/99 wildcards; the OL15 alpha/gamma/eps/zeta/
+    # chi REFITS are approximated by these ancestors — md/nucleic.py
+    # docstring records the provenance decision)
+    ("X", "CT", "OS", "X"): [(3, 1.15, 0.0, 3)],
+    ("X", "OS", "P", "X"): [(3, 0.75, 0.0, 3)],
+    ("X", "OH", "P", "X"): [(3, 0.75, 0.0, 3)],
+    ("X", "CT", "N*", "X"): [(6, 0.00, 0.0, 2)],
+    ("X", "C", "NA", "X"): [(4, 5.40, 180.0, 2)],
+    ("X", "C", "N*", "X"): [(4, 5.80, 180.0, 2)],
+    ("X", "C", "NC", "X"): [(2, 8.00, 180.0, 2)],
+    ("X", "CB", "N*", "X"): [(4, 6.60, 180.0, 2)],
+    ("X", "CB", "NB", "X"): [(2, 5.10, 180.0, 2)],
+    ("X", "CB", "NC", "X"): [(2, 8.30, 180.0, 2)],
+    ("X", "CK", "N*", "X"): [(4, 6.80, 180.0, 2)],
+    ("X", "CK", "NB", "X"): [(2, 20.00, 180.0, 2)],
+    ("X", "CA", "NC", "X"): [(2, 9.60, 180.0, 2)],
+    ("X", "CA", "NA", "X"): [(4, 6.00, 180.0, 2)],
+    ("X", "CQ", "NC", "X"): [(2, 13.60, 180.0, 2)],
+    ("X", "CM", "N*", "X"): [(4, 7.40, 180.0, 2)],
+    ("X", "CM", "CM", "X"): [(4, 26.60, 180.0, 2)],
+    ("X", "C", "CM", "X"): [(4, 8.70, 180.0, 2)],
+    ("X", "CA", "CM", "X"): [(4, 10.20, 180.0, 2)],
+    ("X", "CB", "CB", "X"): [(4, 21.80, 180.0, 2)],
+    ("X", "C", "CB", "X"): [(4, 12.00, 180.0, 2)],
+    ("X", "CM", "CT", "X"): [(6, 0.00, 0.0, 3)],
+    # parm99 sugar specifics (gauche effects)
+    ("OS", "CT", "CT", "OS"): [(1, 0.144, 0.0, 3), (1, 1.175, 0.0, 2)],
+    ("OS", "CT", "CT", "OH"): [(1, 0.144, 0.0, 3), (1, 1.175, 0.0, 2)],
+    ("OH", "CT", "CT", "OH"): [(1, 0.144, 0.0, 3), (1, 1.175, 0.0, 2)],
     # ff99SB backbone corrections (specific, override wildcards)
     ("C", "N", "CT", "C"): [   # phi
         (1, 0.00, 0.0, 1), (1, 0.27, 0.0, 2), (1, 0.42, 0.0, 3),
@@ -274,6 +366,11 @@ IMPROPER_PARAMS: Dict[Tuple[str, str, str, str], Tuple[float, float, float]] = {
     ("X", "X", "CA", "HA"): (1.1, 180.0, 2),
     ("X", "X", "CW", "H4"): (1.1, 180.0, 2),
     ("X", "X", "CV", "H4"): (1.1, 180.0, 2),
+    # nucleic base sp2 hydrogens / amino planarity
+    ("X", "X", "CK", "H5"): (1.1, 180.0, 2),
+    ("X", "X", "CQ", "H5"): (1.1, 180.0, 2),
+    ("X", "X", "CM", "H4"): (1.1, 180.0, 2),
+    ("X", "X", "CM", "HA"): (1.1, 180.0, 2),
     ("X", "X", "CR", "H5"): (1.1, 180.0, 2),
     ("X", "N2", "CA", "N2"): (10.5, 180.0, 2),
     ("CT", "CW", "C*", "CB"): (1.1, 180.0, 2),
@@ -291,11 +388,11 @@ IMPROPER_PARAMS: Dict[Tuple[str, str, str, str], Tuple[float, float, float]] = {
 # ---------------------------------------------------------------------------
 
 GB_RADII_BY_ELEMENT: Dict[str, float] = {
-    "H": 1.20, "C": 1.70, "N": 1.55, "O": 1.50, "S": 1.80,
+    "H": 1.20, "C": 1.70, "N": 1.55, "O": 1.50, "S": 1.80, "P": 1.85,
 }
 GB_RADIUS_H_ON_N: float = 1.30
 GB_SCREEN_BY_ELEMENT: Dict[str, float] = {
-    "H": 0.85, "C": 0.72, "N": 0.79, "O": 0.85, "S": 0.96,
+    "H": 0.85, "C": 0.72, "N": 0.79, "O": 0.85, "S": 0.96, "P": 0.86,
 }
 
 #: Amber 1-4 scale factors.

@@ -611,9 +611,32 @@ _NAME_ALIASES = {
 }
 
 
-def normalize_atom_name(name: str) -> str:
-    """Map PDB v2-style names onto v3 template names ("1HB" -> "HB1")."""
+#: PDB v2 / legacy nucleic-acid aliases (applied after star->prime)
+_NUCLEIC_ALIASES: Dict[str, str] = {
+    "O1P": "OP1", "O2P": "OP2",
+    "H5'1": "H5'", "H5'2": "H5''", "H2'1": "H2'", "H2'2": "H2''",
+    "C5M": "C7", "C5A": "C7",
+    "HO5'": "H5T", "HO3'": "H3T",
+}
+
+
+def normalize_atom_name(name: str, resname: "str | None" = None) -> str:
+    """Map PDB v2-style names onto v3 template names ("1HB" -> "HB1";
+    nucleic: "O5*" -> "O5'", "1H5'" -> "H5'", "2H5'" -> "H5''",
+    "O1P" -> "OP1"). ``resname`` disambiguates aliases that collide
+    between polymer families (protein "O2" is a C-terminal oxygen alias
+    for OXT; nucleic O2 is a base carbonyl and stays O2)."""
     name = name.strip()
+    if "*" in name or "'" in name:
+        name = name.replace("*", "'")
+        if name and name[0].isdigit():
+            lead, rest = name[0], name[1:]
+            name = rest if lead == "1" else rest + "'"
+        return _NUCLEIC_ALIASES.get(name, name)
+    if resname in ("DA", "DC", "DG", "DT"):
+        return _NUCLEIC_ALIASES.get(name, name)
+    if name in _NUCLEIC_ALIASES:
+        return _NUCLEIC_ALIASES[name]
     if name and name[0].isdigit():
         name = name[1:] + name[0]
     return _NAME_ALIASES.get(name, name)
@@ -659,6 +682,17 @@ def get_template(
         )
     if resname in NONPOLYMER:
         return TEMPLATES[resname]
+    if resname in ("DA", "DC", "DG", "DT"):
+        # nucleic termini: is_nterm -> 5'-OH (no phosphate), is_cterm ->
+        # 3'-OH; a single-nucleotide strand composes both
+        from .nucleic import make_nucleic_variant
+
+        tmpl = TEMPLATES[resname]
+        if is_nterm:
+            tmpl = make_nucleic_variant(resname, "five")
+        if is_cterm:
+            tmpl = make_nucleic_variant(resname, "three", base=tmpl)
+        return tmpl
     if is_nterm and TEMPLATES[resname]["head"] is not None:
         return make_terminal_variant(resname, "nterm")
     if is_cterm and TEMPLATES[resname]["tail"] is not None:
@@ -670,3 +704,7 @@ __all__ = [
     "TEMPLATES", "NONPOLYMER", "get_template", "normalize_atom_name",
     "make_terminal_variant",
 ]
+
+# register the DNA templates (md/nucleic.py appends to TEMPLATES on
+# import; late import avoids the circular residues <-> nucleic edge)
+from . import nucleic as _nucleic  # noqa: E402,F401

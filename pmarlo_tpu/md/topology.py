@@ -163,7 +163,7 @@ def build_topology(
 
     def _atom_pos(res, name):
         for a in res.atoms:
-            if normalize_atom_name(a.name) == name:
+            if normalize_atom_name(a.name, res.name) == name:
                 return np.asarray(a.xyz)
         return None
 
@@ -172,9 +172,14 @@ def build_topology(
         seg = 0
         current: List[int] = [idxs[0]]
         for prev, nxt in zip(idxs[:-1], idxs[1:]):
+            # polymer adjacency: peptide C->N, or nucleic O3'->P
+            # (md/nucleic.py DNA templates link tail O3' to head P)
             c = _atom_pos(residues[prev], "C")
             n = _atom_pos(residues[nxt], "N")
-            # no C->N pair = non-peptide adjacency (waters/ions sharing
+            if c is None or n is None:
+                c = _atom_pos(residues[prev], "O3'")
+                n = _atom_pos(residues[nxt], "P")
+            # no link pair = non-polymer adjacency (waters/ions sharing
             # the protein's chain id in solvated exports): break here, or
             # the trailing waters would keep the protein's LAST residue
             # from being segment-last and its OXT would mismatch the
@@ -215,15 +220,21 @@ def build_topology(
         chain_ids = segment_of[ridx]
         is_first = ridx == chain_ids[0]
         is_last = ridx == chain_ids[-1]
-        present = {normalize_atom_name(a.name): a for a in res.atoms}
+        present = {normalize_atom_name(a.name, res.name): a for a in res.atoms}
         is_polymer = res.name not in NONPOLYMER
-        wants_nterm = (
-            is_polymer and is_first and res.name not in ("ACE", "NME")
-            and ("H1" in present or "H2" in present or "H3" in present)
-        )
-        wants_cterm = (is_polymer and is_last
-                       and res.name not in ("ACE", "NME")
-                       and "OXT" in present)
+        if res.name in ("DA", "DC", "DG", "DT"):
+            # nucleic termini are positional: 5'-OH (no phosphate) at
+            # segment start, 3'-OH at segment end (Amber DX5/DX3)
+            wants_nterm = is_first
+            wants_cterm = is_last
+        else:
+            wants_nterm = (
+                is_polymer and is_first and res.name not in ("ACE", "NME")
+                and ("H1" in present or "H2" in present or "H3" in present)
+            )
+            wants_cterm = (is_polymer and is_last
+                           and res.name not in ("ACE", "NME")
+                           and "OXT" in present)
         try:
             template = get_template(res.name, is_nterm=wants_nterm, is_cterm=wants_cterm)
         except KeyError as exc:

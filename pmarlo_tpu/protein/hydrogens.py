@@ -248,19 +248,23 @@ def add_hydrogens(
         pos: Dict[str, np.ndarray] = {}
         kept: List[PDBAtom] = []
         for a in res.atoms:
-            name = normalize_atom_name(a.name)
+            name = normalize_atom_name(a.name, res.name)
             if name in tmpl["atoms"]:
                 pos[name] = np.asarray(a.xyz, dtype=np.float64)
                 kept.append(a)
         # neighbor-residue bond partners give the N/C atoms full frames
         context: Dict[str, np.ndarray] = {}
+        # link-atom names come from the NEIGHBOR templates' tail/head
+        # (peptide C/N, nucleic O3'/P) so DNA chains get full frames too
         if not is_nterm and idx > 0:
+            prev_tail = get_template(chain[idx - 1].name).get("tail")
             for a in chain[idx - 1].atoms:
-                if a.name.strip() == "C":
+                if prev_tail and normalize_atom_name(a.name, chain[idx - 1].name) == prev_tail:
                     context["-C"] = np.asarray(a.xyz, dtype=np.float64)
         if not is_cterm and idx < len(chain) - 1:
+            next_head = get_template(chain[idx + 1].name).get("head")
             for a in chain[idx + 1].atoms:
-                if a.name.strip() == "N":
+                if next_head and normalize_atom_name(a.name, chain[idx + 1].name) == next_head:
                     context["+N"] = np.asarray(a.xyz, dtype=np.float64)
 
         missing = [n for n in tmpl["atoms"] if n not in pos]
