@@ -63,6 +63,51 @@ def alanine_dipeptide_structure() -> PDBStructure:
     return PDBStructure(residues=residues)
 
 
+def replicate_structure(
+    structure: PDBStructure,
+    n: "tuple[int, int, int]" = (2, 2, 2),
+    spacing: "Optional[tuple[float, float, float]]" = None,
+    gap: float = 0.5,
+) -> PDBStructure:
+    """Tile a structure on an ``n`` grid of translated copies (nm).
+
+    Builds large multi-chain assemblies from a single-molecule template —
+    the benchmark geometry for the tile-culled implicit-solvent path
+    (pallas_pair gb_cutoff) and a stand-in for multi-protein complexes.
+    ``spacing`` defaults to the template's bounding-box extent plus
+    ``gap`` per axis. Copies get fresh chain letters and offset resids so
+    each copy parameterizes independently (own termini)."""
+    xyz = np.asarray(
+        [a.xyz for r in structure.residues for a in r.atoms], np.float64
+    )
+    if spacing is None:
+        ext = xyz.max(axis=0) - xyz.min(axis=0)
+        spacing = tuple(float(e + gap) for e in ext)
+    max_resid = max(r.resid for r in structure.residues) + 1
+    chains = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    residues = []
+    copy = 0
+    for i in range(n[0]):
+        for j in range(n[1]):
+            for k in range(n[2]):
+                off = (i * spacing[0], j * spacing[1], k * spacing[2])
+                ch = chains[copy % len(chains)]
+                roff = copy * max_resid
+                for r in structure.residues:
+                    residues.append(PDBResidue(
+                        name=r.name, resid=r.resid + roff, chain=ch,
+                        atoms=[PDBAtom(
+                            name=a.name, resname=a.resname,
+                            resid=a.resid + roff, chain=ch,
+                            xyz=(a.xyz[0] + off[0], a.xyz[1] + off[1],
+                                 a.xyz[2] + off[2]),
+                            element=a.element,
+                        ) for a in r.atoms],
+                    ))
+                copy += 1
+    return PDBStructure(residues=residues)
+
+
 def chignolin_path() -> Optional[Path]:
     """Locate a chignolin PDB (1UAO) if one is available on this host."""
     candidates = [
@@ -76,4 +121,6 @@ def chignolin_path() -> Optional[Path]:
     return None
 
 
-__all__ = ["alanine_dipeptide_structure", "chignolin_path"]
+__all__ = [
+    "alanine_dipeptide_structure", "chignolin_path", "replicate_structure",
+]

@@ -66,11 +66,39 @@ def _radius_classes(rho: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return vals, onehot
 
 
+def _morton_order(x: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Spatial (Morton/Z-order) permutation: index-contiguous tiles
+    become spatially COMPACT blobs, which is what makes bounding-box
+    tile culling effective when the chain folds back through space.
+    Host-side, build time only (the permutation is static; culling
+    CORRECTNESS never depends on it — tile AABBs are recomputed
+    from live positions every force evaluation)."""
+    x = np.asarray(x, np.float64)
+    lo = x.min(axis=0)
+    span = max(float((x.max(axis=0) - lo).max()), 1e-9)
+    g = np.clip(((x - lo) / span * (2**bits - 1)).astype(np.uint64),
+                0, np.uint64(2**bits - 1))
+
+    def part1by2(v):
+        v = v & np.uint64(0x3FF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x30000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x300F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x30C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x9249249)
+        return v
+
+    code = (part1by2(g[:, 0]) | (part1by2(g[:, 1]) << np.uint64(1))
+            | (part1by2(g[:, 2]) << np.uint64(2)))
+    return np.argsort(code, kind="stable").astype(np.int32)
+
+
 def build_pair_force_fn(
     system: System,
     *,
     tile: int = 256,
     interpret: bool = False,
+    gb_cutoff: "float | None" = None,
+    order_from=None,
 ) -> Callable:
     """Jitted ``fn(x (N,3)) -> (energy, forces (N,3))`` for the FULL
     potential: tiled-kernel pair stage + XLA bonded terms.
@@ -79,33 +107,65 @@ def build_pair_force_fn(
     a multiple of it. The dense exclusion scale matrices are streamed in
     row tiles, so memory residency is the matrices themselves (usable to
     N ~ 15k on a 16 GB HBM chip).
+
+    ``gb_cutoff`` (nm) enables bounding-box TILE CULLING (VERDICT r3
+    item #3 — the O(N^2)->o(N^2) path for large implicit systems): every
+    pair interaction (LJ, Coulomb, GB cross term, Born descreening,
+    neck) is truncated at r > gb_cutoff, and the kernel then SKIPS whole
+    (tile, tile) blocks whose axis-aligned bounding boxes are provably
+    farther apart than the cutoff (per-tile AABBs recomputed from live
+    positions each evaluation, so the skip is exact, never stale).
+    Use tile=128 here: finer tiles bound tighter (computed fraction 0.20
+    vs 0.30 at 26.8k atoms) and the pair math is VPU-bound either way. Truncating the
+    COMBINED electrostatics is the standard GB-cutoff approximation: at
+    r >> B the direct Coulomb and the GB cross term cancel to the
+    solvent-screened tail q_i q_j / (eps_water r) — ~1/80 of vacuum
+    Coulomb (the same physics OpenMM's CutoffNonPeriodic GB relies on).
+    ``order_from`` (positions (n_atoms, 3)) applies a build-time Morton
+    reorder so tiles are spatially compact; exclusion semantics are
+    unaffected (the index-band mask keys on ORIGINAL atom indices
+    carried in the kernel's index channel).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     if tile % 128 != 0:
         raise ValueError("tile must be a multiple of 128 (lane blocking)")
+    if order_from is not None and gb_cutoff is None:
+        raise ValueError("order_from only affects the gb_cutoff path")
 
     n_real = system.n_atoms
     N = ((n_real + tile - 1) // tile) * tile
     GRID = N // tile
     pad = N - n_real
 
+    perm = None
+    if gb_cutoff is not None and order_from is not None:
+        perm = _morton_order(np.asarray(order_from))
+        if perm.shape[0] != n_real:
+            raise ValueError("order_from must provide one position per atom")
+
+    def P(a):
+        """Apply the (optional) spatial permutation to a per-atom array."""
+        a = np.asarray(a)
+        return a[perm] if perm is not None else a
+
     def padded(a, fill=0.0):
         a = np.asarray(a, np.float32)
         return np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
                       constant_values=fill)
 
-    # --- per-atom parameter rows (host-side, padded) -----------------------
-    q = padded(system.charges)
-    sig = padded(system.lj_sigma)
+    # --- per-atom parameter rows (host-side, padded, kernel order) ---------
+    q = padded(P(system.charges))
+    sig = padded(P(system.lj_sigma))
     # sqrt(eps) at the source: the Lorentz-Berthelot geometric
     # mean becomes an in-kernel multiply (one less per-pair sqrt)
-    eps = np.sqrt(padded(system.lj_eps))
-    rho = padded(np.asarray(system.gb_radii) - system.gb_offset, fill=0.1)
-    sr = padded(np.asarray(system.gb_screen) * (np.asarray(system.gb_radii)
-                                                - system.gb_offset), fill=0.0)
-    radii = padded(system.gb_radii, fill=0.11)
+    eps = np.sqrt(padded(P(system.lj_eps)))
+    rho = padded(P(np.asarray(system.gb_radii) - system.gb_offset), fill=0.1)
+    sr = padded(P(np.asarray(system.gb_screen)
+                  * (np.asarray(system.gb_radii) - system.gb_offset)),
+                fill=0.0)
+    radii = padded(P(system.gb_radii), fill=0.11)
     mask = np.zeros(N, np.float32)
     mask[:n_real] = 1.0
 
@@ -116,15 +176,15 @@ def build_pair_force_fn(
     )
     probe = 0.14
     sa_coef = padded(
-        system.surface_tension
-        * (np.asarray(system.gb_radii) + probe) ** 2
-        * np.asarray(system.gb_radii) ** 6,
+        P(system.surface_tension
+          * (np.asarray(system.gb_radii) + probe) ** 2
+          * np.asarray(system.gb_radii) ** 6),
         fill=0.0,
     )
     if system.gb_alpha is not None:
-        ab = padded(system.gb_alpha, fill=1.0)
-        bb = padded(system.gb_beta)
-        gb = padded(system.gb_gamma)
+        ab = padded(P(system.gb_alpha), fill=1.0)
+        bb = padded(P(system.gb_beta))
+        gb = padded(P(system.gb_gamma))
     else:
         ab = np.full(N, OBC2_ALPHA, np.float32)
         bb = np.full(N, OBC2_BETA, np.float32)
@@ -160,8 +220,11 @@ def build_pair_force_fn(
     band_se_np, band_sl_np, far_idx, far_se, far_sl = banded_scales(
         system, band_D
     )
+    # the index channel carries ORIGINAL atom indices, so the band mask
+    # |i-j| <= D keys on chemistry (bond topology adjacency), not on the
+    # kernel's (possibly Morton-permuted) storage order
     idx_chan = np.full(N, -1e6, np.float32)
-    idx_chan[:n_real] = np.arange(n_real, dtype=np.float32)
+    idx_chan[:n_real] = P(np.arange(n_real)).astype(np.float32)
 
     use_gb = bool(system.use_gb)
 
@@ -171,13 +234,12 @@ def build_pair_force_fn(
         precision=jax.lax.Precision.HIGHEST,
     )
 
-    def pair_geometry(xi_ref, xf_ref):
-        """(dd0..2, r, not_self) for the (TI, N) block. Self/coincident
+    def pair_geometry(xi, xf):
+        """(dd0..2, r, not_self) for a (TI, W) block. Self/coincident
         slots are pushed to r = 1 nm BEFORE any 1/r^k math — (sigma/r)^12
-        at r ~ 0 is inf and inf * 0 poisons masked sums with NaN."""
-        xi = xi_ref[...]                      # (TI, 3)
-        xf = xf_ref[...]                      # (3, N)
-        dd0 = xi[:, 0:1] - xf[0:1, :]         # (TI, N)
+        at r ~ 0 is inf and inf * 0 poisons masked sums with NaN.
+        Takes VALUES: (TI, 3) rows and a (3, W) column slab."""
+        dd0 = xi[:, 0:1] - xf[0:1, :]         # (TI, W)
         dd1 = xi[:, 1:2] - xf[1:2, :]
         dd2 = xi[:, 2:3] - xf[2:3, :]
         r2 = dd0 * dd0 + dd1 * dd1 + dd2 * dd2
@@ -225,12 +287,13 @@ def build_pair_force_fn(
         act = (~inactive).astype(r.dtype)
         return H * act, dH * act
 
-    def neck_tile(oh_i_ref, oh_all_ref, d0c_ref, m0c_ref, r):
-        """(nv * scale, d(nv*scale)/dr) via class matmuls."""
-        ohi = oh_i_ref[...]                    # (TI, C)
-        ohN = oh_all_ref[...]                  # (C, N)
-        d0 = _dot(_dot(ohi, d0c_ref[...]), ohN)     # (TI, N)
-        m0s = _dot(_dot(ohi, m0c_ref[...]), ohN)
+    def neck_tile(ohi, ohN, d0c, m0c, r):
+        """(nv * scale, d(nv*scale)/dr) via class matmuls.
+
+        ``ohi`` (TI, C) / ``ohN`` (C, W) are VALUES (not refs) so the
+        culled chunk loop can feed lane slices through the same math."""
+        d0 = _dot(_dot(ohi, d0c), ohN)              # (TI, W)
+        m0s = _dot(_dot(ohi, m0c), ohN)
         u = r - d0
         u2 = u * u
         denom = 1.0 + 100.0 * u2 + 0.3e6 * u2 * u2 * u2
@@ -246,13 +309,13 @@ def build_pair_force_fn(
     def born_kernel(xi_ref, xf_ref, rho_i_ref, mask_i_ref, sr_j_ref,
                     mask_j_ref, oh_i_ref, oh_all_ref, d0c_ref, m0c_ref,
                     I_ref):
-        _, _, _, r, not_self = pair_geometry(xi_ref, xf_ref)
+        _, _, _, r, not_self = pair_geometry(xi_ref[...], xf_ref[...])
         one = self_mask(not_self, row(mask_i_ref), col(mask_j_ref))
         inv_r = 1.0 / r
         H, _ = hct_terms(r, inv_r, row(rho_i_ref), col(sr_j_ref))
         I = 0.5 * jnp.sum(H * one, axis=1, keepdims=True)
         if use_neck:
-            nv, _ = neck_tile(oh_i_ref, oh_all_ref, d0c_ref, m0c_ref, r)
+            nv, _ = neck_tile(oh_i_ref[...], oh_all_ref[...], d0c_ref[...], m0c_ref[...], r)
             I = I + jnp.sum(nv * one, axis=1, keepdims=True)
         I_ref[...] = I
 
@@ -261,7 +324,7 @@ def build_pair_force_fn(
                       sig_j_ref, eps_i_ref, eps_j_ref, ib_i_ref, ib_j_ref,
                       B_i_ref, B_j_ref, mask_i_ref, mask_j_ref,
                       e_ref, dEdB_ref):
-        _, _, _, r, not_self = pair_geometry(xi_ref, xf_ref)
+        _, _, _, r, not_self = pair_geometry(xi_ref[...], xf_ref[...])
         one = self_mask(not_self, row(mask_i_ref), col(mask_j_ref))
         inv_r = 1.0 / r
         sig_ij = 0.5 * (row(sig_i_ref) + col(sig_j_ref))
@@ -301,7 +364,7 @@ def build_pair_force_fn(
                      c_i_ref, c_j_ref, rho_i_ref, rho_j_ref, sr_i_ref,
                      sr_j_ref, mask_i_ref, mask_j_ref, oh_i_ref, oh_all_ref,
                      d0c_ref, m0c_ref, F_ref):
-        dd0, dd1, dd2, r, not_self = pair_geometry(xi_ref, xf_ref)
+        dd0, dd1, dd2, r, not_self = pair_geometry(xi_ref[...], xf_ref[...])
         one = self_mask(not_self, row(mask_i_ref), col(mask_j_ref))
         inv_r = 1.0 / r
         inv_r2 = inv_r * inv_r
@@ -331,7 +394,7 @@ def build_pair_force_fn(
             dIdr_ij = 0.5 * dH_ij
             dIdr_ji = 0.5 * dH_ji
             if use_neck:
-                nv, dnv = neck_tile(oh_i_ref, oh_all_ref, d0c_ref, m0c_ref, r)
+                nv, dnv = neck_tile(oh_i_ref[...], oh_all_ref[...], d0c_ref[...], m0c_ref[...], r)
                 dIdr_ij = dIdr_ij + dnv   # neck symmetric in (i, j)
                 dIdr_ji = dIdr_ji + dnv
             W = W + row(c_i_ref) * dIdr_ij + col(c_j_ref) * dIdr_ji
@@ -469,9 +532,12 @@ def build_pair_force_fn(
     fb_j = jnp.asarray(far_idx[:, 1])
     fb_se = jnp.asarray(far_se)
     fb_sl = jnp.asarray(far_sl)
-    q_real = jnp.asarray(q[:n_real])
-    sig_real = jnp.asarray(sig[:n_real])
-    # true eps (the padded kernel row carries sqrt(eps))
+    # ORIGINAL-ORDER parameter rows: the banded add-back and far-pair
+    # corrections index the caller's x directly (q/sig above may be
+    # Morton-permuted for the kernel; true eps — the padded kernel row
+    # carries sqrt(eps))
+    q_real = jnp.asarray(np.asarray(system.charges, np.float32))
+    sig_real = jnp.asarray(np.asarray(system.lj_sigma, np.float32))
     eps_real = jnp.asarray(np.asarray(system.lj_eps, np.float32))
 
     def _wanted_implicit(r, qq, sig_ij, eps_ij, se_p, sl_p, valid):
@@ -507,6 +573,12 @@ def build_pair_force_fn(
         valid = (idx[:, None] + offs[None, :] < n_real).astype(x.dtype)
         d = x[:, None, :] - xj
         r = jnp.sqrt(jnp.sum(d * d, axis=-1) + _EPS)
+        if gb_cutoff is not None:
+            # cutoff semantics apply to the add-back too: an index-band
+            # pair beyond the cutoff (e.g. chain-end atoms of different
+            # molecules with adjacent indices) has a WANTED value of
+            # exactly zero, same as every other far pair
+            valid = valid * (r <= gb_cutoff).astype(x.dtype)
         qq = q_real[:, None] * qj
         sig_ij = 0.5 * (sig_real[:, None] + sj)
         eps_ij = jnp.sqrt(jnp.maximum(eps_real[:, None] * ej, 0.0))
@@ -519,51 +591,446 @@ def build_pair_force_fn(
             sig_f = 0.5 * (sig_real[fb_i] + sig_real[fb_j])
             eps_f = jnp.sqrt(jnp.maximum(eps_real[fb_i] * eps_real[fb_j], 0.0))
             ones = jnp.ones_like(rf)
+            if gb_cutoff is not None:
+                # beyond the cutoff the kernel counted nothing and the
+                # wanted value is nothing — both legs vanish together
+                ones = (rf <= gb_cutoff).astype(rf.dtype)
             e = e + jnp.sum(
-                _wanted_implicit(rf, qq_f, sig_f, eps_f, fb_se, fb_sl, ones)
+                _wanted_implicit(rf, qq_f, sig_f, eps_f, fb_se * ones,
+                                 fb_sl * ones, ones)
                 - _wanted_implicit(rf, qq_f, sig_f, eps_f, ones, ones, ones)
             )
         return e
 
-    @jax.jit
-    def force_fn(x):
+    def _make_force_fn(s1, s2, s3, prepare, finish, poison=None):
+        """Shared assembly: Born pipeline + XLA glue around pluggable
+        sweeps (the culled path swaps the sweeps and adds a permuted
+        coordinate layout; the physics between sweeps is identical).
+        ``poison(extra)`` returns a scalar added to energy AND forces —
+        NaN when the evaluation must not be trusted (tile-list
+        overflow), 0 otherwise."""
+
+        @jax.jit
+        def force_fn(x):
+            xp, extra = prepare(x)
+            xf = xp.T                                       # (3, N)
+            if use_gb:
+                I = s1(xp, xf, extra)[:, 0]
+                psi = I * rho_j
+                g = ab_j * psi - bb_j * psi * psi + gb_j * psi**3
+                t = jnp.tanh(g)
+                inv_B = 1.0 / rho_j - t / radii_j
+                inv_B = jnp.maximum(inv_B, 1e-3)
+                B = 1.0 / inv_B
+                gprime = ab_j - 2.0 * bb_j * psi + 3.0 * gb_j * psi * psi
+                dB_dpsi = B * B * (1.0 - t * t) * gprime / radii_j
+            else:
+                B = jnp.ones((N,), jnp.float32)
+                dB_dpsi = jnp.zeros((N,), jnp.float32)
+            e_rows, dEdB_pair = s2(xp, xf, B, extra)
+            e_pair = jnp.sum(e_rows)
+            if use_gb:
+                e_self = jnp.sum(gb_pref * q_j * q_j * (1.0 / B) * mask_j)
+                e_sa = jnp.sum(sa_j * (1.0 / B) ** 6 * mask_j)
+                dEdB = (
+                    2.0 * dEdB_pair[:, 0]
+                    - gb_pref * q_j * q_j / (B * B)
+                    - 6.0 * sa_j / B**7
+                ) * mask_j
+                c_chain = dEdB * dB_dpsi * rho_j
+            else:
+                e_self = e_sa = jnp.zeros(())
+                c_chain = jnp.zeros((N,), jnp.float32)
+            F_pair = finish(s3(xp, xf, B, c_chain, extra)[:n_real])
+            e_c, g_c = jax.value_and_grad(correction_energy)(x)
+            e_b, g_b = jax.value_and_grad(bonded_energy)(x)
+            energy = e_pair + e_c + e_self + e_sa + e_b
+            forces = F_pair - g_c - g_b
+            if poison is not None:
+                bad = poison(extra)
+                energy = energy + bad
+                forces = forces + bad
+            return energy, forces
+
+        return force_fn
+
+    def prepare_base(x):
         xp = jnp.zeros((N, 3), jnp.float32).at[:n_real].set(
             x.astype(jnp.float32))
-        xf = xp.T                                       # (3, N)
-        if use_gb:
-            I = sweep1(xp, xf)[:, 0]
-            psi = I * rho_j
-            g = ab_j * psi - bb_j * psi * psi + gb_j * psi**3
-            t = jnp.tanh(g)
-            inv_B = 1.0 / rho_j - t / radii_j
-            inv_B = jnp.maximum(inv_B, 1e-3)
-            B = 1.0 / inv_B
-            gprime = ab_j - 2.0 * bb_j * psi + 3.0 * gb_j * psi * psi
-            dB_dpsi = B * B * (1.0 - t * t) * gprime / radii_j
-        else:
-            B = jnp.ones((N,), jnp.float32)
-            dB_dpsi = jnp.zeros((N,), jnp.float32)
-        e_rows, dEdB_pair = sweep2(xp, xf, B)
-        e_pair = jnp.sum(e_rows)
-        if use_gb:
-            e_self = jnp.sum(gb_pref * q_j * q_j * (1.0 / B) * mask_j)
-            e_sa = jnp.sum(sa_j * (1.0 / B) ** 6 * mask_j)
-            dEdB = (
-                2.0 * dEdB_pair[:, 0]
-                - gb_pref * q_j * q_j / (B * B)
-                - 6.0 * sa_j / B**7
-            ) * mask_j
-            c_chain = dEdB * dB_dpsi * rho_j
-        else:
-            e_self = e_sa = jnp.zeros(())
-            c_chain = jnp.zeros((N,), jnp.float32)
-        F_pair = sweep3(xp, xf, B, c_chain)[:n_real]
-        e_c, g_c = jax.value_and_grad(correction_energy)(x)
-        e_b, g_b = jax.value_and_grad(bonded_energy)(x)
-        energy = e_pair + e_c + e_self + e_sa + e_b
-        return energy, F_pair - g_c - g_b
+        return xp, None
 
-    return force_fn
+    if gb_cutoff is None:
+        return _make_force_fn(
+            lambda xp, xf, _m: sweep1(xp, xf),
+            lambda xp, xf, B, _m: sweep2(xp, xf, B),
+            lambda xp, xf, B, c, _m: sweep3(xp, xf, B, c),
+            prepare_base, lambda F: F,
+        )
+
+    # ----- bounding-box tile culling via a TILE-level neighbor list --------
+    # Per evaluation (XLA, O(GRID^2) scalar work — trivial): per-tile
+    # AABBs from live positions, a (GRID, GRID) box-gap test, and a
+    # compacted per-row list of close chunk ids padded to a STATIC width
+    # K with -1. The kernels scalar-prefetch the list (SMEM) and loop
+    # over K entries, dynamic-lane-slicing the (TI, tile) column chunk
+    # per id — md/cells.py's 128-aligned-slice precedent plus the pallas
+    # guide's PrefetchScalarGridSpec pattern. Correctness: a skipped
+    # chunk's box gap exceeds the cutoff => every pair distance exceeds
+    # the cutoff => its cutoff-masked contribution is exactly zero; the
+    # list is recomputed every evaluation, so skips are never stale. If
+    # more chunks come into range than K (atoms drifted far from the
+    # build geometry), the evaluation POISONS loudly (NaN) rather than
+    # silently truncating. The compacted list replaces the first
+    # design's per-chunk in-kernel cull test: GRID-length loops spent
+    # ~60% of wall on skipped iterations (52.9 ms at 26.8k where the
+    # computed fraction predicts ~24); K-length loops do mostly real
+    # work. AABB gaps measured ~1.7x tighter than bounding spheres on
+    # Morton-ordered assemblies (fraction 0.20 vs 0.36, 26.8k/tile 128).
+    cutf = float(gb_cutoff)
+
+    def _np_chunk_counts(xp_np):
+        xr = xp_np.reshape(GRID, tile, 3)
+        lo = xr.min(1)
+        hi = xr.max(1)
+        g1 = lo[:, None, :] - hi[None, :, :]
+        g2 = lo[None, :, :] - hi[:, None, :]
+        gap = np.maximum(0.0, np.maximum(g1, g2))
+        close = (gap ** 2).sum(-1) <= cutf * cutf
+        return close.sum(1)
+
+    if order_from is not None:
+        x0p = np.asarray(order_from, np.float32)
+        if perm is not None:
+            x0p = x0p[perm]
+        if pad:
+            x0p = np.concatenate([x0p, np.repeat(x0p[-1:], pad, 0)])
+        K = int(min(GRID,
+                    int(np.ceil(1.35 * _np_chunk_counts(x0p).max())) + 4))
+    else:
+        # no build geometry: full-width lists (correct, no loop savings)
+        K = GRID
+
+    def row_spec_c(width):
+        return pl.BlockSpec((tile, width), (lambda i, ids, cnt: (i, 0)),
+                            memory_space=vmem)
+
+    def bcast_spec_c(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, (lambda i, ids, cnt, _n=nd: (0,) * _n),
+                            memory_space=vmem)
+
+    def _chunk_slices(c, *refs):
+        off = pl.multiple_of(c * tile, 128)
+        return [r[:, pl.ds(off, tile)] for r in refs]
+
+    def born_culled(ids_ref, counts_ref, xi_ref, xf_ref, rho_i_ref, mask_i_ref,
+                    sr_j_ref, mask_j_ref, oh_i_ref, oh_all_ref,
+                    d0c_ref, m0c_ref, I_ref):
+        i = pl.program_id(0)
+        xi = xi_ref[...]
+        rho_i = rho_i_ref[...]
+        mask_i = mask_i_ref[...]
+        ohi = oh_i_ref[...]
+        d0c = d0c_ref[...]
+        m0c = m0c_ref[...]
+
+        def body(k, acc):
+            c = ids_ref[i, k]
+
+            def compute(a):
+                xf, sr_j, mask_j = _chunk_slices(
+                    c, xf_ref, sr_j_ref, mask_j_ref)
+                _, _, _, r, not_self = pair_geometry(xi, xf)
+                one = (mask_i * mask_j * not_self
+                       * (r <= cutf).astype(r.dtype))
+                inv_r = 1.0 / r
+                H, _ = hct_terms(r, inv_r, rho_i, sr_j)
+                part = 0.5 * jnp.sum(H * one, axis=1, keepdims=True)
+                if use_neck:
+                    (ohN,) = _chunk_slices(c, oh_all_ref)
+                    nv, _ = neck_tile(ohi, ohN, d0c, m0c, r)
+                    part = part + jnp.sum(nv * one, axis=1, keepdims=True)
+                return a + part
+
+            return compute(acc)
+
+        # dynamic bound: exactly this row's list length — rows near a
+        # dense region loop longer, sparse rows exit early (K only
+        # bounds the list WIDTH; max row degree is several x the mean
+        # on Morton-ordered assemblies, so a static K bound wasted most
+        # iterations as padded no-ops)
+        I_ref[...] = jax.lax.fori_loop(
+            0, counts_ref[i], body, jnp.zeros((tile, 1), jnp.float32))
+
+    def energy_culled(ids_ref, counts_ref, xi_ref, xf_ref, q_i_ref, q_j_ref,
+                      sig_i_ref, sig_j_ref, eps_i_ref, eps_j_ref,
+                      ib_i_ref, ib_j_ref, B_i_ref, B_j_ref,
+                      mask_i_ref, mask_j_ref, e_ref, dEdB_ref):
+        i = pl.program_id(0)
+        xi = xi_ref[...]
+        q_i = q_i_ref[...]
+        sig_i = sig_i_ref[...]
+        eps_i = eps_i_ref[...]
+        ib_i = ib_i_ref[...]
+        B_i = B_i_ref[...]
+        mask_i = mask_i_ref[...]
+
+        def body(k, carry):
+            c = ids_ref[i, k]
+
+            def compute(cr):
+                e_acc, d_acc = cr
+                xf, q_jv, sig_jv, eps_jv, ib_jv, B_jv, mask_jv = (
+                    _chunk_slices(c, xf_ref, q_j_ref, sig_j_ref,
+                                  eps_j_ref, ib_j_ref, B_j_ref,
+                                  mask_j_ref))
+                _, _, _, r, not_self = pair_geometry(xi, xf)
+                one = (mask_i * mask_jv * not_self
+                       * (r <= cutf).astype(r.dtype))
+                inv_r = 1.0 / r
+                sig_ij = 0.5 * (sig_i + sig_jv)
+                eps_ij = eps_i * eps_jv       # rows carry sqrt(eps)
+                sr6 = (sig_ij * inv_r) ** 6
+                ob = (jnp.abs(ib_i - ib_jv) > band_D).astype(r.dtype)
+                e_lj = 4.0 * eps_ij * (sr6 * sr6 - sr6) * ob
+                qq = q_i * q_jv
+                e_el = ke * qq * inv_r * ob
+                e_row = 0.5 * jnp.sum((e_lj + e_el) * one, axis=1,
+                                      keepdims=True)
+                if use_gb:
+                    BB = B_i * B_jv
+                    expu = jnp.exp(-(r * r) / (4.0 * BB))
+                    f = jnp.sqrt(r * r + BB * expu)
+                    inv_f = 1.0 / f
+                    qq_gb = gb_pref * qq
+                    e_row = e_row + jnp.sum(qq_gb * inv_f * one, axis=1,
+                                            keepdims=True)
+                    dEdf = -qq_gb * inv_f * inv_f * one
+                    dfdBi = (expu * (B_jv + r * r / (4.0 * B_i))
+                             * (0.5 * inv_f))
+                    d_part = jnp.sum(dEdf * dfdBi, axis=1, keepdims=True)
+                else:
+                    d_part = jnp.zeros_like(e_row)
+                return e_acc + e_row, d_acc + d_part
+
+            return compute(carry)
+
+        z = jnp.zeros((tile, 1), jnp.float32)
+        e, d = jax.lax.fori_loop(0, counts_ref[i], body, (z, z))
+        e_ref[...] = e
+        dEdB_ref[...] = d
+
+    def force_culled(ids_ref, counts_ref, xi_ref, xf_ref, q_i_ref, q_j_ref,
+                     sig_i_ref, sig_j_ref, eps_i_ref, eps_j_ref,
+                     ib_i_ref, ib_j_ref, B_i_ref, B_j_ref, c_i_ref,
+                     c_j_ref, rho_i_ref, rho_j_ref, sr_i_ref, sr_j_ref,
+                     mask_i_ref, mask_j_ref, oh_i_ref, oh_all_ref,
+                     d0c_ref, m0c_ref, F_ref):
+        i = pl.program_id(0)
+        xi = xi_ref[...]
+        q_i = q_i_ref[...]
+        sig_i = sig_i_ref[...]
+        eps_i = eps_i_ref[...]
+        ib_i = ib_i_ref[...]
+        B_i = B_i_ref[...]
+        c_i = c_i_ref[...]
+        rho_i = rho_i_ref[...]
+        sr_i = sr_i_ref[...]
+        mask_i = mask_i_ref[...]
+        ohi = oh_i_ref[...]
+        d0c = d0c_ref[...]
+        m0c = m0c_ref[...]
+
+        def body(k, carry):
+            c = ids_ref[i, k]
+
+            def compute(cr):
+                f0a, f1a, f2a = cr
+                (xf, q_jv, sig_jv, eps_jv, ib_jv, B_jv, c_jv, rho_jv,
+                 sr_jv, mask_jv) = _chunk_slices(
+                    c, xf_ref, q_j_ref, sig_j_ref, eps_j_ref, ib_j_ref,
+                    B_j_ref, c_j_ref, rho_j_ref, sr_j_ref, mask_j_ref)
+                dd0, dd1, dd2, r, not_self = pair_geometry(xi, xf)
+                one = (mask_i * mask_jv * not_self
+                       * (r <= cutf).astype(r.dtype))
+                inv_r = 1.0 / r
+                inv_r2 = inv_r * inv_r
+                sig_ij = 0.5 * (sig_i + sig_jv)
+                eps_ij = eps_i * eps_jv
+                sr6 = (sig_ij * inv_r) ** 6
+                ob = (jnp.abs(ib_i - ib_jv) > band_D).astype(r.dtype)
+                W = (4.0 * eps_ij * (-12.0 * sr6 * sr6 + 6.0 * sr6)
+                     * inv_r * ob)
+                qq = q_i * q_jv
+                W = W - ke * qq * inv_r2 * ob
+                if use_gb:
+                    BB = B_i * B_jv
+                    expu = jnp.exp(-(r * r) / (4.0 * BB))
+                    f = jnp.sqrt(r * r + BB * expu)
+                    inv_f = 1.0 / f
+                    qq_gb = gb_pref * 2.0 * qq
+                    dEdf = -qq_gb * inv_f * inv_f
+                    dfdr = r * (1.0 - 0.25 * expu) * inv_f
+                    W = W + dEdf * dfdr
+                    _, dH_ij = hct_terms(r, inv_r, rho_i, sr_jv)
+                    _, dH_ji = hct_terms(r, inv_r, rho_jv, sr_i)
+                    dIdr_ij = 0.5 * dH_ij
+                    dIdr_ji = 0.5 * dH_ji
+                    if use_neck:
+                        (ohN,) = _chunk_slices(c, oh_all_ref)
+                        nv, dnv = neck_tile(ohi, ohN, d0c, m0c, r)
+                        dIdr_ij = dIdr_ij + dnv
+                        dIdr_ji = dIdr_ji + dnv
+                    W = W + c_i * dIdr_ij + c_jv * dIdr_ji
+                W = W * one * inv_r
+                return (f0a - jnp.sum(W * dd0, axis=1, keepdims=True),
+                        f1a - jnp.sum(W * dd1, axis=1, keepdims=True),
+                        f2a - jnp.sum(W * dd2, axis=1, keepdims=True))
+
+            return compute(carry)
+
+        z = jnp.zeros((tile, 1), jnp.float32)
+        f0, f1, f2_ = jax.lax.fori_loop(0, counts_ref[i], body, (z, z, z))
+        F_ref[...] = jnp.concatenate([f0, f1, f2_], axis=1)
+
+    def sweep1_c(ids, counts, xT, xf):
+        ins = [
+            jnp.asarray(xT), jnp.asarray(xf),
+            jnp.asarray(row_arrays["rho"]), jnp.asarray(row_arrays["mask"]),
+            jnp.asarray(col_arrays["sr"]), jnp.asarray(col_arrays["mask"]),
+            jnp.asarray(oh_rows), jnp.asarray(oh_cols),
+            jnp.asarray(D0c, jnp.float32), jnp.asarray(M0c, jnp.float32),
+        ]
+        specs = [
+            row_spec_c(3), bcast_spec_c((3, N)),
+            row_spec_c(1), row_spec_c(1),
+            bcast_spec_c((1, N)), bcast_spec_c((1, N)),
+            row_spec_c(C), bcast_spec_c((C, N)),
+            bcast_spec_c(D0c.shape), bcast_spec_c(M0c.shape),
+        ]
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(GRID,), in_specs=specs,
+            out_specs=row_spec_c(1),
+        )
+        return pl.pallas_call(
+            born_culled, grid_spec=gs, compiler_params=params,
+            out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            interpret=interpret,
+        )(ids, counts, *ins)
+
+    def sweep2_c(ids, counts, xT, xf, B):
+        ins = [
+            jnp.asarray(xT), jnp.asarray(xf),
+            jnp.asarray(row_arrays["q"]), jnp.asarray(col_arrays["q"]),
+            jnp.asarray(row_arrays["sig"]), jnp.asarray(col_arrays["sig"]),
+            jnp.asarray(row_arrays["eps"]), jnp.asarray(col_arrays["eps"]),
+            jnp.asarray(idx_chan[:, None]), jnp.asarray(idx_chan[None, :]),
+            B[:, None], B[None, :],
+            jnp.asarray(row_arrays["mask"]), jnp.asarray(col_arrays["mask"]),
+        ]
+        specs = [
+            row_spec_c(3), bcast_spec_c((3, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+        ]
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(GRID,), in_specs=specs,
+            out_specs=(row_spec_c(1), row_spec_c(1)),
+        )
+        return pl.pallas_call(
+            energy_culled, grid_spec=gs, compiler_params=params,
+            out_shape=(jax.ShapeDtypeStruct((N, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((N, 1), jnp.float32)),
+            interpret=interpret,
+        )(ids, counts, *ins)
+
+    def sweep3_c(ids, counts, xT, xf, B, c_chain):
+        ins = [
+            jnp.asarray(xT), jnp.asarray(xf),
+            jnp.asarray(row_arrays["q"]), jnp.asarray(col_arrays["q"]),
+            jnp.asarray(row_arrays["sig"]), jnp.asarray(col_arrays["sig"]),
+            jnp.asarray(row_arrays["eps"]), jnp.asarray(col_arrays["eps"]),
+            jnp.asarray(idx_chan[:, None]), jnp.asarray(idx_chan[None, :]),
+            B[:, None], B[None, :],
+            c_chain[:, None], c_chain[None, :],
+            jnp.asarray(row_arrays["rho"]), jnp.asarray(col_arrays["rho"]),
+            jnp.asarray(row_arrays["sr"]), jnp.asarray(col_arrays["sr"]),
+            jnp.asarray(row_arrays["mask"]), jnp.asarray(col_arrays["mask"]),
+            jnp.asarray(oh_rows), jnp.asarray(oh_cols),
+            jnp.asarray(D0c, jnp.float32), jnp.asarray(M0c, jnp.float32),
+        ]
+        specs = [
+            row_spec_c(3), bcast_spec_c((3, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+            row_spec_c(1), bcast_spec_c((1, N)),
+            row_spec_c(C), bcast_spec_c((C, N)),
+            bcast_spec_c(D0c.shape), bcast_spec_c(M0c.shape),
+        ]
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(GRID,), in_specs=specs,
+            out_specs=row_spec_c(3),
+        )
+        return pl.pallas_call(
+            force_culled, grid_spec=gs, compiler_params=params,
+            out_shape=jax.ShapeDtypeStruct((N, 3), jnp.float32),
+            interpret=interpret,
+        )(ids, counts, *ins)
+
+    perm_j = (jnp.asarray(perm, jnp.int32) if perm is not None else None)
+
+    def prepare_culled(x):
+        xg = x.astype(jnp.float32)
+        if perm_j is not None:
+            xg = xg[perm_j]
+        if pad:
+            # pad with the LAST real atom's position: padding stays
+            # inside its tile's bounding box (masked from physics by
+            # the mask channel; coincident slots are handled by
+            # pair_geometry's not_self)
+            xg = jnp.concatenate(
+                [xg, jnp.broadcast_to(xg[-1:], (pad, 3))], axis=0)
+        xr = xg.reshape(GRID, tile, 3)
+        lo = jnp.min(xr, axis=1)
+        hi = jnp.max(xr, axis=1)
+        g1_ = lo[:, None, :] - hi[None, :, :]
+        g2_ = lo[None, :, :] - hi[:, None, :]
+        gap = jnp.maximum(0.0, jnp.maximum(g1_, g2_))
+        close = jnp.sum(gap * gap, axis=-1) <= cutf * cutf  # (GRID, GRID)
+        counts = jnp.sum(close, axis=1)
+        order = jnp.argsort(~close, axis=1, stable=True)
+        ids = jnp.where(
+            jnp.arange(K)[None, :] < counts[:, None],
+            order[:, :K], -1,
+        ).astype(jnp.int32)
+        overflow = jnp.max(counts) > K
+        counts_c = jnp.minimum(counts, K).astype(jnp.int32)
+        return xg, (ids, counts_c, overflow)
+
+    def finish_culled(F):
+        if perm_j is None:
+            return F
+        return jnp.zeros((n_real, 3), jnp.float32).at[perm_j].set(F)
+
+    def poison_culled(extra):
+        return jnp.where(extra[2], jnp.nan, 0.0).astype(jnp.float32)
+
+    return _make_force_fn(
+        lambda xp, xf, ex: sweep1_c(ex[0], ex[1], xp, xf),
+        lambda xp, xf, B, ex: sweep2_c(ex[0], ex[1], xp, xf, B),
+        lambda xp, xf, B, c, ex: sweep3_c(ex[0], ex[1], xp, xf, B, c),
+        prepare_culled, finish_culled, poison=poison_culled,
+    )
 
 
 __all__ = ["build_pair_force_fn"]

@@ -1,0 +1,120 @@
+"""Bounding-sphere tile culling on the dense GB pair kernel
+(pallas_pair gb_cutoff — VERDICT r3 item #3).
+
+Correctness contract: culling may only SKIP blocks whose cutoff-masked
+contribution is provably zero, so
+  1. with a cutoff larger than every pair distance, the culled kernel is
+     the base kernel (exact same physics, different loop structure);
+  2. the Morton-permuted layout changes nothing but summation order;
+  3. on two clusters farther apart than the cutoff, energy decomposes
+     EXACTLY into the clusters' isolated energies (an independent oracle
+     for the cutoff semantics: descreening, LJ, Coulomb and the GB cross
+     term must all truncate together, including the index-band add-back
+     for chain-boundary pairs with adjacent indices).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pmarlo_tpu.data import alanine_dipeptide_structure, replicate_structure
+from pmarlo_tpu.md.forcefield import build_system
+from pmarlo_tpu.md.pallas_pair import build_pair_force_fn
+
+
+@pytest.fixture(scope="module")
+def alanine_gbn2():
+    system, x0 = build_system(
+        alanine_dipeptide_structure(), gb_model="gbn2"
+    )
+    return system, jnp.asarray(x0, jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def two_clusters():
+    """Two alanine copies 8 nm apart (adjacent atom indices across the
+    chain boundary — the add-back stress case)."""
+    big = replicate_structure(
+        alanine_dipeptide_structure(), n=(2, 1, 1), spacing=(8.0, 0.0, 0.0)
+    )
+    system, x0 = build_system(big, gb_model="gbn2")
+    return system, jnp.asarray(x0, jnp.float32)
+
+
+@pytest.mark.slow
+def test_huge_cutoff_matches_base(alanine_gbn2):
+    system, x = alanine_gbn2
+    fn0 = build_pair_force_fn(system, tile=128, interpret=True)
+    fn1 = build_pair_force_fn(system, tile=128, interpret=True,
+                              gb_cutoff=50.0)
+    e0, f0 = fn0(x)
+    e1, f1 = fn1(x)
+    assert abs(float(e1 - e0)) < 1e-3
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=2e-3)
+
+
+def test_morton_order_is_layout_only(two_clusters):
+    system, x = two_clusters
+    fn_id = build_pair_force_fn(system, tile=128, interpret=True,
+                                gb_cutoff=2.0)
+    fn_mo = build_pair_force_fn(system, tile=128, interpret=True,
+                                gb_cutoff=2.0, order_from=np.asarray(x))
+    e1, f1 = fn_id(x)
+    e2, f2 = fn_mo(x)
+    assert abs(float(e2 - e1)) < 1e-3
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=2e-3)
+
+
+def test_two_cluster_energy_decomposes(alanine_gbn2, two_clusters):
+    """E(A ∪ B; cutoff) == E(A) + E(B) when the clusters are beyond the
+    cutoff: descreening, LJ, Coulomb, GB cross AND the banded add-back
+    (chain-boundary pairs have |i-j| <= D but sit at 8 nm) all truncate
+    consistently."""
+    system1, x1 = alanine_gbn2
+    system2, x2 = two_clusters
+    fn1 = build_pair_force_fn(system1, tile=128, interpret=True)
+    fn2 = build_pair_force_fn(system2, tile=128, interpret=True,
+                              gb_cutoff=2.0, order_from=np.asarray(x2))
+    e1, f1 = fn1(x1)
+    e2, f2 = fn2(x2)
+    assert abs(float(e2) - 2.0 * float(e1)) < 5e-3
+    # intra-cluster forces must match the isolated molecule (the second
+    # copy only to f32 coordinate granularity at the 8 nm offset, which
+    # the raw high-force geometry amplifies — compare the first copy)
+    np.testing.assert_allclose(np.asarray(f2)[:22], np.asarray(f1),
+                               atol=2e-3)
+
+
+@pytest.mark.slow
+def test_culled_equals_masked_on_same_system(two_clusters):
+    """Culling is a pure skip: the culled kernel must equal the SAME
+    cutoff physics evaluated without any profitable culling (identity
+    order on a system where both clusters share every tile)."""
+    system, x = two_clusters
+    # tile 256 puts all 44 atoms in ONE tile: nothing can be culled
+    fn_one = build_pair_force_fn(system, tile=256, interpret=True,
+                                 gb_cutoff=2.0)
+    # tile 128 + Morton order separates the clusters into tiles
+    fn_cul = build_pair_force_fn(system, tile=128, interpret=True,
+                                 gb_cutoff=2.0, order_from=np.asarray(x))
+    e1, f1 = fn_one(x)
+    e2, f2 = fn_cul(x)
+    assert abs(float(e2 - e1)) < 1e-2
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=2e-3)
+
+
+def test_order_from_requires_cutoff(alanine_gbn2):
+    system, _ = alanine_gbn2
+    with pytest.raises(ValueError, match="order_from"):
+        build_pair_force_fn(system, interpret=True,
+                            order_from=np.zeros((system.n_atoms, 3)))
+
+
+def test_replicate_structure_counts():
+    big = replicate_structure(alanine_dipeptide_structure(), n=(2, 2, 1))
+    n_atoms = sum(len(r.atoms) for r in big.residues)
+    assert n_atoms == 4 * 22
+    chains = {r.chain for r in big.residues}
+    assert len(chains) == 4
