@@ -628,6 +628,60 @@ def bench_protein_remd_production() -> dict:
         return {"protein_remd_error": str(exc)[:300]}
 
 
+def bench_gb_culled() -> dict:
+    """Tile-culled implicit-solvent GB at protein-assembly scale
+    (VERDICT r3 item #3: the dense pair kernel was O(N^2) with no
+    escape). 3gd8 assemblies (2x2x2 = 26,800 and 3x3x2 = 60,300 atoms,
+    GBn2) through pallas_pair's gb_cutoff path: Morton-ordered tiles,
+    per-evaluation AABB tile-neighbor lists, dynamic per-row loop
+    bounds. Dense anchor: 119.14 ms/force MEASURED round 4 at 26,800
+    atoms (tile=128; tile=256 fails to compile there and at 60,300 the
+    dense kernel exceeds VMEM outright — ROUND4_NOTES) -> the 60k
+    denominator is that anchor extrapolated quadratically, because no
+    dense kernel RUNS at 60k."""
+    import os
+
+    pdb = "/root/reference/tests/_assets/3gd8.pdb"
+    if not os.path.exists(pdb):
+        return {}
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from pmarlo_tpu.data import replicate_structure
+        from pmarlo_tpu.md.forcefield import build_system
+        from pmarlo_tpu.md.pallas_pair import build_pair_force_fn
+        from pmarlo_tpu.protein.protein import Protein
+
+        DENSE_ANCHOR_MS = 119.14   # measured this round at 26,800 atoms
+        DENSE_ANCHOR_N = 26_800
+        p = Protein(pdb, ph=7.0).prepare()
+        out: dict = {}
+        for nrep, label in (((2, 2, 2), "27k"), ((3, 3, 2), "60k")):
+            big = replicate_structure(p.structure, n=nrep, gap=0.6)
+            system, x0 = build_system(big, gb_model="gbn2")
+            x = jnp.asarray(np.asarray(x0), jnp.float32)
+            fn = build_pair_force_fn(system, tile=128, gb_cutoff=1.5,
+                                     order_from=np.asarray(x0))
+            e, f = fn(x)
+            jax.block_until_ready(f)
+            t0 = time.perf_counter()
+            for _ in range(10):
+                e, f = fn(x)
+            jax.block_until_ready(f)
+            ms = (time.perf_counter() - t0) / 10 * 1e3
+            dense_ms = DENSE_ANCHOR_MS * (system.n_atoms
+                                          / DENSE_ANCHOR_N) ** 2
+            out[f"gb_{label}_n_atoms"] = system.n_atoms
+            out[f"gb_{label}_culled_ms_per_force"] = ms
+            out[f"gb_{label}_speedup_vs_dense"] = dense_ms / ms
+        out["gb_dense_anchor_ms_at_26800"] = DENSE_ANCHOR_MS
+        out["gb_dense_compiles_at_60k"] = False  # VMEM OOM, measured
+        return out
+    except Exception as exc:  # pragma: no cover - bench resilience
+        return {"gb_culled_error": str(exc)[:300]}
+
+
 def bench_cpu_denominator() -> dict:
     """MEASURED secondary baseline: the same 32-replica alanine REMD
     workload on the host CPU via a JAX_PLATFORM_NAME=cpu subprocess
@@ -684,6 +738,7 @@ def main() -> None:
     npt_nve = bench_npt_and_nve(shared)
     dodec = bench_dodecahedron()
     ladder = bench_protein_remd_production()
+    gb = bench_gb_culled()
     cpu = bench_cpu_denominator()
     value = remd["ns_per_day_aggregate"]
 
@@ -722,7 +777,7 @@ def main() -> None:
         out["vs_jax_cpu_measured"] = round(value / cpu["cpu_ns_per_day"], 2)
         out["jax_cpu_ns_per_day_measured"] = round(cpu["cpu_ns_per_day"], 1)
     for d in (remd, msm, protein, explicit, maxrep, cells, npt_nve,
-              dodec, ladder, cpu):
+              dodec, ladder, gb, cpu):
         out.update({
             k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in d.items()
