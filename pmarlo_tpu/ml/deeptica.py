@@ -167,6 +167,20 @@ class DeepTICAModel:
 
     __call__ = transform
 
+    def to_torchscript(self, path) -> "Path":
+        """Export the CV as TorchScript for external engines (reference
+        _full.py:393; ml/plumed.py)."""
+        from .plumed import to_torchscript
+
+        return to_torchscript(self, path)
+
+    def plumed_snippet(self, model_path) -> str:
+        """PLUMED input referencing the TorchScript export (reference
+        _full.py:406)."""
+        from .plumed import plumed_snippet
+
+        return plumed_snippet(self, model_path)
+
     # --- persistence (reference _full.py:311-387 json+pt+scaler+history) ----
 
     def save(self, prefix: "str | Path") -> Path:
