@@ -71,9 +71,9 @@ def _subst(pos, parent, other_a, other_b, dist):
 
 
 def _base_atoms(resname: str) -> Dict[str, Tuple[float, float]]:
-    if resname in ("DA", "DG"):
+    if resname in ("DA", "DG", "A", "G"):
         pos = _purine()
-        if resname == "DA":
+        if resname in ("DA", "A"):
             pos["N6"] = _subst(pos, "C6", "N1", "C5", 1.34)
         else:
             pos["O6"] = _subst(pos, "C6", "N1", "C5", 1.23)
@@ -81,16 +81,18 @@ def _base_atoms(resname: str) -> Dict[str, Tuple[float, float]]:
         return pos
     pos = _pyrimidine()
     pos["O2"] = _subst(pos, "C2", "N1", "N3", 1.23)
-    if resname == "DC":
+    if resname in ("DC", "C"):
         pos["N4"] = _subst(pos, "C4", "N3", "C5", 1.34)
-    else:  # DT
+    else:  # DT / U (uracil = thymine minus the C7 methyl)
         pos["O4"] = _subst(pos, "C4", "N3", "C5", 1.23)
-        pos["C7"] = _subst(pos, "C5", "C4", "C6", 1.50)
+        if resname == "DT":
+            pos["C7"] = _subst(pos, "C5", "C4", "C6", 1.50)
     return pos
 
 
 #: glycosidic nitrogen per base
-_GLYCO = {"DA": "N9", "DG": "N9", "DC": "N1", "DT": "N1"}
+_GLYCO = {"DA": "N9", "DG": "N9", "DC": "N1", "DT": "N1",
+          "A": "N9", "G": "N9", "C": "N1", "U": "N1"}
 
 _RISE = 3.38       # A
 _TWIST = math.radians(36.0)
@@ -139,6 +141,21 @@ def _nucleotide_atoms(resname: str, k: int, first: bool) -> List[Tuple[str, np.n
                                          - 0.85 * np.cross(outward, axis_dir))))
     atoms.append(("O3'", c3 + 1.42 * (0.25 * outward + 0.91 * axis_dir
                                       + 0.33 * np.cross(outward, axis_dir))))
+    if resname in ("A", "G", "C", "U"):
+        # ribose 2'-hydroxyl: off C2', away from the ring centroid and
+        # tilted out of the sugar plane on the side OPPOSITE the base
+        # (which points inward); minimization relaxes the exact pucker
+        ring_pts = np.stack([sugar[n] for n in sugar_names])
+        centroid = ring_pts.mean(axis=0)
+        c2 = sugar["C2'"]
+        u = c2 - centroid
+        u = u / np.linalg.norm(u)
+        nrm = np.cross(ring_pts[1] - ring_pts[0], ring_pts[2] - ring_pts[0])
+        nrm = nrm / max(np.linalg.norm(nrm), 1e-9)
+        inward = -outward
+        if float(np.dot(nrm, inward)) > 0.0:
+            nrm = -nrm
+        atoms.append(("O2'", c2 + 1.41 * (0.7 * u + 0.714 * nrm)))
     # base: planar system attached at the glycosidic N, pointing inward
     base2d = _base_atoms(resname)
     glyco = _GLYCO[resname]
@@ -160,6 +177,25 @@ def dna_single_strand(sequence: str = "GATC", chain: str = "X",
     for r in seq:
         if r not in _GLYCO:
             raise ValueError(f"unknown base {r!r} (use A/C/G/T)")
+    return _strand(seq, chain, resid_start)
+
+
+def rna_single_strand(sequence: str = "GACU", chain: str = "X",
+                      resid_start: int = 1) -> PDBStructure:
+    """Idealized single-strand RNA (heavy atoms incl. O2', nm units).
+
+    Same idealized-helix recipe as :func:`dna_single_strand` (the
+    B-form rise/twist is only a starting guess — A-form parameters
+    would relax identically under minimization); ribose gains the
+    2'-hydroxyl oxygen, uracil is thymine minus the methyl."""
+    seq = [b.upper() for b in sequence]
+    for r in seq:
+        if r not in ("A", "C", "G", "U"):
+            raise ValueError(f"unknown base {r!r} (use A/C/G/U)")
+    return _strand(seq, chain, resid_start)
+
+
+def _strand(seq, chain: str, resid_start: int) -> PDBStructure:
     per_res: List[List[Tuple[str, np.ndarray]]] = [
         _nucleotide_atoms(resname, k, first=(k == 0))
         for k, resname in enumerate(seq)
@@ -195,4 +231,4 @@ def dna_single_strand(sequence: str = "GATC", chain: str = "X",
     return PDBStructure(residues=residues)
 
 
-__all__ = ["dna_single_strand"]
+__all__ = ["dna_single_strand", "rna_single_strand"]

@@ -255,6 +255,7 @@ _ANGLE_LIST: List[Tuple[Tuple[str, str, str], Tuple[float, float]]] = [
     (("N*", "CM", "CM"), (70.0, 121.20)), (("N*", "CM", "H4"), (50.0, 119.10)),
     (("CT", "CM", "C"), (70.0, 119.70)), (("CM", "CT", "HC"), (50.0, 109.50)),
     (("HA", "CM", "CA"), (50.0, 123.30)),
+    (("HA", "CM", "C"), (50.0, 119.70)),   # uracil H5-C5-C4 (parm99)
     # TIP3P water (flexible fallback)
     (("HW", "OW", "HW"), (100.0, 104.52)),
 ]

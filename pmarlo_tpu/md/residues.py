@@ -611,6 +611,11 @@ _NAME_ALIASES = {
 }
 
 
+#: nucleic residue names (PDB v3): DNA + RNA. Kept as a literal here
+#: (md/nucleic.py imports this module, so importing the tuple back would
+#: be circular); test_rna.py asserts it matches nucleic.NUCLEIC_RESIDUES.
+NUCLEIC_RESNAMES = frozenset({"DA", "DC", "DG", "DT", "A", "C", "G", "U"})
+
 #: PDB v2 / legacy nucleic-acid aliases (applied after star->prime)
 _NUCLEIC_ALIASES: Dict[str, str] = {
     "O1P": "OP1", "O2P": "OP2",
@@ -633,7 +638,7 @@ def normalize_atom_name(name: str, resname: "str | None" = None) -> str:
             lead, rest = name[0], name[1:]
             name = rest if lead == "1" else rest + "'"
         return _NUCLEIC_ALIASES.get(name, name)
-    if resname in ("DA", "DC", "DG", "DT"):
+    if resname in NUCLEIC_RESNAMES:
         return _NUCLEIC_ALIASES.get(name, name)
     if name in _NUCLEIC_ALIASES:
         return _NUCLEIC_ALIASES[name]
@@ -682,7 +687,7 @@ def get_template(
         )
     if resname in NONPOLYMER:
         return TEMPLATES[resname]
-    if resname in ("DA", "DC", "DG", "DT"):
+    if resname in NUCLEIC_RESNAMES:
         # nucleic termini: is_nterm -> 5'-OH (no phosphate), is_cterm ->
         # 3'-OH; a single-nucleotide strand composes both
         from .nucleic import make_nucleic_variant
@@ -701,8 +706,8 @@ def get_template(
 
 
 __all__ = [
-    "TEMPLATES", "NONPOLYMER", "get_template", "normalize_atom_name",
-    "make_terminal_variant",
+    "TEMPLATES", "NONPOLYMER", "NUCLEIC_RESNAMES", "get_template",
+    "normalize_atom_name", "make_terminal_variant",
 ]
 
 # register the DNA templates (md/nucleic.py appends to TEMPLATES on

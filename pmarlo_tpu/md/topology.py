@@ -16,7 +16,9 @@ import numpy as np
 
 from ..io.pdb import PDBStructure
 from ..utils.errors import TopologyError
-from .residues import NONPOLYMER, get_template, normalize_atom_name
+from .residues import (
+    NONPOLYMER, NUCLEIC_RESNAMES, get_template, normalize_atom_name,
+)
 
 _WATER_NAMES = {"HOH", "WAT", "TIP3", "SOL"}
 _ION_NAMES = {"NA", "CL", "K", "MG", "ZN", "CA2"}
@@ -222,7 +224,7 @@ def build_topology(
         is_last = ridx == chain_ids[-1]
         present = {normalize_atom_name(a.name, res.name): a for a in res.atoms}
         is_polymer = res.name not in NONPOLYMER
-        if res.name in ("DA", "DC", "DG", "DT"):
+        if res.name in NUCLEIC_RESNAMES:
             # nucleic termini are positional: 5'-OH (no phosphate) at
             # segment start, 3'-OH at segment end (Amber DX5/DX3)
             wants_nterm = is_first
