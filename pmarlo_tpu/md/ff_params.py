@@ -45,14 +45,17 @@ TYPE_MASSES: Dict[str, float] = {
     "P": 30.97, "CK": 12.01, "CM": 12.01, "CQ": 12.01,
     "NC": 14.01, "N*": 14.01,
     # monovalent ions (Joung-Cheatham TIP3P set)
-    "Na+": 22.99, "Cl-": 35.45,
+    "Na+": 22.99, "Cl-": 35.45, "K+": 39.10,
+    # divalent structural ions (Aqvist Mg/Ca, Amber Zn)
+    "Mg2+": 24.305, "Ca2+": 40.08, "Zn2+": 65.38,
 }
 
 # Element of each atom type (for GB radii / hydrogen detection).
 TYPE_ELEMENTS: Dict[str, str] = {
     t: ("H" if m < 2.0
         else {12.01: "C", 14.01: "N", 16.00: "O", 32.06: "S",
-              30.97: "P", 22.99: "Na", 35.45: "Cl"}[m])
+              30.97: "P", 22.99: "Na", 35.45: "Cl", 39.10: "K",
+              24.305: "Mg", 40.08: "Ca", 65.38: "Zn"}[m])
     for t, m in TYPE_MASSES.items()
 }
 
@@ -80,6 +83,12 @@ TYPE_LJ: Dict[str, Tuple[float, float]] = {
     # TIP3P water (frcmod.tip3p) and Joung-Cheatham monovalent ions
     "OW": (1.7683, 0.1520), "HW": (0.0001, 0.0000),
     "Na+": (1.369, 0.0874393), "Cl-": (2.513, 0.0355910),
+    "K+": (1.705, 0.1936829),
+    # divalents: Aqvist (Mg2+/Ca2+, as shipped in Amber's parm) and the
+    # Amber default Zn2+; adequate for structural-ion retention, not for
+    # ion-binding free energies (use a dedicated multisite model there)
+    "Mg2+": (0.7926, 0.8947), "Ca2+": (1.7131, 0.4598),
+    "Zn2+": (1.1000, 0.0125),
 }
 
 # ---------------------------------------------------------------------------

@@ -670,9 +670,27 @@ TEMPLATES["NA"] = _t(
 TEMPLATES["CL"] = _t(
     atoms={"CL": ("Cl-", -1.0)}, bonds=[], head=None, tail=None,
 )
+# further monovalent (Joung-Cheatham) and divalent (Aqvist/Amber)
+# structural ions — retained from input models (the reference's PDBFixer
+# prep strips heterogens, protein/protein.py:351; keeping crystal ions
+# is a deliberate capability extension for RNA/metalloprotein systems)
+TEMPLATES["K"] = _t(
+    atoms={"K": ("K+", 1.0)}, bonds=[], head=None, tail=None,
+)
+TEMPLATES["MG"] = _t(
+    atoms={"MG": ("Mg2+", 2.0)}, bonds=[], head=None, tail=None,
+)
+TEMPLATES["ZN"] = _t(
+    atoms={"ZN": ("Zn2+", 2.0)}, bonds=[], head=None, tail=None,
+)
+TEMPLATES["CA"] = _t(    # calcium ion (the resname namespace is
+    # disjoint from atom names; no protein RESIDUE is called CA)
+    atoms={"CA": ("Ca2+", 2.0)}, bonds=[], head=None, tail=None,
+)
 
 #: residues that are never part of the polypeptide chain
-NONPOLYMER = {"HOH", "WAT", "TIP3", "SOL", "NA", "CL"}
+NONPOLYMER = {"HOH", "WAT", "TIP3", "SOL", "NA", "CL", "K", "MG", "ZN",
+              "CA"}
 
 
 def get_template(

@@ -21,7 +21,7 @@ from .residues import (
 )
 
 _WATER_NAMES = {"HOH", "WAT", "TIP3", "SOL"}
-_ION_NAMES = {"NA", "CL", "K", "MG", "ZN", "CA2"}
+_ION_NAMES = {"NA", "CL", "K", "MG", "ZN", "CA"}
 
 
 @dataclasses.dataclass

@@ -347,8 +347,10 @@ class Protein:
         self._require_prepared()
         gaps: Dict[Tuple[str, int, int], int] = {}
         by_chain: Dict[str, List] = {}
+        from ..md.residues import NONPOLYMER
+
         for r in self.structure.residues:
-            if r.name in _WATER_NAMES or r.name in ("NA", "CL"):
+            if r.name in _WATER_NAMES or r.name in NONPOLYMER:
                 continue
             by_chain.setdefault(r.chain, []).append(r)
         for chain, residues in by_chain.items():
