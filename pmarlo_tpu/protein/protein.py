@@ -141,6 +141,7 @@ class Protein:
         solvate: bool = False,
         solvent_padding: float = 1.0,
         box_shape: str = "rectangular",
+        positive_ion: str = "NA",
     ) -> "Protein":
         """Load + clean + repair + protonate + template-match
         (reference :288).
@@ -218,6 +219,7 @@ class Protein:
 
             structure, self.box = solvate_structure(
                 structure, padding=solvent_padding, box_shape=box_shape,
+                positive_ion=positive_ion,
             )
             self.tilt = structure.tilt
         self.structure = structure

@@ -116,8 +116,12 @@ def solvate_structure(
     n_extra_ion_pairs: int = 0,
     seed: int = 2024,
     box_shape: str = "rectangular",
+    positive_ion: str = "NA",
 ) -> Tuple[PDBStructure, Tuple[float, float, float]]:
     """Return (solvated structure, box lengths in nm).
+
+    ``positive_ion`` selects the counter-cation species ("NA" or "K",
+    OpenMM ``addSolvent(positiveIon=...)`` surface); the anion is Cl-.
 
     ``padding`` is the minimum protein-to-box-face distance (the
     reference's ``solvent_padding``); ``exclusion`` is the minimum
@@ -241,14 +245,18 @@ def solvate_structure(
     residues: List[PDBResidue] = list(structure.residues)
     next_resid = max((r.resid for r in residues), default=0) + 1
 
+    if positive_ion not in ("NA", "K"):
+        raise ValueError(
+            f"positive_ion must be 'NA' or 'K', got {positive_ion!r}")
+    cat_elem = {"NA": "Na", "K": "K"}[positive_ion]
     for i, pos in enumerate(ion_sites):
-        name = "NA" if i < n_na else "CL"
+        name = positive_ion if i < n_na else "CL"
         residues.append(PDBResidue(
             name=name, resid=next_resid, chain="I",
             atoms=[PDBAtom(
                 name=name, resname=name, resid=next_resid, chain="I",
                 xyz=(float(pos[0]), float(pos[1]), float(pos[2])),
-                element="Na" if name == "NA" else "Cl",
+                element=cat_elem if name == positive_ion else "Cl",
             )],
         ))
         next_resid += 1

@@ -177,3 +177,25 @@ def test_cubic_box_shape():
     assert abs(box[0] - 2 * (radius + 0.6)) < 1e-9
     rect, rbox = solvate_structure(s, padding=0.6)
     assert all(box[0] >= rb - 1e-9 for rb in rbox)
+
+
+def test_positive_ion_selects_potassium(chignolin):
+    solvated, _ = solvate_structure(chignolin, padding=0.8,
+                                    positive_ion="K")
+    names = [r.name for r in solvated.residues]
+    assert names.count("K") == 2 and names.count("NA") == 0
+    # species must carry a matching template (build path accepts it)
+    from pmarlo_tpu.md.residues import TEMPLATES
+
+    (atype, q), = TEMPLATES["K"]["atoms"].values()
+    assert q == 1.0
+
+
+def test_positive_ion_validates():
+    import pytest
+
+    from pmarlo_tpu.io.pdb import read_pdb
+
+    with pytest.raises(ValueError, match="positive_ion"):
+        solvate_structure(read_pdb(CHIGNOLIN), padding=0.8,
+                          positive_ion="MG")
