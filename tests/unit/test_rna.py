@@ -134,3 +134,35 @@ def test_rna_segment_stable(rna_system):
     T = np.asarray(frames["temperature"])
     assert np.isfinite(np.asarray(final.positions)).all()
     assert 150.0 < float(T[-3:].mean()) < 450.0
+
+
+def test_featurize_mixed_protein_rna_complex():
+    """Feature extractors must skip nucleic residues, not crash — a
+    protein-RNA complex featurizes with protein-only dihedral counts."""
+    from pmarlo_tpu.data import alanine_dipeptide_structure
+    from pmarlo_tpu.features.base import TopologyInfo
+    from pmarlo_tpu.features.featurize import featurize_trajectory
+    from pmarlo_tpu.io.pdb import PDBAtom, PDBStructure
+    from pmarlo_tpu.md.topology import build_topology
+
+    prot = alanine_dipeptide_structure()
+    rna = rna_single_strand("GA", chain="X")
+    for r in rna.residues:
+        for i, a in enumerate(r.atoms):
+            r.atoms[i] = PDBAtom(
+                name=a.name, resname=a.resname, resid=a.resid,
+                chain=a.chain, xyz=(a.xyz[0] + 2.5, a.xyz[1], a.xyz[2]),
+                element=a.element)
+    combo = add_hydrogens(PDBStructure(
+        residues=list(prot.residues) + list(rna.residues)), ph=7.0)
+    topo = build_topology(combo)
+    top = TopologyInfo.from_topology(topo)
+    _, x0 = build_system(combo, gb_model="gbn2")
+    traj = np.asarray(x0)[None].repeat(2, axis=0)
+    X, info = featurize_trajectory(traj, "phi_psi", top)
+    # alanine dipeptide alone: exactly one (phi, psi) pair; the RNA
+    # chain must contribute zero protein-backbone torsions
+    assert np.asarray(X).shape == (2, 2)
+    for spec in ("rg", "sasa", "ssfrac"):
+        X, _ = featurize_trajectory(traj, spec, top)
+        assert np.isfinite(np.asarray(X)).all(), spec
