@@ -23,10 +23,13 @@ def test_variant_charge_closure():
         "ASP": -1, "GLU": -1, "LYS": 1, "ARG": 1, "HIS": 0,
         "NGLY": 1, "CGLY": -1, "NPRO": 1,
         "NA": 1, "CL": -1,   # monovalent ions (explicit-solvent path)
-        # internal deoxyribonucleotides carry one phosphate each
+        # structural ions (md/residues.py, Joung-Cheatham / Aqvist / Amber)
+        "K": 1, "MG": 2, "ZN": 2, "CA": 2,
+        # internal (deoxy)ribonucleotides carry one phosphate each
         # (md/nucleic.py; terminal 5'/3' splits are covered by
         # tests/unit/test_dna.py::test_template_charge_sums)
         "DA": -1, "DC": -1, "DG": -1, "DT": -1,
+        "A": -1, "C": -1, "G": -1, "U": -1,
     }
     for name, tmpl in TEMPLATES.items():
         total = sum(q for (_, q) in tmpl["atoms"].values())
