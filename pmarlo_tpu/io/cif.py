@@ -24,6 +24,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
+from ..md.residues import NONPOLYMER as _HETEROGENS
 from .pdb import PDBAtom, PDBResidue, PDBStructure, _guess_element
 
 logger = logging.getLogger("pmarlo_tpu")
@@ -217,6 +218,14 @@ def read_cif(path: "str | Path", model: int = 1) -> PDBStructure:
     residues: List[PDBResidue] = []
     index: Dict[Tuple[str, int, str], PDBResidue] = {}
     models_seen = set()
+    # fallback residue grouping for rows with no usable seq id
+    # (label_seq_id is '.' for every non-polymer atom per the PDBx
+    # spec): consecutive atoms of the same chain+resname stay one
+    # residue until an atom name repeats, instead of fragmenting each
+    # atom into its own residue
+    fb_resid = 0
+    fb_key: Tuple[str, str] | None = None
+    fb_names: set = set()
     for row in rows:
         if len(row) != len(columns):
             continue  # malformed row
@@ -237,12 +246,20 @@ def read_cif(path: "str | Path", model: int = 1) -> PDBStructure:
         chain = row[i_chain] if i_chain is not None else "A"
         if chain in _MISSING:
             chain = "A"
-        try:
-            resid = int(row[i_seq]) if (
-                i_seq is not None and row[i_seq] not in _MISSING
-            ) else len(residues) + 1
-        except ValueError:
-            continue
+        if i_seq is not None and row[i_seq] not in _MISSING:
+            try:
+                resid = int(row[i_seq])
+            except ValueError:
+                continue
+            fb_key = None
+        else:
+            if fb_key == (chain, resname) and name not in fb_names:
+                fb_names.add(name)
+            else:
+                fb_resid += 1
+                fb_key = (chain, resname)
+                fb_names = {name}
+            resid = fb_resid
         try:
             xyz = (
                 float(row[i_x]) / 10.0,
@@ -374,7 +391,7 @@ def write_cif(path: "str | Path", structure: PDBStructure,
     ]
     serial = 0
     for res in structure.residues:
-        group = "ATOM" if res.name not in ("HOH", "WAT", "NA", "CL") else "HETATM"
+        group = "ATOM" if res.name not in _HETEROGENS else "HETATM"
         for atom in res.atoms:
             serial += 1
             aname = f'"{atom.name}"' if "'" in atom.name else atom.name

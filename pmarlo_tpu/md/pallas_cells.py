@@ -278,6 +278,11 @@ def build_cell_force_fn(
     holds."""
     if system.box is None:
         raise ValueError("build_cell_force_fn needs system.box")
+    if mesh is not None and int(np.prod(mesh.devices.shape)) == 1:
+        # a 1-device mesh is the serial sweep (the slab+halo scatter
+        # would ghost a cell onto itself); identical physics, no
+        # shard_map machinery
+        mesh = None
     if electrostatics not in ("rf", "pme"):
         raise ValueError(
             f"electrostatics must be rf|pme, got {electrostatics!r}"

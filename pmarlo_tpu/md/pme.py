@@ -142,12 +142,7 @@ def _dense_axis_weights(u: jax.Array, K: int,
     u0 = jnp.floor(u)
     t = u - u0
     w = _bspline_weights(t, order)                       # (N, order)
-    base = u0.astype(jnp.int32) - 1
-    offs = jnp.arange(order, dtype=jnp.int32)
-    cols = (base[:, None] + offs[None, :]) % K           # (N, order)
-    k = jnp.arange(K, dtype=jnp.int32)
-    onehot = (cols[:, :, None] == k[None, None, :]).astype(u.dtype)
-    return jnp.einsum("no,nok->nk", w, onehot)
+    return _axis_weight_matrix(w, u0.astype(jnp.int32), K)
 
 
 def _bspline_weights_df(t_hi: jax.Array, t_lo: jax.Array, order: int):

@@ -622,6 +622,10 @@ _NUCLEIC_ALIASES: Dict[str, str] = {
     "H5'1": "H5'", "H5'2": "H5''", "H2'1": "H2'", "H2'2": "H2''",
     "C5M": "C7", "C5A": "C7",
     "HO5'": "H5T", "HO3'": "H3T",
+    # v2 2'-hydroxyl hydrogen: the leading digit names the POSITION
+    # (O2'), not the second of a prochiral pair — must be aliased
+    # before the digit-shuffle rule turns it into HO''
+    "2HO'": "HO2'", "HO'2": "HO2'",
 }
 
 
@@ -634,6 +638,8 @@ def normalize_atom_name(name: str, resname: "str | None" = None) -> str:
     name = name.strip()
     if "*" in name or "'" in name:
         name = name.replace("*", "'")
+        if name in _NUCLEIC_ALIASES:  # position-digit names (2HO')
+            return _NUCLEIC_ALIASES[name]
         if name and name[0].isdigit():
             lead, rest = name[0], name[1:]
             name = rest if lead == "1" else rest + "'"

@@ -139,6 +139,12 @@ def build_explicit_setup(
         nonbonded, system.n_atoms, require_cells=require_cells,
         triclinic=system.tilt is not None,
     )
+    if pme_precise and nonbonded != "pme":
+        raise ValueError(
+            "pme_precise is the PME reciprocal path's knob; this system "
+            f"resolved to nonbonded='{nonbonded}' (no reciprocal mesh) — "
+            "request nonbonded='pme' or drop pme_precise"
+        )
 
     from .constraints import build_h_constraints, strip_constrained_bonded
 

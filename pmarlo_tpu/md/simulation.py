@@ -263,6 +263,12 @@ def run_segment(
             "path only; this structure routed to the implicit-solvent "
             "path (NoCutoff, nothing to switch)"
         )
+    if pme_precise:
+        raise ValueError(
+            "pme_precise applies to the explicit-solvent PME path only; "
+            "this structure routed to the implicit-solvent path "
+            "(no reciprocal mesh)"
+        )
     system, positions = build_system(
         structure, implicit_solvent=implicit_solvent, gb_model=gb_model
     )

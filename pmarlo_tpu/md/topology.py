@@ -229,6 +229,14 @@ def build_topology(
             # segment start, 3'-OH at segment end (Amber DX5/DX3)
             wants_nterm = is_first
             wants_cterm = is_last
+            if is_first and "P" in present:
+                raise TopologyError(
+                    f"residue {res.name}{res.resid}: 5'-phosphorylated "
+                    "terminus is not supported — the Amber DX5/RX5 "
+                    "termini are 5'-hydroxyl; strip P/OP1/OP2 first "
+                    "(Protein.prepare()/add_hydrogens does this and "
+                    "logs a warning)"
+                )
         else:
             wants_nterm = (
                 is_polymer and is_first and res.name not in ("ACE", "NME")

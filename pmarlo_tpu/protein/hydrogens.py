@@ -18,12 +18,18 @@ names in the input are respected.
 from __future__ import annotations
 
 import math
+import warnings
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..io.pdb import PDBAtom, PDBResidue, PDBStructure
-from ..md.residues import TEMPLATES, get_template, normalize_atom_name
+from ..md.residues import (
+    NUCLEIC_RESNAMES,
+    TEMPLATES,
+    get_template,
+    normalize_atom_name,
+)
 from ..utils.errors import TopologyError
 
 # bond lengths to hydrogen by parent element (nm)
@@ -242,6 +248,23 @@ def add_hydrogens(
         idx = chain.index(res)
         is_nterm = idx == 0 and res.name != "ACE"
         is_cterm = idx == len(chain) - 1 and res.name != "NME"
+        if is_nterm and res.name in NUCLEIC_RESNAMES:
+            # Amber DX5/RX5 termini are 5'-hydroxyl: a crystallographic
+            # 5'-phosphate has no template and is stripped LOUDLY here
+            # (the template-filter below would otherwise drop it
+            # silently, changing the strand's net charge by +1)
+            stripped = [
+                a.name for a in res.atoms
+                if normalize_atom_name(a.name, res.name)
+                in ("P", "OP1", "OP2")
+            ]
+            if stripped:
+                warnings.warn(
+                    f"stripping 5'-terminal phosphate {stripped} from "
+                    f"{res.name}{res.resid} chain {res.chain}: the Amber "
+                    "5' terminus is 5'-hydroxyl (DX5/RX5)",
+                    stacklevel=2,
+                )
         tmpl = get_template(res.name, is_nterm=is_nterm, is_cterm=is_cterm)
         nbrs = _template_graph(tmpl)
 

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..io.pdb import PDBAtom, PDBResidue, PDBStructure
 from ..md.ff_params import TYPE_ELEMENTS, lookup_angle, lookup_bond
-from ..md.residues import TEMPLATES, normalize_atom_name
+from ..md.residues import NUCLEIC_RESNAMES, TEMPLATES, normalize_atom_name
 from ..utils.errors import TopologyError
 
 _CLASH_RADIUS_NM = 0.10  # reject candidate torsions closer than this
@@ -85,16 +85,31 @@ def _dihedral(p0, p1, p2, p3) -> float:
     return math.atan2(y, x)
 
 
+def _five_prime_terminal_keys(structure: PDBStructure) -> set:
+    """Keys of first-in-chain nucleic residues. Amber 5' termini
+    (DX5/RX5) are 5'-hydroxyl — the phosphate is legitimately absent
+    there and must never be reported missing or rebuilt."""
+    keys = set()
+    for chain in _residue_chains(structure):
+        first = chain[0]
+        if first.name in NUCLEIC_RESNAMES:
+            keys.add((first.chain, first.resid, first.name))
+    return keys
+
+
 def find_missing_heavy_atoms(structure: PDBStructure) -> Dict[Tuple, List[str]]:
     """(chain, resid, resname) -> missing heavy-atom names
     (the reference's PDBFixer.findMissingAtoms surface)."""
     missing: Dict[Tuple, List[str]] = {}
+    five_prime = _five_prime_terminal_keys(structure)
     for res in structure.residues:
         if res.name not in TEMPLATES:
             continue
-        have = {normalize_atom_name(a.name) for a in res.atoms}
+        have = {normalize_atom_name(a.name, res.name) for a in res.atoms}
         tpl_heavy = _heavy_template_atoms(res.name)
         miss = [n for n in tpl_heavy if n not in have]
+        if (res.chain, res.resid, res.name) in five_prime:
+            miss = [n for n in miss if n not in ("P", "OP1", "OP2")]
         if miss:
             missing[(res.chain, res.resid, res.name)] = miss
     return missing
@@ -109,7 +124,7 @@ def _residue_chains(structure: PDBStructure) -> List[List[PDBResidue]]:
 
 
 def placed_names(res: PDBResidue) -> set:
-    return {normalize_atom_name(a.name) for a in res.atoms}
+    return {normalize_atom_name(a.name, res.name) for a in res.atoms}
 
 
 def repair_missing_atoms(structure: PDBStructure) -> PDBStructure:
@@ -134,7 +149,7 @@ def repair_missing_atoms(structure: PDBStructure) -> PDBStructure:
     for chain in _residue_chains(structure):
         for prev, cur in zip(chain, chain[1:]):
             for a in prev.atoms:
-                if normalize_atom_name(a.name) == "C":
+                if normalize_atom_name(a.name, prev.name) == "C":
                     prev_c[(cur.chain, cur.resid)] = np.asarray(a.xyz)
 
     for res in structure.residues:
@@ -162,16 +177,16 @@ def repair_missing_atoms(structure: PDBStructure) -> PDBStructure:
                 orphan_h.add(a)
         res_atoms = [
             a for a in res.atoms
-            if normalize_atom_name(a.name) not in orphan_h
+            if normalize_atom_name(a.name, res.name) not in orphan_h
         ]
         placed: Dict[str, np.ndarray] = {}
         for a in res_atoms:
-            placed[normalize_atom_name(a.name)] = np.asarray(a.xyz)
+            placed[normalize_atom_name(a.name, res.name)] = np.asarray(a.xyz)
         ext_prev_c = prev_c.get((res.chain, res.resid))
         if ext_prev_c is not None and "N" in placed_names(res):
             n_pos = next(
                 np.asarray(a.xyz) for a in res.atoms
-                if normalize_atom_name(a.name) == "N"
+                if normalize_atom_name(a.name, res.name) == "N"
             )
             # a chain break (gap) disqualifies -C as an anchor
             if float(np.linalg.norm(ext_prev_c - n_pos)) > 0.24:

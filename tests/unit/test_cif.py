@@ -139,3 +139,51 @@ def test_protein_accepts_cif(tmp_path):
     assert np.isfinite(e)
     props = p.get_properties()
     assert props["n_residues"] >= 1
+
+
+def test_missing_seq_ids_group_consecutive_waters(tmp_path):
+    """label_seq_id is '.' for every non-polymer atom per the PDBx
+    spec — atoms must group into residues (by consecutive chain+name
+    runs), not fragment one water into three single-atom residues."""
+    text = """data_w
+loop_
+_atom_site.group_PDB
+_atom_site.label_atom_id
+_atom_site.label_comp_id
+_atom_site.label_asym_id
+_atom_site.label_seq_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+HETATM O HOH A . 0.0 0.0 0.0
+HETATM H1 HOH A . 0.8 0.0 0.0
+HETATM H2 HOH A . 0.0 0.8 0.0
+HETATM O HOH A . 5.0 0.0 0.0
+HETATM H1 HOH A . 5.8 0.0 0.0
+HETATM H2 HOH A . 5.0 0.8 0.0
+"""
+    path = tmp_path / "w.cif"
+    path.write_text(text)
+    s = read_cif(path)
+    assert len(s.residues) == 2
+    assert all(len(r.atoms) == 3 for r in s.residues)
+
+
+def test_write_cif_marks_ions_and_waters_hetatm(tmp_path):
+    from pmarlo_tpu.io.pdb import PDBAtom, PDBResidue, PDBStructure
+
+    residues = []
+    for i, (rname, aname, elem) in enumerate(
+        [("MG", "MG", "Mg"), ("K", "K", "K"), ("SOL", "O", "O")], start=1
+    ):
+        residues.append(PDBResidue(
+            name=rname, resid=i, chain="A",
+            atoms=[PDBAtom(name=aname, xyz=(float(i), 0.0, 0.0),
+                           element=elem, resname=rname, resid=i,
+                           chain="A")],
+        ))
+    path = tmp_path / "ions.cif"
+    write_cif(path, PDBStructure(residues=residues))
+    rows = [ln for ln in path.read_text().splitlines()
+            if ln.startswith(("ATOM", "HETATM"))]
+    assert len(rows) == 3 and all(r.startswith("HETATM") for r in rows)
