@@ -528,7 +528,11 @@ def bench_protein_remd_production() -> dict:
     timed multi-block run records per-rung acceptance + aggregate
     ns/day. The demuxed coldest-rung trajectories then flow through the
     flagship pipeline: phi/psi featurization -> shard store -> MSM
-    (the workload the framework exists for, BASELINE.json north star)."""
+    (the workload the framework exists for, BASELINE.json north star).
+
+    Runs the standard 4 fs implicit production protocol: SHAKE/RATTLE
+    on every X-H bond (constraints="hbonds") + the default HMR 3 amu
+    (Amber SHAKE+HMR; the reference runs 2 fs with OpenMM HBonds)."""
     import os
     import tempfile
 
@@ -552,10 +556,22 @@ def bench_protein_remd_production() -> dict:
         from pmarlo_tpu.remd.ladder import suggest_temperature_ladder
         from pmarlo_tpu.remd.remd import RemdConfig, ReplicaExchange
 
+        from pmarlo_tpu.md.constraints import (
+            build_h_constraints,
+            strip_constrained_bonded,
+        )
+
         p = Protein(pdb, ph=7.0).prepare()
         system, x0 = p.create_system()
         fn = build_pair_force_fn(system, tile=256)
         xmin, _ = minimize_energy(system, jnp.asarray(x0), force_fn=fn)
+        # 4 fs protocol: MD forces from the stripped system (constrained
+        # X-H bond terms removed, createSystem semantics); minimization
+        # above used the FULL system
+        dt = 0.004
+        hspec = build_h_constraints(system)
+        fn_md = build_pair_force_fn(strip_constrained_bonded(system),
+                                    tile=256)
         # design target 0.45 to MEASURE ~0.25-0.35: short probes
         # under-sample the energy fluctuations (autocorrelation), so the
         # Gaussian model predicts wider-than-real spacing — the first
@@ -563,17 +579,17 @@ def bench_protein_remd_production() -> dict:
         ladder, predicted = suggest_temperature_ladder(
             system, xmin, t_min=300.0, t_max=375.0,
             target_acceptance=0.45, probe_steps=600, n_probe=6,
-            force_fn=fn, max_rungs=48,
+            force_fn=fn_md, constraints=hspec, max_rungs=48, dt_ps=dt,
         )
         R = len(ladder)
         cfg = RemdConfig(
             n_replicas=R,
             temperatures=tuple(float(t) for t in ladder),
-            exchange_frequency=100, report_interval=100, dt_ps=DT_PS,
+            exchange_frequency=100, report_interval=100, dt_ps=dt,
             seed=0, attempts_per_block=10,
         )
-        remd = ReplicaExchange(system, xmin, cfg,
-                               force_fn=fn, minimize=False)
+        remd = ReplicaExchange(system, xmin, cfg, force_fn=fn_md,
+                               constraints=hspec, minimize=False)
         # warm-up block: compiles the 10-attempt executable AND serves as
         # the equilibration phase (the timed run reuses the executable)
         remd.run(n_steps=1000)
@@ -597,17 +613,18 @@ def bench_protein_remd_production() -> dict:
                 emit_shards_from_trajectory(
                     td, np.asarray(X),
                     temperature_K=float(res.temperatures[rung]),
-                    run_id="bench", frames_per_shard=10, dt_ps=DT_PS,
+                    run_id="bench", frames_per_shard=10, dt_ps=dt,
                     feature_spec=["phi_psi"],
                 )
             shards = [read_shard(q) for q in select_shard_paths(td)]
             msm = discretize_dataset(shards, n_states=8, lag=2, seed=0)
         pipe_wall = time.perf_counter() - t_pipe
 
-        agg = n_steps * DT_PS * 1e-3 * R * 86_400.0 / wall
+        agg = n_steps * dt * 1e-3 * R * 86_400.0 / wall
         mean_acc = float(finite.mean()) if finite.size else 0.0
         return {
             "protein_remd_rungs": R,
+            "protein_remd_dt_fs": dt * 1e3,
             "protein_remd_t_span": [float(ladder[0]), float(ladder[-1])],
             "protein_remd_predicted_acceptance": float(np.mean(predicted)),
             "protein_remd_measured_acceptance": mean_acc,

@@ -50,6 +50,11 @@ def main(argv=None) -> int:
     seg.add_argument("--report-interval", type=int, default=100)
     seg.add_argument("--temperature", type=float, default=300.0)
     seg.add_argument("--output", default="segment.npz")
+    seg.add_argument("--dt", type=float, default=0.002,
+                     help="timestep in ps (0.004 with --constraints hbonds)")
+    seg.add_argument("--constraints", choices=["none", "hbonds"],
+                     default=None,
+                     help="X-H SHAKE on the implicit path (OpenMM HBonds)")
 
     remd = sub.add_parser("remd", help="run replica exchange")
     remd.add_argument("pdb")
@@ -57,6 +62,11 @@ def main(argv=None) -> int:
     remd.add_argument("--replicas", type=int, default=8)
     remd.add_argument("--tmin", type=float, default=300.0)
     remd.add_argument("--tmax", type=float, default=450.0)
+    remd.add_argument("--dt", type=float, default=0.002,
+                      help="timestep in ps (0.004 with --constraints hbonds)")
+    remd.add_argument("--constraints", choices=["none", "hbonds"],
+                      default=None,
+                      help="X-H SHAKE on the implicit path (OpenMM HBonds)")
 
     dash = sub.add_parser(
         "dashboard", help="serve the analysis dashboard for a run directory"
@@ -78,6 +88,7 @@ def main(argv=None) -> int:
             report_interval=args.report_interval,
             temperature_K=args.temperature,
             output_file=args.output,
+            dt_ps=args.dt, constraints=args.constraints,
         )
         print(json.dumps({
             "frames": list(result["positions"].shape),
@@ -88,8 +99,12 @@ def main(argv=None) -> int:
     if args.command == "remd":
         from pmarlo_tpu.remd.remd import RemdConfig, run_replica_exchange
 
-        cfg = RemdConfig(n_replicas=args.replicas, t_min=args.tmin, t_max=args.tmax)
-        result, _ = run_replica_exchange(args.pdb, n_steps=args.steps, config=cfg)
+        cfg = RemdConfig(n_replicas=args.replicas, t_min=args.tmin,
+                         t_max=args.tmax, dt_ps=args.dt)
+        result, _ = run_replica_exchange(
+            args.pdb, n_steps=args.steps, config=cfg,
+            constraints=args.constraints,
+        )
         print(json.dumps({
             "frames": list(result.positions.shape),
             "mean_acceptance": result.mean_acceptance,

@@ -643,6 +643,7 @@ def run_replica_exchange(
     cutoff: float = 0.9,
     switch_distance: Optional[float] = None,
     nonbonded: str = "auto",
+    constraints: Optional[str] = None,
 ) -> Tuple[RemdResult, System]:
     """One-call REMD (reference CHANGELOG.md:22 run_replica_exchange).
 
@@ -658,22 +659,38 @@ def run_replica_exchange(
     sweep, "cells" O(N) cell-list kernel, "pme" cells + smooth-PME, or
     "auto": cells past 3000 atoms). Ladder probes and Metropolis swaps
     run through the same force path. ``switch_distance`` enables the
-    OpenMM-parity LJ switching function (see ``run_segment``)."""
+    OpenMM-parity LJ switching function (see ``run_segment``).
+
+    ``constraints="hbonds"`` (implicit path) SHAKE/RATTLEs every X-H
+    bond in every replica (OpenMM ``constraints=HBonds``) — with the
+    default HMR 3 amu this unlocks the 4 fs implicit production
+    protocol (``config.dt_ps=0.004``, ~2x aggregate ns/day). The
+    explicit path always constrains; ``constraints="none"`` is rejected
+    there."""
     import dataclasses as _dc
 
     from ..io.pdb import read_pdb
     from ..md.forcefield import build_system
     from ..md.setup import build_explicit_setup, is_explicit_solvent
 
+    if constraints not in (None, "none", "hbonds"):
+        raise ValueError(
+            f"constraints must be None|'none'|'hbonds', got {constraints!r}"
+        )
     config = config or RemdConfig()
     structure = read_pdb(pdb_file) if not hasattr(pdb_file, "residues") \
         else pdb_file
     explicit = is_explicit_solvent(structure)
 
-    constraints = None
+    cspec = None
     force_fn = None
     minimize_fn = None
     if explicit:
+        if constraints == "none":
+            raise ValueError(
+                "constraints='none' is not available on the explicit-"
+                "solvent path: rigid TIP3P water requires SHAKE"
+            )
         # the SAME setup recipe run_segment uses (md/setup.py): engine
         # selection, rigid-water/H constraints, stripped MD system, and
         # the full-system minimizer kernel
@@ -682,7 +699,7 @@ def run_replica_exchange(
             nonbonded=nonbonded,
         )
         system, positions = setup.system, setup.positions
-        constraints = setup.constraints
+        cspec = setup.constraints
         force_fn = setup.md_force_fn
         minimize_fn = setup.minimize_force_fn
     else:
@@ -695,6 +712,28 @@ def run_replica_exchange(
         system, positions = build_system(
             structure, implicit_solvent=implicit_solvent, gb_model=gb_model
         )
+        md_system = system
+        if constraints == "hbonds":
+            from ..md.constraints import (
+                build_h_constraints,
+                strip_constrained_bonded,
+            )
+
+            cspec = build_h_constraints(system)
+            if cspec is not None:
+                md_system = strip_constrained_bonded(system)
+        # force path mirrors run_segment's "auto": tiled pair kernel on
+        # TPU past ~600 atoms (protein-scale), else the analytic dense
+        # XLA path; with constraints the MD forces must come from the
+        # STRIPPED system either way (createSystem semantics)
+        if system.n_atoms > 600 and jax.default_backend() == "tpu":
+            from ..md.pallas_pair import build_pair_force_fn
+
+            force_fn = build_pair_force_fn(md_system)
+        elif cspec is not None:
+            from ..md.integrate import make_force_fn
+
+            force_fn = make_force_fn(md_system, None, analytic=True)
     if explicit:
         from ..md.minimize import minimize_energy as _minimize
 
@@ -722,7 +761,7 @@ def run_replica_exchange(
         ladder, _pred = suggest_temperature_ladder(
             system, xmin, t_min=lo, t_max=hi,
             target_acceptance=target_acceptance,
-            force_fn=force_fn, constraints=constraints,
+            force_fn=force_fn, constraints=cspec,
             dt_ps=config.dt_ps,
         )
         if mesh is not None:
@@ -741,11 +780,12 @@ def run_replica_exchange(
     if explicit:
         remd = ReplicaExchange(
             system, positions, config, bias_fn=bias_fn, mesh=mesh,
-            force_fn=force_fn, constraints=constraints, minimize=False,
+            force_fn=force_fn, constraints=cspec, minimize=False,
         )
     else:
         remd = ReplicaExchange(
             system, positions, config, bias_fn=bias_fn, mesh=mesh,
+            force_fn=force_fn, constraints=cspec,
             minimize=target_acceptance is None,
         )
     return remd.run(n_steps), system
