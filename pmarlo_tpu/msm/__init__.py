@@ -12,6 +12,10 @@ from .counting import count_transitions, counts_from_dtrajs
 from .estimation import MSMResult, build_msm, estimate_transition_matrix
 from .free_energy import FESResult, PMFResult, generate_1d_pmf, generate_2d_fes
 from .its import ITSResult, compute_implied_timescales
+from .reversible_sampler import (
+    sample_reversible_posterior,
+    sample_reversible_timescales,
+)
 from .ck import CKResult, ck_test
 from .pcca import pcca_memberships
 from .tpt import TPTResult, committors, reactive_flux
@@ -32,6 +36,8 @@ __all__ = [
     "generate_2d_fes",
     "ITSResult",
     "compute_implied_timescales",
+    "sample_reversible_posterior",
+    "sample_reversible_timescales",
     "CKResult",
     "ck_test",
     "pcca_memberships",

@@ -14,6 +14,7 @@ eigenvalues of the small sampled matrices batch on host.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -137,11 +138,19 @@ def compute_implied_timescales(
     seed: int = 0,
     dt: float = 1.0,
     count_mode: str = "sliding",
+    reversible: bool = False,
 ) -> ITSResult:
     """ITS ladder with Bayesian CIs (reference _its.py:137).
 
     NaN medians are filled from the deterministic reversible estimate
     (reference :742).
+
+    ``reversible=True`` samples the detailed-balance-constrained posterior
+    (Gibbs sampler over symmetric flow matrices — the posterior deeptime's
+    ``BayesianMSM`` samples for the reference, _its.py:289-312); the default
+    ``False`` keeps the exact-conjugate independent Dirichlet-row posterior,
+    which is cheaper but yields CI widths that are NOT comparable to the
+    reference's on the same data (see msm/reversible_sampler.py).
     """
     if isinstance(dtrajs, np.ndarray) and dtrajs.ndim == 1:
         dtrajs = [dtrajs]
@@ -161,11 +170,23 @@ def compute_implied_timescales(
     key = jax.random.PRNGKey(seed)
     for i, lag in enumerate(lags):
         C = counts_from_dtrajs(dtrajs, lag, n_states, count_mode=count_mode)
-        samples = sample_posterior_timescales(
-            C, lag, n_samples=n_samples, n_timescales=n_timescales,
-            key=jax.random.fold_in(key, i), dt=dt,
-        )
-        med = np.nanmedian(samples, axis=0)
+        if reversible:
+            from .reversible_sampler import sample_reversible_timescales
+
+            samples = sample_reversible_timescales(
+                C, lag, n_samples=n_samples, n_timescales=n_timescales,
+                key=jax.random.fold_in(key, i), dt=dt,
+            )
+        else:
+            samples = sample_posterior_timescales(
+                C, lag, n_samples=n_samples, n_timescales=n_timescales,
+                key=jax.random.fold_in(key, i), dt=dt,
+            )
+        # columns beyond the connected-state count are NaN-padded by
+        # design — the all-NaN reduction warning is not a data problem
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            med = np.nanmedian(samples, axis=0)
         # NaN fill from deterministic reversible estimate (reference :742)
         if np.isnan(med).any():
             try:
@@ -178,8 +199,10 @@ def compute_implied_timescales(
             except EstimationError:
                 pass
         medians.append(med)
-        lowers.append(np.nanquantile(samples, lo_q, axis=0))
-        uppers.append(np.nanquantile(samples, 1.0 - lo_q, axis=0))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            lowers.append(np.nanquantile(samples, lo_q, axis=0))
+            uppers.append(np.nanquantile(samples, 1.0 - lo_q, axis=0))
 
     lags_arr = np.asarray(lags)
     its = np.asarray(medians)

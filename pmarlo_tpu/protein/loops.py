@@ -27,6 +27,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..io.pdb import PDBAtom, PDBResidue, PDBStructure
+from ..utils.errors import TopologyError
 from .repair import _nerf_place
 
 # ideal backbone internal coordinates (Engh-Huber averages, nm/deg)
@@ -178,8 +179,14 @@ def close_loop_ccd(
 
     best: Tuple[float, List[Dict[str, np.ndarray]]] = (np.inf, [])
     for phi, psi in seed_conformations:
-        frames = _build_initial_loop(prev_n, prev_ca, prev_c, n_res,
-                                     phi=phi, psi=psi)
+        try:
+            frames = _build_initial_loop(prev_n, prev_ca, prev_c, n_res,
+                                         phi=phi, psi=psi)
+        except TopologyError:
+            # coincident anchor atoms: this seed cannot even be built —
+            # treat like a NaN-RMSD seed and fall through to the loud
+            # all-seeds-failed error below
+            continue
         # flat coordinate array: 3 atoms per built frame
         coords = np.concatenate([
             np.stack([f["N"], f["CA"], f["C"]]) for f in frames

@@ -53,7 +53,14 @@ def _nerf_place(
     """Position X with |X-a| = r, angle(X,a,b) = theta, dihedral
     (X,a,b,c) = phi (natural extension of reference frame)."""
     bc = a - b
-    bc = bc / np.linalg.norm(bc)
+    bn = np.linalg.norm(bc)
+    if bn < 1e-10:
+        # coincident anchors cannot define a frame — raise the typed
+        # error instead of letting the divide emit NaN + RuntimeWarning
+        raise TopologyError(
+            "degenerate NeRF anchors: coincident atoms in placement frame"
+        )
+    bc = bc / bn
     nv = np.cross(b - c, bc)
     nn = np.linalg.norm(nv)
     if nn < 1e-10:  # collinear anchors: any perpendicular works
