@@ -347,6 +347,27 @@ def run_md(
     final_state, frames = _RUN_MD_CACHE[key](
         state, jnp.asarray(temperature_K, dtype=state.positions.dtype)
     )
+
+    # tile-culled kernels (pallas_pair gb_cutoff) NaN-poison evaluations
+    # whose tile neighbor list overflowed its static width K; surface
+    # that to the host at segment granularity so long runs fail loudly
+    # instead of writing NaN frames into trajectories/checkpoints
+    check = getattr(force_fn, "check_overflow", None)
+    if check is not None:
+        pos = final_state.positions
+        overflowed = bool(check(pos))
+        if overflowed or not bool(jnp.all(jnp.isfinite(pos))):
+            raise RuntimeError(
+                "tile neighbor list overflow: atoms drifted far enough "
+                "from the build geometry that a tile now has more "
+                f"cutoff-range neighbor tiles than the list width K="
+                f"{getattr(force_fn, 'tile_list_width', '?')} — this "
+                "segment's outputs are NaN-poisoned and must be "
+                "discarded. Rebuild the force fn with order_from=<last "
+                "good positions> (fresh Morton order re-tightens the "
+                "tiles and re-sizes K) and resume from the previous "
+                "segment's state."
+            )
     return final_state, frames
 
 

@@ -125,6 +125,13 @@ def build_pair_force_fn(
     reorder so tiles are spatially compact; exclusion semantics are
     unaffected (the index-band mask keys on ORIGINAL atom indices
     carried in the kernel's index channel).
+
+    The culled path is for THERMOSTATTED dynamics (Langevin/NVT): the
+    cutoff is a hard truncation (no switching window), so forces are
+    discontinuous at r = gb_cutoff — a Langevin thermostat absorbs the
+    O(1/80-screened) kick, but microcanonical (NVE) runs would show
+    spurious energy drift. For NVE conservation work use the dense path
+    (gb_cutoff=None), whose potential is everywhere smooth.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1025,12 +1032,29 @@ def build_pair_force_fn(
     def poison_culled(extra):
         return jnp.where(extra[2], jnp.nan, 0.0).astype(jnp.float32)
 
-    return _make_force_fn(
+    jitted = _make_force_fn(
         lambda xp, xf, ex: sweep1_c(ex[0], ex[1], xp, xf),
         lambda xp, xf, B, ex: sweep2_c(ex[0], ex[1], xp, xf, B),
         lambda xp, xf, B, c, ex: sweep3_c(ex[0], ex[1], xp, xf, B, c),
         prepare_culled, finish_culled, poison=poison_culled,
     )
+
+    @jax.jit
+    def _check_overflow(x):
+        """True when the tile neighbor list at ``x`` needs more than K
+        slots — the condition under which evaluations NaN-poison."""
+        _, extra = prepare_culled(x)
+        return extra[2]
+
+    # host-visible overflow probe (advisor r4): long MD runs check this
+    # per segment (md/integrate.run_md) and fail LOUDLY instead of
+    # letting poisoned NaN frames flow into trajectories/checkpoints
+    def fn(x, _j=jitted):
+        return _j(x)
+
+    fn.check_overflow = _check_overflow
+    fn.tile_list_width = K
+    return fn
 
 
 __all__ = ["build_pair_force_fn"]

@@ -105,6 +105,90 @@ def compose_bias(force_fn: Callable, bias_fn: Callable) -> Callable:
     return wrapped
 
 
+@dataclasses.dataclass
+class ImplicitSetup:
+    """Everything an implicit-solvent driver needs, built consistently."""
+
+    system: System               # full system (stiff X-H bonds kept)
+    md_system: System            # constrained bonded terms stripped
+    positions: jax.Array
+    constraints: object          # SHAKE/RATTLE spec (or None)
+    force_fn: Optional[Callable]  # None = let run_md self-build (dense,
+    #                              unconstrained — keeps bias_fn foldable)
+    force_path: str              # resolved "dense" | "pair_kernel"
+
+
+def build_implicit_setup(
+    structure,
+    *,
+    implicit_solvent: bool = True,
+    gb_model: str = "gbn2",
+    constraints: Optional[str] = None,
+    force_path: str = "auto",
+    tile: int = 256,
+) -> ImplicitSetup:
+    """Build the implicit-solvent setup: system, X-H constraints, and the
+    resolved force path. SINGLE source of the auto force-path rule for
+    ``run_segment`` AND ``run_replica_exchange`` (the two inline copies of
+    the >600-atom threshold had already begun to drift — advisor round 4).
+
+    Auto rule: the tiled Pallas pair kernel on TPU past ~600 atoms
+    (protein scale, where the dense XLA sweep loses), the analytic dense
+    path below. The rule is deliberately identical for constrained and
+    unconstrained callers — both kernels are parity-tested against the
+    same oracles, and entry points agreeing on the force path matters
+    more than freezing an accidental historical difference.
+    """
+    if constraints not in (None, "none", "hbonds"):
+        raise ValueError(
+            f"constraints must be None|'none'|'hbonds', got {constraints!r}"
+        )
+    system, positions = build_system(
+        structure, implicit_solvent=implicit_solvent, gb_model=gb_model
+    )
+
+    # constraints="hbonds": SHAKE/RATTLE every X-H bond (OpenMM HBonds).
+    # MD forces drop the constrained bond terms (createSystem semantics);
+    # minimization keeps the FULL system (handled by callers).
+    cspec = None
+    md_system = system
+    if constraints == "hbonds":
+        from .constraints import build_h_constraints, strip_constrained_bonded
+
+        cspec = build_h_constraints(system)
+        if cspec is not None:
+            md_system = strip_constrained_bonded(system)
+
+    if force_path == "auto":
+        force_path = (
+            "pair_kernel"
+            if system.n_atoms > 600 and jax.default_backend() == "tpu"
+            else "dense"
+        )
+    if force_path == "pair_kernel":
+        from .pallas_pair import build_pair_force_fn
+
+        # interpret mode lets the kernel run on non-TPU backends (tests)
+        force_fn = build_pair_force_fn(
+            md_system, tile=tile, interpret=jax.default_backend() != "tpu"
+        )
+    elif force_path == "dense":
+        if cspec is None:
+            force_fn = None  # run_md builds the analytic dense path
+        else:
+            from .integrate import make_force_fn
+
+            force_fn = make_force_fn(md_system, None, analytic=True)
+    else:
+        raise ValueError(
+            f"force_path must be auto|dense|pair_kernel, got {force_path!r}"
+        )
+    return ImplicitSetup(
+        system=system, md_system=md_system, positions=positions,
+        constraints=cspec, force_fn=force_fn, force_path=force_path,
+    )
+
+
 def build_explicit_setup(
     structure,
     *,
@@ -190,6 +274,7 @@ def build_explicit_setup(
 
 
 __all__ = [
-    "ExplicitSetup", "build_explicit_setup", "compose_bias",
-    "is_explicit_solvent", "resolve_nonbonded",
+    "ExplicitSetup", "ImplicitSetup", "build_explicit_setup",
+    "build_implicit_setup", "compose_bias", "is_explicit_solvent",
+    "resolve_nonbonded",
 ]

@@ -22,7 +22,6 @@ from ..constants import (
     DEFAULT_TIMESTEP_PS,
 )
 from ..io.trajectory import get_writer
-from .forcefield import build_system
 from .integrate import run_md, thermalize
 from .minimize import minimize_energy
 
@@ -287,47 +286,17 @@ def run_segment(
             "this structure routed to the implicit-solvent path "
             "(no reciprocal mesh)"
         )
-    system, positions = build_system(
-        structure, implicit_solvent=implicit_solvent, gb_model=gb_model
+    # shared implicit setup (md/setup.py): system, 4 fs X-H constraint
+    # protocol (HMR 3 amu default), and the SINGLE auto force-path rule
+    # run_segment and run_replica_exchange must agree on
+    from .setup import build_implicit_setup
+
+    isetup = build_implicit_setup(
+        structure, implicit_solvent=implicit_solvent, gb_model=gb_model,
+        constraints=constraints, force_path=force_path,
     )
-
-    # constraints="hbonds": SHAKE/RATTLE every X-H bond (OpenMM HBonds)
-    # on the implicit path — with the default HMR 3 amu this is the
-    # standard 4 fs GB production protocol (Amber SHAKE + HMR). MD
-    # forces drop the constrained bond terms (createSystem semantics);
-    # minimization below keeps the FULL system (unconstrained relaxation
-    # needs the stiff X-H bonds).
-    hspec = None
-    md_system = system
-    if constraints == "hbonds":
-        from .constraints import build_h_constraints, strip_constrained_bonded
-
-        hspec = build_h_constraints(system)
-        if hspec is not None:
-            md_system = strip_constrained_bonded(system)
-
-    if force_path == "auto":
-        force_path = (
-            "pair_kernel"
-            if system.n_atoms > 600 and jax.default_backend() == "tpu"
-            else "dense"
-        )
-    if force_path == "pair_kernel":
-        from .pallas_pair import build_pair_force_fn
-
-        # interpret mode lets the kernel run on non-TPU backends (tests)
-        base_fn = build_pair_force_fn(
-            md_system, interpret=jax.default_backend() != "tpu"
-        )
-    elif force_path == "dense":
-        if hspec is None:
-            base_fn = None  # run_md builds the analytic dense path
-        else:
-            from .integrate import make_force_fn
-
-            base_fn = make_force_fn(md_system, None, analytic=True)
-    else:
-        raise ValueError(f"force_path must be auto|dense|pair_kernel, got {force_path!r}")
+    system, positions = isetup.system, isetup.positions
+    hspec, base_fn = isetup.constraints, isetup.force_fn
     if base_fn is not None and bias_fn is not None:
         def force_fn(x, _f=base_fn):
             e, f = _f(x)

@@ -670,7 +670,6 @@ def run_replica_exchange(
     import dataclasses as _dc
 
     from ..io.pdb import read_pdb
-    from ..md.forcefield import build_system
     from ..md.setup import build_explicit_setup, is_explicit_solvent
 
     if constraints not in (None, "none", "hbonds"):
@@ -709,31 +708,17 @@ def run_replica_exchange(
                 "periodic path only; this structure routed to the "
                 "implicit-solvent path (NoCutoff, nothing to switch)"
             )
-        system, positions = build_system(
-            structure, implicit_solvent=implicit_solvent, gb_model=gb_model
+        # the SAME implicit setup recipe run_segment uses (md/setup.py):
+        # one auto force-path rule, one constraint protocol — the two
+        # inline copies of the >600-atom threshold had started to drift
+        from ..md.setup import build_implicit_setup
+
+        isetup = build_implicit_setup(
+            structure, implicit_solvent=implicit_solvent,
+            gb_model=gb_model, constraints=constraints,
         )
-        md_system = system
-        if constraints == "hbonds":
-            from ..md.constraints import (
-                build_h_constraints,
-                strip_constrained_bonded,
-            )
-
-            cspec = build_h_constraints(system)
-            if cspec is not None:
-                md_system = strip_constrained_bonded(system)
-        # force path mirrors run_segment's "auto": tiled pair kernel on
-        # TPU past ~600 atoms (protein-scale), else the analytic dense
-        # XLA path; with constraints the MD forces must come from the
-        # STRIPPED system either way (createSystem semantics)
-        if system.n_atoms > 600 and jax.default_backend() == "tpu":
-            from ..md.pallas_pair import build_pair_force_fn
-
-            force_fn = build_pair_force_fn(md_system)
-        elif cspec is not None:
-            from ..md.integrate import make_force_fn
-
-            force_fn = make_force_fn(md_system, None, analytic=True)
+        system, positions = isetup.system, isetup.positions
+        cspec, force_fn = isetup.constraints, isetup.force_fn
     if explicit:
         from ..md.minimize import minimize_energy as _minimize
 

@@ -118,3 +118,43 @@ def test_replicate_structure_counts():
     assert n_atoms == 4 * 22
     chains = {r.chain for r in big.residues}
     assert len(chains) == 4
+
+
+@pytest.fixture(scope="module")
+def spread_line():
+    """84 alanine copies on a 6 nm-spaced line: GRID=15 tiles at tile=128
+    with sparse build-time tile lists (K < GRID), so a collapse of the
+    assembly can overflow the list width."""
+    big = replicate_structure(
+        alanine_dipeptide_structure(), n=(84, 1, 1), spacing=(6.0, 0.0, 0.0)
+    )
+    system, x0 = build_system(big, gb_model="gbn2")
+    return system, jnp.asarray(x0, jnp.float32)
+
+
+def test_overflow_probe_is_host_visible(spread_line):
+    """advisor r4: the NaN-poison flag must be checkable from the host so
+    long runs can fail loudly instead of writing NaN trajectories."""
+    system, x0 = spread_line
+    fn = build_pair_force_fn(system, tile=128, interpret=True,
+                             gb_cutoff=1.5, order_from=np.asarray(x0))
+    assert hasattr(fn, "check_overflow") and hasattr(fn, "tile_list_width")
+    grid = -(-system.n_atoms // 128)
+    assert fn.tile_list_width < grid  # K < GRID, else overflow cannot occur
+    assert not bool(fn.check_overflow(x0))
+    # collapse the assembly: every tile AABB lands within the cutoff of
+    # every other -> per-row neighbor count = GRID > K
+    assert bool(fn.check_overflow(x0 * 0.01))
+
+
+@pytest.mark.slow
+def test_run_md_raises_on_tile_list_overflow(spread_line):
+    from pmarlo_tpu.md.integrate import run_md, thermalize
+
+    system, x0 = spread_line
+    fn = build_pair_force_fn(system, tile=128, interpret=True,
+                             gb_cutoff=1.5, order_from=np.asarray(x0))
+    state = thermalize(system, x0 * 0.01, jax.random.PRNGKey(0), 300.0)
+    with pytest.raises(RuntimeError, match="tile neighbor list overflow"):
+        run_md(system, state, n_steps=1, dt=0.001, friction=1.0,
+               temperature_K=300.0, report_interval=1, force_fn=fn)
