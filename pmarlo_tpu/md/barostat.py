@@ -339,7 +339,10 @@ def run_npt(
                 st.positions, fstate, bstate.box
             )
             v_sync = (st.velocities
-                      + 0.5 * dt * f_now / system.masses[:, None])
+                      + 0.5 * dt * f_now
+                      * jnp.where(system.masses > 0.0,
+                                  1.0 / system.masses,
+                                  0.0)[:, None])
             if constraints is not None:
                 from .constraints import rattle
 

@@ -93,30 +93,37 @@ def build_h_constraints(
         if water_atoms.any():
             idx = np.flatnonzero(water_atoms)
             start, stop = int(idx[0]), int(idx[-1]) + 1
-            n_w = (stop - start) // 3
             names = list(system.atom_names[start:stop])
-            if (stop - start != 3 * n_w
+            # 3-site (TIP3P) or 4-site (TIP4P-Ew: trailing massless M
+            # rides along, re-derived by md/vsites.py) layouts
+            stride = 4 if (len(names) >= 4 and names[3] == "M") else 3
+            n_w = (stop - start) // stride
+            want = (["O", "H1", "H2"] + (["M"] if stride == 4 else []))
+            if (stop - start != stride * n_w
                     or not water_atoms[start:stop].all()
-                    or names != ["O", "H1", "H2"] * n_w):
+                    or names != want * n_w):
                 raise ValueError(
                     "rigid-water constraints need one contiguous "
-                    "(O, H1, H2)-ordered water block (the canonical "
+                    "(O, H1, H2[, M])-ordered water block (the canonical "
                     "solvate/topology layout)"
                 )
             m = masses[start:start + 3]
             # O-H target length from the first water O's bond term; a
             # topology whose water bonds were already stripped falls back
-            # to the TIP3P geometry instead of IndexError-ing
+            # to the TIP3P geometry instead of IndexError-ing. Rows with
+            # r0 < 0.05 nm are the zero-k O-M exclusion bond, not O-H.
+            b_idx = np.asarray(system.bond_idx).reshape(-1, 2)
+            b_r0 = np.asarray(system.bond_r0)
             oh_rows = np.flatnonzero(
-                (np.asarray(system.bond_idx)[:, 0] == start)
-                | (np.asarray(system.bond_idx)[:, 1] == start)
+                ((b_idx[:, 0] == start) | (b_idx[:, 1] == start))
+                & (b_r0 > 0.05)
             )
-            d_oh = (float(np.asarray(system.bond_r0)[oh_rows[0]])
-                    if oh_rows.size else 0.09572)
+            d_oh = (float(b_r0[oh_rows[0]]) if oh_rows.size else 0.09572)
             water_spec = RigidWaterSpec(
                 start=start, n_waters=n_w,
                 inv_m=jnp.asarray(1.0 / m, jnp.float32),
                 d0=jnp.asarray([d_oh, d_oh, 0.15139], jnp.float32),
+                stride=stride,
             )
             in_water = water_atoms[pairs[:, 0]] | water_atoms[pairs[:, 1]]
             pairs = pairs[~in_water]
@@ -383,6 +390,10 @@ class RigidWaterSpec:
     inv_m: jax.Array      # (3,) 1/m for (O, H, H) (post-HMR)
     d0: jax.Array         # (3,) targets for (O-H1, O-H2, H1-H2)
     n_newton: int = dataclasses.field(metadata=dict(static=True), default=6)
+    #: atoms per water residue: 3 (TIP3P) or 4 (TIP4P-Ew, whose massless
+    #: M virtual site rides along unconstrained — md/vsites.py re-derives
+    #: it from the solved O/H positions each step)
+    stride: int = dataclasses.field(metadata=dict(static=True), default=3)
 
 
 #: constraint pair slots within one water: (O,H1), (O,H2), (H1,H2)
@@ -413,8 +424,8 @@ def _solve33(A: jax.Array, b: jax.Array) -> jax.Array:
 
 def _water_block(spec: RigidWaterSpec, x: jax.Array) -> jax.Array:
     return jax.lax.dynamic_slice_in_dim(
-        x, spec.start, 3 * spec.n_waters, axis=0
-    ).reshape(spec.n_waters, 3, 3)
+        x, spec.start, spec.stride * spec.n_waters, axis=0
+    ).reshape(spec.n_waters, spec.stride, 3)[:, :3]
 
 
 def _dvec(xw: jax.Array) -> jax.Array:
@@ -433,9 +444,10 @@ def _water_lanes(spec: RigidWaterSpec, x: jax.Array) -> jax.Array:
     the lane axis every op is a full-width elementwise vector op
     (measured ~10x faster, same math)."""
     blk = jax.lax.dynamic_slice_in_dim(
-        x, spec.start, 3 * spec.n_waters, axis=0
-    )                                               # (3W, 3)
-    return blk.reshape(spec.n_waters, 3, 3).transpose(1, 2, 0)
+        x, spec.start, spec.stride * spec.n_waters, axis=0
+    )                                               # (stride*W, 3)
+    return (blk.reshape(spec.n_waters, spec.stride, 3)[:, :3]
+            .transpose(1, 2, 0))
 
 
 def _dvec_lanes(xb: jax.Array) -> jax.Array:
@@ -510,9 +522,24 @@ def shake_water(
     lam0 = jnp.zeros((3, spec.n_waters), xb.dtype)
     lam = jax.lax.fori_loop(0, spec.n_newton, body, lam0)
     x_out = xb + apply_lam(lam[:, None, :])
-    flat = x_out.transpose(2, 0, 1).reshape(3 * spec.n_waters, 3)
+    return _write_water_block(spec, x_new, x_out)
+
+
+def _write_water_block(spec: RigidWaterSpec, full: jax.Array,
+                       lanes_out: jax.Array) -> jax.Array:
+    """Scatter a lanes-flat (3 atoms, 3 xyz, W) result back into the
+    full array, leaving stride-4 virtual-site rows untouched."""
+    out3 = lanes_out.transpose(2, 0, 1)              # (W, 3, 3)
+    if spec.stride == 3:
+        flat = out3.reshape(3 * spec.n_waters, 3)
+    else:
+        blk = jax.lax.dynamic_slice_in_dim(
+            full, spec.start, spec.stride * spec.n_waters, axis=0
+        ).reshape(spec.n_waters, spec.stride, 3)
+        flat = blk.at[:, :3].set(out3.astype(blk.dtype)).reshape(
+            spec.stride * spec.n_waters, 3)
     return jax.lax.dynamic_update_slice_in_dim(
-        x_new, flat.astype(x_new.dtype), spec.start, axis=0
+        full, flat.astype(full.dtype), spec.start, axis=0
     )
 
 
@@ -540,10 +567,7 @@ def rattle_water(
         )
         for a in range(3)
     ])
-    flat = (vb + dvb).transpose(2, 0, 1).reshape(3 * spec.n_waters, 3)
-    return jax.lax.dynamic_update_slice_in_dim(
-        v, flat.astype(v.dtype), spec.start, axis=0
-    )
+    return _write_water_block(spec, v, vb + dvb)
 
 
 @jax.tree_util.register_dataclass

@@ -100,6 +100,18 @@ def df_scale(x: Df, c_hi, c_lo) -> Df:
     return fast_two_sum(p, e)
 
 
+def df_inv(a) -> Df:
+    """1/a as a df32 pair via one Newton residual step: y = fl(1/a),
+    r = 1 - y*a computed exactly (two_prod), correction y*r. Relative
+    accuracy ~2^-45 — enough for the traced-box PME fractional
+    coordinates (the NPT path, where the box is a runtime value and the
+    host-f64 split of S = Hinv K is unavailable)."""
+    y = 1.0 / a
+    p, e = two_prod(y, a)
+    r = (1.0 - p) - e
+    return fast_two_sum(y, y * r)
+
+
 def df_where(cond, x: Df, y: Df) -> Df:
     return jnp.where(cond, x[0], y[0]), jnp.where(cond, x[1], y[1])
 
@@ -119,5 +131,5 @@ def df_max0(x: Df) -> Df:
 __all__ = [
     "Df", "two_sum", "fast_two_sum", "two_prod", "df", "df_const",
     "df_add", "df_sub", "df_neg", "df_mul", "df_scale", "df_where",
-    "df_abs", "df_max0",
+    "df_abs", "df_max0", "df_inv",
 ]

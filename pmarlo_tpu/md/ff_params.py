@@ -38,6 +38,8 @@ TYPE_MASSES: Dict[str, float] = {
     "H": 1.008, "HC": 1.008, "H1": 1.008, "H2": 1.008, "H3": 1.008,
     "HA": 1.008, "H4": 1.008, "H5": 1.008, "HO": 1.008, "HS": 1.008,
     "HP": 1.008, "HW": 1.008,
+    # TIP4P-Ew: LJ oxygen + massless charge site (md/vsites.py)
+    "OW4": 16.00, "MW": 0.0,
     "N": 14.01, "NA": 14.01, "NB": 14.01, "N2": 14.01, "N3": 14.01,
     "O": 16.00, "O2": 16.00, "OH": 16.00, "OW": 16.00, "OS": 16.00,
     "S": 32.06, "SH": 32.06,
@@ -52,10 +54,10 @@ TYPE_MASSES: Dict[str, float] = {
 
 # Element of each atom type (for GB radii / hydrogen detection).
 TYPE_ELEMENTS: Dict[str, str] = {
-    t: ("H" if m < 2.0
+    t: ("H" if 0.0 < m < 2.0
         else {12.01: "C", 14.01: "N", 16.00: "O", 32.06: "S",
               30.97: "P", 22.99: "Na", 35.45: "Cl", 39.10: "K",
-              24.305: "Mg", 40.08: "Ca", 65.38: "Zn"}[m])
+              24.305: "Mg", 40.08: "Ca", 65.38: "Zn", 0.0: "M"}[m])
     for t, m in TYPE_MASSES.items()
 }
 
@@ -82,6 +84,9 @@ TYPE_LJ: Dict[str, Tuple[float, float]] = {
     "S": (2.0000, 0.2500), "SH": (2.0000, 0.2500),
     # TIP3P water (frcmod.tip3p) and Joung-Cheatham monovalent ions
     "OW": (1.7683, 0.1520), "HW": (0.0001, 0.0000),
+    # TIP4P-Ew (Horn 2004): rmin/2 1.775931 A, eps 0.16275 kcal/mol;
+    # the virtual M site has no LJ
+    "OW4": (1.775931, 0.16275), "MW": (0.0001, 0.0000),
     "Na+": (1.369, 0.0874393), "Cl-": (2.513, 0.0355910),
     "K+": (1.705, 0.1936829),
     # divalents: Aqvist (Mg2+/Ca2+, as shipped in Amber's parm) and the
@@ -148,6 +153,11 @@ _BOND_LIST = [
     _b("CM", "HA", 367.0, 1.080),
     # TIP3P water (flexible fallback; production water is SHAKE-rigid)
     _b("OW", "HW", 553.0, 0.9572),
+    # TIP4P-Ew rigid geometry (bonds constrained in production; the
+    # zero-k O-M entry only builds the exclusion graph for the
+    # virtual site, whose position is parent-defined, md/vsites.py)
+    _b("OW4", "HW", 553.0, 0.9572),
+    _b("OW4", "MW", 0.0, 0.0125),
 ]
 BOND_PARAMS: Dict[frozenset, Tuple[float, float]] = {
     frozenset(k): v for k, v in _BOND_LIST
@@ -267,6 +277,9 @@ _ANGLE_LIST: List[Tuple[Tuple[str, str, str], Tuple[float, float]]] = [
     (("HA", "CM", "C"), (50.0, 119.70)),   # uracil H5-C5-C4 (parm99)
     # TIP3P water (flexible fallback)
     (("HW", "OW", "HW"), (100.0, 104.52)),
+    (("HW", "OW4", "HW"), (100.0, 104.52)),
+    # zero-k angles to the virtual site (exclusion graph only)
+    (("HW", "OW4", "MW"), (0.0, 52.26)),
 ]
 ANGLE_PARAMS: Dict[Tuple[str, str, str], Tuple[float, float]] = {}
 for (a, b, c), v in _ANGLE_LIST:

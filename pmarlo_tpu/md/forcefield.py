@@ -311,7 +311,16 @@ def build_system(
 
     masses = np.asarray([ff.TYPE_MASSES[t] for t in topology.atom_types])
     if hydrogen_mass is not None:
-        masses = hydrogen_mass_repartition(masses, topology.bonds, hydrogen_mass)
+        # element-based H detection: the mass<2 default would classify
+        # massless virtual sites (TIP4P-Ew M, mass 0) as hydrogens and
+        # repartition heavy-atom mass into them
+        is_h = np.asarray(
+            [ff.TYPE_ELEMENTS.get(t, "X") == "H"
+             for t in topology.atom_types]
+        )
+        masses = hydrogen_mass_repartition(
+            masses, topology.bonds, hydrogen_mass, is_hydrogen=is_h
+        )
 
     excl, pairs14 = topology.exclusion_maps()
     excl12_idx = np.asarray(sorted(excl), dtype=np.int32).reshape(-1, 2)
@@ -358,6 +367,11 @@ def build_system(
                     else jnp.asarray(gb_extras["neck_m0"], dtype=dtype)),
         excl12_idx=jnp.asarray(excl12_idx, dtype=jnp.int32),
         pair14_idx=jnp.asarray(pair14_idx, dtype=jnp.int32),
+        vsite_idx=(None if topology.vsites is None
+                   else jnp.asarray(topology.vsites, dtype=jnp.int32)),
+        vsite_weights=(None if topology.vsites is None
+                       else jnp.asarray(topology.vsite_weights,
+                                        dtype=dtype)),
         atom_names=tuple(topology.atom_names),
         atom_types=tuple(topology.atom_types),
         residue_names=tuple(topology.residue_names),

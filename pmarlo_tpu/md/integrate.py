@@ -42,7 +42,9 @@ def initialize_velocities(
 ) -> jax.Array:
     """Maxwell-Boltzmann velocities at T (nm/ps)."""
     kT = BOLTZMANN_CONSTANT_KJ_PER_MOL * temperature_K
-    sigma = jnp.sqrt(kT / system.masses)[:, None]
+    # massless virtual sites (TIP4P-Ew M) carry no velocity
+    inv_m = jnp.where(system.masses > 0.0, 1.0 / system.masses, 0.0)
+    sigma = jnp.sqrt(kT * inv_m)[:, None]
     noise = jax.random.normal(key, (system.n_atoms, 3), dtype=system.masses.dtype)
     return sigma * noise
 
@@ -67,8 +69,12 @@ def instantaneous_temperature(
     velocity Verlet conserves it exactly (internal forces sum to zero),
     so only 3N - 3 - n_con dof carry kinetic energy. OpenMM draws the
     same line via its CMMotionRemover."""
+    from .vsites import n_vsites
+
+    # massless virtual sites carry no kinetic dof
     n_dof = max(
-        3 * system.n_atoms - int(n_constraints) - (3 if remove_com else 0), 1
+        3 * (system.n_atoms - n_vsites(system)) - int(n_constraints)
+        - (3 if remove_com else 0), 1
     )
     return 2.0 * kinetic_energy(system, velocities) / (
         n_dof * BOLTZMANN_CONSTANT_KJ_PER_MOL
@@ -93,6 +99,8 @@ def make_force_fn(
     same math the Pallas kernel runs; the bias term (if any) is small and
     stays on autodiff.
     """
+    from .vsites import wrap_force_fn
+
     if analytic:
         from .analytic import energy_and_forces, make_dense_params
 
@@ -106,7 +114,7 @@ def make_force_fn(
                 f = f - bg
             return e, f
 
-        return force_fn
+        return wrap_force_fn(force_fn, system)
 
     def force_fn(x):
         e, g = jax.value_and_grad(
@@ -114,7 +122,7 @@ def make_force_fn(
         )(x)
         return e, -g
 
-    return force_fn
+    return wrap_force_fn(force_fn, system)
 
 
 def langevin_step(
@@ -152,6 +160,9 @@ def langevin_step(
     """
     kT = BOLTZMANN_CONSTANT_KJ_PER_MOL * temperature_K
     m = system.masses[:, None]
+    # massless virtual sites get no kick, no noise, no drift; their
+    # positions are re-derived from parents at the end of the step
+    inv_m = jnp.where(m > 0.0, 1.0 / m, 0.0)
 
     if force_fn is not None and bias_fn is not None:
         raise ValueError(
@@ -163,12 +174,23 @@ def langevin_step(
     elif force_fn is not None:
         energy, f = force_fn(state.positions)
     else:
-        energy, grad = jax.value_and_grad(
-            lambda x: potential_energy(system, x, bias_fn)
-        )(state.positions)
+        if system.vsite_idx is not None:
+            # compose the site expansion into the energy: jax.grad
+            # through the linear map IS the exact force spread
+            from .vsites import vsite_positions as _vp
+
+            def _e(x):
+                return potential_energy(
+                    system, _vp(x, system.vsite_idx, system.vsite_weights),
+                    bias_fn,
+                )
+        else:
+            def _e(x):
+                return potential_energy(system, x, bias_fn)
+        energy, grad = jax.value_and_grad(_e)(state.positions)
         f = -grad
 
-    v = state.velocities + dt * f / m
+    v = state.velocities + dt * f * inv_m
     if constraints is not None:
         from .constraints import rattle, shake
 
@@ -187,7 +209,7 @@ def langevin_step(
         v = rattle(constraints, v, x)
 
     c1 = jnp.exp(-friction * dt)
-    c2 = jnp.sqrt((1.0 - c1 * c1) * kT / m)
+    c2 = jnp.sqrt((1.0 - c1 * c1) * kT * inv_m)
     key, sub = jax.random.split(state.key)
     v = c1 * v + c2 * jax.random.normal(sub, v.shape, dtype=v.dtype)
     if constraints is not None:
@@ -200,6 +222,10 @@ def langevin_step(
         v = v + (x_c - x) / (0.5 * dt)
         x = x_c
         v = rattle(constraints, v, x)
+    if system.vsite_idx is not None:
+        from .vsites import vsite_positions
+
+        x = vsite_positions(x, system.vsite_idx, system.vsite_weights)
     # trailing B uses the force at the *new* positions in strict BAOAB; we
     # fold it into the next step's leading B (standard leapfrog-style fusion,
     # identical long-run sampling, one force eval per step).
@@ -317,7 +343,10 @@ def run_md(
             # is a synchronized (x_n, v_n) phase point — OpenMM reports
             # kinetic quantities from shifted velocities the same way
             v_sync = (new_state.velocities
-                      + 0.5 * dt * f_now / system.masses[:, None])
+                      + 0.5 * dt * f_now
+                      * jnp.where(system.masses > 0.0,
+                                  1.0 / system.masses,
+                                  0.0)[:, None])
             if constraints is not None:
                 from .constraints import rattle
 

@@ -47,7 +47,19 @@ def minimize_energy(
             energy_fn = lambda x: force_fn(x)[0]
             neg_grad_fn = lambda x: force_fn(x)[1]
     else:
-        energy_fn = lambda x: potential_energy(system, x, bias_fn)
+        if getattr(system, "vsite_idx", None) is not None:
+            # compose the virtual-site expansion into the energy: grad
+            # through the linear map IS the exact force spread, and the
+            # minimizer then never moves site rows off their parents
+            from .vsites import vsite_positions as _vp
+
+            def energy_fn(x):
+                return potential_energy(
+                    system, _vp(x, system.vsite_idx, system.vsite_weights),
+                    bias_fn,
+                )
+        else:
+            energy_fn = lambda x: potential_energy(system, x, bias_fn)
         _grad = jax.grad(energy_fn)
         neg_grad_fn = lambda x: -_grad(x)
 
@@ -88,6 +100,12 @@ def minimize_energy(
         jnp.asarray(0, dtype=jnp.int32),
     )
     (x_final, *_), _ = jax.lax.scan(body, init, None, length=max_iterations)
+    if getattr(system, "vsite_idx", None) is not None:
+        # site rows saw zero net force during FIRE and are stale; hand
+        # back parent-consistent coordinates
+        from .vsites import vsite_positions as _vp_out
+
+        x_final = _vp_out(x_final, system.vsite_idx, system.vsite_weights)
     return x_final, energy_fn(x_final)
 
 

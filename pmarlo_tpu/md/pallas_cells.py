@@ -89,7 +89,8 @@ def _erfc_as(x):
 
 def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool,
                       elec_mode: str = "rf", alpha: float = 0.0,
-                      band: int = 0, switch: "float | None" = None):
+                      band: int = 0, switch: "float | None" = None,
+                      ewald_shift_c: float = 0.0):
     """pallas_call computing per-slot energy rows and forces from the
     sorted slot array + its ghost. Returns fn(slots, ghost) ->
     (e (S, 1), F (S, 3)).
@@ -167,7 +168,13 @@ def _build_cell_sweep(grid: CellGrid, system: System, interpret: bool,
                 w_el = ke * qq * (-inv_r * inv_r + 2.0 * k_rf * rr)
             else:  # ewald real-space: erfc(alpha r)/r
                 erfc_ar, derfc = _erfc_as_with_deriv(alpha * rr)
-                e_el = ke * qq * erfc_ar * inv_r
+                # ewald_shift_c = erfc(alpha rc)/rc: shifting the
+                # truncated erfc term to zero AT the cutoff removes the
+                # per-crossing energy jump (the round-4 PME NVE drift
+                # floor — RF was always shifted via c_rf, which is why
+                # it conserved 6x better); forces are unchanged, the
+                # total energy moves by shift * sum(qq in range)
+                e_el = ke * qq * (erfc_ar * inv_r - ewald_shift_c)
                 # exact gradient of the APPROXIMATED energy (see
                 # _erfc_as_with_deriv): d/dr [erfc_as(ar)/r]
                 #   = a erfc_as'(ar)/r - erfc_as(ar)/r^2
@@ -250,6 +257,7 @@ def build_cell_force_fn(
     dispersion_correction: bool = False,
     pme_mesh_refine: float = 1.0,
     pme_precise: bool = False,
+    ewald_shift: bool = True,
 ) -> Callable:
     """Jitted ``fn(x (N,3)) -> (energy, forces (N,3))`` for the FULL
     periodic potential via the cell-list kernel (pair stage) + sparse
@@ -269,6 +277,16 @@ def build_cell_force_fn(
     noise at pure-elementwise extra cost — the knob that closes the
     round-3 PME NVE drift gap. Static box only (the NPT dynamic
     entries raise; thermostatted NPT absorbs the noise anyway).
+
+    ``ewald_shift`` (PME only, default ON) shifts the truncated
+    real-space erfc term to zero at the cutoff —
+    e = ke qq (erfc(alpha r)/r − erfc(alpha rc)/rc) for r < rc — the
+    same continuity treatment the RF mode always had (c_rf). Without it
+    every pair crossing rc jumps the energy by ke qq erfc(alpha rc)/rc
+    and NVE drifts (measured: the round-4 0.53 kT/dof/ns PME floor).
+    Forces are identical either way; total energy moves by a small
+    fluctuating offset (shift x sum of in-range qq), so the
+    exact-Ewald parity oracles pass ewald_shift=False.
 
     ``dispersion_correction`` adds the isotropic LJ tail energy
     2 pi C / V (md/dispersion.py; OpenMM's useDispersionCorrection
@@ -385,6 +403,19 @@ def build_cell_force_fn(
     else:
         alpha = 0.0
         mesh_shape = None
+    if use_pme and ewald_shift:
+        # the shift constant must equal the KERNEL's erfc value at rc
+        # (the AS 7.1.26 approximant, not math.erfc) so the shifted
+        # energy is continuous to f32 eps at the cutoff
+        _t = 1.0 / (1.0 + _AS_P * alpha * float(system.cutoff))
+        _poly = _t * (_AS_A[0] + _t * (_AS_A[1] + _t * (
+            _AS_A[2] + _t * (_AS_A[3] + _t * _AS_A[4]))))
+        shift_c = float(
+            _poly * np.exp(-(alpha * float(system.cutoff)) ** 2)
+            / float(system.cutoff)
+        )
+    else:
+        shift_c = 0.0
     D = exclusion_band_width(system)
     switch_d = (None if system.switch_distance is None
                 else float(system.switch_distance))
@@ -392,7 +423,7 @@ def build_cell_force_fn(
         sweep = _build_cell_sweep(
             grid, system, interpret,
             elec_mode="ewald" if use_pme else "rf", alpha=alpha, band=D,
-            switch=switch_d,
+            switch=switch_d, ewald_shift_c=shift_c,
         )
     else:
         # SPATIAL DECOMPOSITION over one large system: shard the kernel
@@ -433,7 +464,7 @@ def build_cell_force_fn(
         local_sweep = _build_cell_sweep(
             local_grid, system, interpret,
             elec_mode="ewald" if use_pme else "rf", alpha=alpha, band=D,
-            switch=switch_d,
+            switch=switch_d, ewald_shift_c=shift_c,
         )
         M = grid.capacity
         nyz = grid.ny * grid.nz
@@ -591,10 +622,11 @@ def build_cell_force_fn(
         if use_pme:
             erfc_ar = _erfc_as(alpha * r)
             # full-strength pairs: the erfc real part (reciprocal adds
-            # the erf part globally). Scaled pairs: se * bare Coulomb
-            # MINUS the erf part the reciprocal counted (bounded at
-            # r -> 0, safe).
-            e = e + full * ke * qq * erfc_ar * inv_r * within
+            # the erf part globally), with the SAME cutoff shift the
+            # kernel applies (shift_c; 0 when ewald_shift=False).
+            # Scaled pairs: se * bare Coulomb MINUS the erf part the
+            # reciprocal counted (bounded at r -> 0, safe).
+            e = e + full * ke * qq * (erfc_ar * inv_r - shift_c) * within
             e = e + (1.0 - full) * valid * (
                 ke * qq * inv_r * se_p
                 - ke * qq * (1.0 - erfc_ar) * inv_r
@@ -726,6 +758,7 @@ def build_cell_force_fn(
                     lambda xx: reciprocal_energy(
                         xx, q, b, alpha, mesh_shape, pme_order,
                         tilt_ratios=(None if tilt_f is None else _ratios),
+                        precise=pme_precise,
                     )
                 )(x)
                 energy = (energy + e_m + e_self
@@ -850,7 +883,12 @@ def build_cell_force_fn(
         force_fn.apply = apply
         force_fn.init_state_batched = init_state_batched
         force_fn.apply_batched = apply_batched
-    return force_fn
+    # virtual-site systems (TIP4P-Ew): every entry point re-derives site
+    # positions from parents and spreads site forces back (md/vsites.py);
+    # a no-op for systems without sites
+    from .vsites import wrap_force_fn as _wrap_vsites
+
+    return _wrap_vsites(force_fn, system)
 
 
 __all__ = ["build_cell_force_fn"]

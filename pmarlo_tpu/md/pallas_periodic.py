@@ -209,7 +209,11 @@ def build_periodic_force_fn(
         e_b, g_b = jax.value_and_grad(bonded_energy)(x)
         return jnp.sum(e_rows) + e_b, F[:n_real] - g_b
 
-    return force_fn
+    # virtual-site systems (TIP4P-Ew): expand/spread wrap (md/vsites.py);
+    # no-op for systems without sites
+    from .vsites import wrap_force_fn as _wrap_vsites
+
+    return _wrap_vsites(force_fn, system)
 
 
 __all__ = ["build_periodic_force_fn"]

@@ -608,6 +608,8 @@ _NAME_ALIASES = {
     "HA1": "HA2",  # old GLY naming HA1/HA2 -> HA2/HA3 handled contextually
     # GROMACS/CHARMM water atom names -> TIP3P template names
     "OW": "O", "HW1": "H1", "HW2": "H2", "OH2": "O",
+    # TIP4P family virtual-site atom names -> the HOH4 template's M
+    "EPW": "M", "MW": "M", "EP": "M",
 }
 
 
@@ -670,6 +672,29 @@ TEMPLATES["WAT"] = TEMPLATES["HOH"]
 TEMPLATES["TIP3"] = TEMPLATES["HOH"]
 TEMPLATES["SOL"] = TEMPLATES["HOH"]
 
+# TIP4P-Ew 4-site water (Horn et al., J. Chem. Phys. 120, 9665 (2004)):
+# O carries the LJ site, the massless M virtual site carries the charge
+# on the H-H bisector. Routed automatically when a water residue carries
+# an M/EPW atom (md/topology.py). The reference reaches this model via
+# OpenMM's amber14/tip4pew.xml (protein/protein.py:334-373 solvation
+# path); weights below are that file's canonical
+# ThreeParticleAverageSite values. The O-M "bond" is zero-stiffness —
+# it exists to give M the water's exclusion graph (1-2/1-3 walks).
+TEMPLATES["HOH4"] = {
+    "atoms": {
+        "O": ("OW4", 0.0), "H1": ("HW", 0.52422), "H2": ("HW", 0.52422),
+        "M": ("MW", -1.04844),
+    },
+    "bonds": [("O", "H1"), ("O", "H2"), ("O", "M")],
+    "head": None,
+    "tail": None,
+    # site -> (parent0, parent1, parent2, w0, w1, w2):
+    # r_M = w0 r_O + w1 r_H1 + w2 r_H2 (0.0125 nm up the bisector)
+    "vsites": {
+        "M": ("O", "H1", "H2", 0.786646558, 0.106676721, 0.106676721),
+    },
+}
+
 TEMPLATES["NA"] = _t(
     atoms={"NA": ("Na+", 1.0)}, bonds=[], head=None, tail=None,
 )
@@ -695,8 +720,8 @@ TEMPLATES["CA"] = _t(    # calcium ion (the resname namespace is
 )
 
 #: residues that are never part of the polypeptide chain
-NONPOLYMER = {"HOH", "WAT", "TIP3", "SOL", "NA", "CL", "K", "MG", "ZN",
-              "CA"}
+NONPOLYMER = {"HOH", "HOH4", "WAT", "TIP3", "SOL", "NA", "CL", "K", "MG",
+              "ZN", "CA"}
 
 
 def get_template(

@@ -182,12 +182,6 @@ def run_segment(
         # FULL-system force fn (stiff X-H bonds kept) is only ever
         # consumed by the minimizer — resume skips its grid/exclusion
         # setup entirely.
-        if pme_precise and ensemble == "npt":
-            raise ValueError(
-                "pme_precise supports static-box ensembles (nvt/nve); "
-                "the NPT traced-box path keeps fast spreading (the "
-                "thermostat/barostat absorb reciprocal force noise)"
-            )
         setup = build_explicit_setup(
             structure, box=box, tilt=tilt, cutoff=cutoff,
             switch_distance=switch_distance,
@@ -379,7 +373,9 @@ def _attach_total_energy(result, system, n_con: int) -> None:
     the remove_com convention (integrate.py instantaneous_temperature:
     3N - 3 - n_con dof) — the inversion here must match EXACTLY or
     total_energy = PE + KE*(wrong dof ratio) shows spurious drift."""
-    n_dof = max(3 * system.n_atoms - 3 - int(n_con), 1)
+    from .vsites import n_vsites
+
+    n_dof = max(3 * (system.n_atoms - n_vsites(system)) - 3 - int(n_con), 1)
     from ..constants import BOLTZMANN_CONSTANT_KJ_PER_MOL
 
     ke = (0.5 * n_dof * BOLTZMANN_CONSTANT_KJ_PER_MOL

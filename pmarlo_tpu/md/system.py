@@ -71,6 +71,11 @@ class System:
     #: 1-2/1-3 pairs (full exclusion) and 1-4 pairs (scee/scnb scaling)
     excl12_idx: Optional[jax.Array] = None  # (P1, 2) int32
     pair14_idx: Optional[jax.Array] = None  # (P2, 2) int32
+    #: virtual interaction sites (md/vsites.py): massless particles whose
+    #: positions are parent-defined linear combinations (TIP4P-Ew M
+    #: sites). (V, 4) int32 [site, p0, p1, p2] + (V, 3) weights.
+    vsite_idx: Optional[jax.Array] = None
+    vsite_weights: Optional[jax.Array] = None
     # --- static metadata (aux_data, not traced) ---
     atom_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True), default=())
     atom_types: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True), default=())
@@ -169,8 +174,9 @@ def hydrogen_mass_repartition(
     Total mass is conserved.
     """
     masses = np.asarray(masses, dtype=np.float64).copy()
+    started_massless = masses == 0.0   # virtual sites stay massless
     if is_hydrogen is None:
-        is_hydrogen = masses < 2.0
+        is_hydrogen = (masses > 0.0) & (masses < 2.0)
     for a, b in np.asarray(bond_idx):
         h, heavy = (a, b) if is_hydrogen[a] else (b, a)
         if not is_hydrogen[h] or is_hydrogen[heavy]:
@@ -178,7 +184,7 @@ def hydrogen_mass_repartition(
         delta = hydrogen_mass - masses[h]
         masses[h] += delta
         masses[heavy] -= delta
-    if np.any(masses <= 0):
+    if np.any(masses[~started_massless] <= 0):
         raise ValueError("HMR drove a heavy-atom mass non-positive")
     return masses
 

@@ -42,6 +42,10 @@ class Topology:
     #: needs it to avoid building dihedrals across chain boundaries when
     #: residue numbering runs continuously through multiple chains
     chain_ids: Optional[List[str]] = None
+    #: virtual sites (md/vsites.py): (V, 4) int [site, p0, p1, p2] and
+    #: (V, 3) ThreeParticleAverageSite weights. None -> no sites.
+    vsites: Optional[np.ndarray] = None
+    vsite_weights: Optional[np.ndarray] = None
 
     @property
     def n_atoms(self) -> int:
@@ -208,6 +212,8 @@ def build_topology(
     positions: List[Tuple[float, float, float]] = []
     bonds: List[Tuple[int, int]] = []
     ranges: List[Tuple[int, int]] = []
+    vsite_rows: List[Tuple[int, int, int, int]] = []
+    vsite_w: List[Tuple[float, float, float]] = []
     seq: List[str] = []
 
     # map (res index in `residues`, template atom name) -> global index
@@ -246,7 +252,16 @@ def build_topology(
                            and res.name not in ("ACE", "NME")
                            and "OXT" in present)
         try:
-            template = get_template(res.name, is_nterm=wants_nterm, is_cterm=wants_cterm)
+            if res.name in _WATER_NAMES and "M" in present:
+                # 4-site water: a water residue carrying an M/EPW
+                # virtual-site atom routes to the TIP4P-Ew template
+                from .residues import TEMPLATES
+
+                template = TEMPLATES["HOH4"]
+            else:
+                template = get_template(
+                    res.name, is_nterm=wants_nterm, is_cterm=wants_cterm
+                )
         except KeyError as exc:
             raise TopologyError(str(exc)) from exc
 
@@ -282,6 +297,11 @@ def build_topology(
         seq.append(res.name)
         for a_name, b_name in template["bonds"]:  # type: ignore[union-attr]
             bonds.append((local[a_name], local[b_name]))
+        for site, (p0, p1, p2, w0, w1, w2) in template.get(
+                "vsites", {}).items():
+            vsite_rows.append(
+                (local[site], local[p0], local[p1], local[p2]))
+            vsite_w.append((w0, w1, w2))
         head = local.get(template["head"]) if template["head"] else None  # type: ignore[arg-type]
         tail = local.get(template["tail"]) if template["tail"] else None  # type: ignore[arg-type]
         head_tail.append((head, tail))
@@ -335,6 +355,10 @@ def build_topology(
         residue_atom_ranges=ranges,
         residue_sequence=seq,
         chain_ids=chain_list,
+        vsites=(np.asarray(vsite_rows, dtype=np.int64).reshape(-1, 4)
+                if vsite_rows else None),
+        vsite_weights=(np.asarray(vsite_w, dtype=np.float64).reshape(-1, 3)
+                       if vsite_rows else None),
     )
 
 

@@ -142,6 +142,7 @@ class Protein:
         solvent_padding: float = 1.0,
         box_shape: str = "rectangular",
         positive_ion: str = "NA",
+        water_model: str = "tip3p",
     ) -> "Protein":
         """Load + clean + repair + protonate + template-match
         (reference :288).
@@ -219,7 +220,7 @@ class Protein:
 
             structure, self.box = solvate_structure(
                 structure, padding=solvent_padding, box_shape=box_shape,
-                positive_ion=positive_ion,
+                positive_ion=positive_ion, water_model=water_model,
             )
             self.tilt = structure.tilt
         self.structure = structure

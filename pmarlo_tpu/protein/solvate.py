@@ -117,8 +117,15 @@ def solvate_structure(
     seed: int = 2024,
     box_shape: str = "rectangular",
     positive_ion: str = "NA",
+    water_model: str = "tip3p",
 ) -> Tuple[PDBStructure, Tuple[float, float, float]]:
     """Return (solvated structure, box lengths in nm).
+
+    ``water_model`` selects "tip3p" (3-site, default) or "tip4pew"
+    (4-site: each water carries a massless M virtual charge site on the
+    H-H bisector, md/vsites.py; the model OpenMM users reach via
+    amber14/tip4pew.xml — /root/reference/src/pmarlo/protein/
+    protein.py:334-373 solvation path).
 
     ``positive_ion`` selects the counter-cation species ("NA" or "K",
     OpenMM ``addSolvent(positiveIon=...)`` surface); the anion is Cl-.
@@ -142,6 +149,10 @@ def solvate_structure(
         raise ValueError(
             "box_shape must be rectangular|cubic|dodecahedron, "
             f"got {box_shape!r}"
+        )
+    if water_model not in ("tip3p", "tip4pew"):
+        raise ValueError(
+            f"water_model must be tip3p|tip4pew, got {water_model!r}"
         )
     spacing = _WATER_DENSITY ** (-1.0 / 3.0)
     rng = np.random.default_rng(seed)
@@ -261,6 +272,9 @@ def solvate_structure(
         ))
         next_resid += 1
 
+    # TIP4P-Ew M site: the HOH4 template's ThreeParticleAverageSite
+    # weights (md/residues.py) applied at build time
+    _W_M = (0.786646558, 0.106676721, 0.106676721)
     for pos in water_sites:
         hh = _tip3p_offsets(rng.uniform(size=3))
         atoms = [PDBAtom(
@@ -272,6 +286,14 @@ def solvate_structure(
             atoms.append(PDBAtom(
                 name=nm, resname="HOH", resid=next_resid, chain="W",
                 xyz=(float(p[0]), float(p[1]), float(p[2])), element="H",
+            ))
+        if water_model == "tip4pew":
+            pm = (_W_M[0] * pos + _W_M[1] * (pos + hh[0])
+                  + _W_M[2] * (pos + hh[1]))
+            atoms.append(PDBAtom(
+                name="M", resname="HOH", resid=next_resid, chain="W",
+                xyz=(float(pm[0]), float(pm[1]), float(pm[2])),
+                element="M",
             ))
         residues.append(PDBResidue(
             name="HOH", resid=next_resid, chain="W", atoms=atoms,

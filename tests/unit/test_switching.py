@@ -161,7 +161,8 @@ def test_pme_switch_parity(switched_water_system):
     )
 
     system, x = switched_water_system
-    fn = build_cell_force_fn(system, interpret=True, electrostatics="pme")
+    fn = build_cell_force_fn(system, interpret=True, electrostatics="pme",
+                             ewald_shift=False)  # exact-Ewald oracle parity
     e, f = fn(x)
     assert np.isfinite(float(e)) and np.isfinite(np.asarray(f)).all()
 

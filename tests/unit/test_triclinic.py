@@ -245,7 +245,8 @@ def test_cell_kernel_parity_sheared_pme(sheared_water_system):
     )
 
     system, x = sheared_water_system
-    fn = build_cell_force_fn(system, interpret=True, electrostatics="pme")
+    fn = build_cell_force_fn(system, interpret=True, electrostatics="pme",
+                             ewald_shift=False)  # exact-Ewald oracle parity
     e_k, f_k = fn(x)
 
     # dense composition: LJ (RF oracle without electrostatics) + Ewald
