@@ -32,6 +32,16 @@ N_REPLICAS = 32
 N_STEPS = 20_000            # per timed run (200 exchange attempts)
 DT_PS = 0.002
 EXCHANGE_FREQUENCY = 100
+#: headline rows carry {median, iqr, n} over this many repeats (VERDICT
+#: r4 item 2: single-shot numbers made tunnel noise indistinguishable
+#: from regressions)
+N_REPEATS = 3
+
+
+def _med_iqr(vals) -> "tuple[float, float]":
+    v = np.asarray(list(vals), np.float64)
+    return (float(np.median(v)),
+            float(np.percentile(v, 75) - np.percentile(v, 25)))
 
 
 def bench_remd() -> dict:
@@ -63,10 +73,14 @@ def bench_remd() -> dict:
         remd = ReplicaExchange(system, positions, cfg)
         remd.run(n_steps=N_STEPS)
         md_path = "xla"
-    # timed steady-state run (same shapes -> cached executable)
-    t0 = time.perf_counter()
-    result = remd.run(n_steps=N_STEPS)
-    wall = time.perf_counter() - t0
+    # timed steady-state runs (same shapes -> cached executable)
+    walls = []
+    result = None
+    for _ in range(N_REPEATS):
+        t0 = time.perf_counter()
+        result = remd.run(n_steps=N_STEPS)
+        walls.append(time.perf_counter() - t0)
+    wall, wall_iqr = _med_iqr(walls)
 
     sim_ns_per_replica = N_STEPS * DT_PS * 1e-3
     aggregate_ns_day = sim_ns_per_replica * N_REPLICAS * 86_400.0 / wall
@@ -75,6 +89,8 @@ def bench_remd() -> dict:
         "ns_per_day_per_replica": aggregate_ns_day / N_REPLICAS,
         "steps_per_second": N_STEPS * N_REPLICAS / wall,
         "remd_wall_s": wall,
+        "remd_wall_iqr_s": wall_iqr,
+        "remd_repeats": N_REPEATS,
         "mean_swap_acceptance": float(result.mean_acceptance),
         "md_path": md_path,
         "gb_model": "gbn2",
@@ -102,12 +118,25 @@ def bench_msm() -> dict:
         generate_2d_fes(pooled[:, 0], pooled[:, 1], temperature_K=300.0, bins=32)
         return result, pooled
 
-    build()  # warm-up: compiles the k-means/counting kernels
+    # cold = first build (kmeans/counting compiles included); warm =
+    # steady-state rebuilds on cached executables (VERDICT r4 item 9:
+    # the two regimes must be separate rows, and warm is the one that
+    # matters for iterative analysis)
     t0 = time.perf_counter()
-    result, pooled = build()
-    wall = time.perf_counter() - t0
+    build()
+    cold = time.perf_counter() - t0
+    walls = []
+    for _ in range(N_REPEATS):
+        t0 = time.perf_counter()
+        result, pooled = build()
+        walls.append(time.perf_counter() - t0)
+    warm, warm_iqr = _med_iqr(walls)
     return {
-        "msm_build_wall_s": wall,
+        "msm_build_wall_s": warm,       # steady-state (back-compat key)
+        "msm_build_warm_s": warm,
+        "msm_build_warm_iqr_s": warm_iqr,
+        "msm_build_cold_s": cold,
+        "msm_repeats": N_REPEATS,
         "msm_n_frames": int(pooled.shape[0]),
         "msm_n_shards": 35,
         "msm_counted_pairs": result.counted_pairs,
@@ -183,14 +212,18 @@ def bench_protein() -> dict:
 
     out = run500(st)
     jax.block_until_ready(out[0].positions)  # compile
-    t0 = time.perf_counter()
-    out = run500(out[0])
-    jax.block_until_ready(out[0].positions)
-    wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(N_REPEATS):
+        t0 = time.perf_counter()
+        out = run500(out[0])
+        jax.block_until_ready(out[0].positions)
+        walls.append(time.perf_counter() - t0)
+    wall, wall_iqr = _med_iqr(walls)
     return {
         "protein_n_atoms": system.n_atoms,
         "protein_ns_per_day": 500 * DT_PS * 1e-3 / wall * 86_400.0,
         "protein_ms_per_step": wall / 500 * 1e3,
+        "protein_ms_per_step_iqr": wall_iqr / 500 * 1e3,
     }
 
 
@@ -234,14 +267,18 @@ def bench_explicit() -> dict:
 
     out = run500(st)
     jax.block_until_ready(out[0].positions)
-    t0 = time.perf_counter()
-    out = run500(out[0])
-    jax.block_until_ready(out[0].positions)
-    wall = time.perf_counter() - t0
+    walls = []
+    for _ in range(N_REPEATS):
+        t0 = time.perf_counter()
+        out = run500(out[0])
+        jax.block_until_ready(out[0].positions)
+        walls.append(time.perf_counter() - t0)
+    wall, wall_iqr = _med_iqr(walls)
     return {
         "explicit_n_atoms": system.n_atoms,
         "explicit_ns_per_day": 500 * DT_PS * 1e-3 / wall * 86_400.0,
         "explicit_ms_per_step": wall / 500 * 1e3,
+        "explicit_ms_per_step_iqr": wall_iqr / 500 * 1e3,
     }
 
 
@@ -298,12 +335,16 @@ def bench_cells_25k(shared: dict | None = None) -> dict:
                         temperature_K=300.0, report_interval=100,
                         force_fn=fn, constraints=spec)
         jax.block_until_ready(out.positions)
-        t0 = time.perf_counter()
-        out, _ = run_md(system, out, n_steps=100, dt=DT_PS, friction=1.0,
-                        temperature_K=300.0, report_interval=100,
-                        force_fn=fn, constraints=spec)
-        jax.block_until_ready(out.positions)
-        wall = time.perf_counter() - t0
+        walls = []
+        for _ in range(N_REPEATS):
+            t0 = time.perf_counter()
+            out, _ = run_md(system, out, n_steps=100, dt=DT_PS,
+                            friction=1.0, temperature_K=300.0,
+                            report_interval=100, force_fn=fn,
+                            constraints=spec)
+            jax.block_until_ready(out.positions)
+            walls.append(time.perf_counter() - t0)
+        wall, wall_iqr = _med_iqr(walls)
         ms_step = wall / 100 * 1e3
 
         # full smooth-PME MD step (electrostatics upgrade path): same
@@ -318,13 +359,17 @@ def bench_cells_25k(shared: dict | None = None) -> dict:
                           temperature_K=300.0, report_interval=100,
                           force_fn=fn_pme, constraints=spec)
         jax.block_until_ready(out_p.positions)
-        t0 = time.perf_counter()
-        out_p, _ = run_md(system, out_p, n_steps=100, dt=DT_PS,
-                          friction=1.0, temperature_K=300.0,
-                          report_interval=100, force_fn=fn_pme,
-                          constraints=spec)
-        jax.block_until_ready(out_p.positions)
-        pme_ms = (time.perf_counter() - t0) / 100 * 1e3
+        pwalls = []
+        for _ in range(N_REPEATS):
+            t0 = time.perf_counter()
+            out_p, _ = run_md(system, out_p, n_steps=100, dt=DT_PS,
+                              friction=1.0, temperature_K=300.0,
+                              report_interval=100, force_fn=fn_pme,
+                              constraints=spec)
+            jax.block_until_ready(out_p.positions)
+            pwalls.append(time.perf_counter() - t0)
+        pme_wall, pme_iqr = _med_iqr(pwalls)
+        pme_ms = pme_wall / 100 * 1e3
 
         # analytic kernel work: S slots x 27M candidates x ~48 flops
         g = fn.grid
@@ -336,9 +381,12 @@ def bench_cells_25k(shared: dict | None = None) -> dict:
         return {
             "cells_n_atoms": system.n_atoms,
             "cells_ms_per_step": ms_step,
+            "cells_ms_per_step_iqr": wall_iqr / 100 * 1e3,
+            "cells_repeats": N_REPEATS,
             "cells_ns_per_day": DT_PS * 1e-3 / (ms_step * 1e-3) * 86_400.0,
             "cells_tflops_achieved": flops / (ms_step * 1e-3) / 1e12,
             "cells_pme_ms_per_step": pme_ms,
+            "cells_pme_ms_per_step_iqr": pme_iqr / 100 * 1e3,
             "cells_pme_ns_per_day": DT_PS * 1e-3 / (pme_ms * 1e-3) * 86_400.0,
             "cells_vs_dense_extrapolated": dense_ms / ms_step,
             "cells_grid": [g.nx, g.ny, g.nz, g.capacity],
@@ -519,16 +567,20 @@ def bench_npt_and_nve(shared: dict) -> dict:
 
 
 def bench_protein_remd_production() -> dict:
-    """PRODUCTION-SPAN protein REMD, end-to-end (VERDICT r3 item #1).
+    """PRODUCTION-SPAN protein REMD, end-to-end and STATISTICALLY REAL
+    (VERDICT r4 item #1 — the round-4 run's 64 counted pairs could not
+    support ITS/CK conclusions).
 
     3gd8 (3,350 atoms, GBn2 implicit solvent via the tiled pair kernel):
-    ``suggest_temperature_ladder`` designs a production ladder over
-    300-375 K at target acceptance 0.3 (round 3 only demonstrated a
-    2-rung/6 K smoke), a warm-up block equilibrates + compiles, and a
-    timed multi-block run records per-rung acceptance + aggregate
-    ns/day. The demuxed coldest-rung trajectories then flow through the
-    flagship pipeline: phi/psi featurization -> shard store -> MSM
-    (the workload the framework exists for, BASELINE.json north star).
+    ``suggest_temperature_ladder`` designs a 300-375 K ladder at the
+    ACTUAL target acceptance 0.3 (the autocorrelation-aware sigma_E
+    makes the prediction trustworthy — no design-target fudge), then a
+    500-exchange-attempt production run records per-rung acceptance +
+    aggregate ns/day. The demuxed four coldest rungs flow through the
+    flagship pipeline (phi/psi -> shard store -> MSM) and the
+    framework's OWN quality gates run on the result: ITS plateau and
+    the ESS-adjusted CK rule (validation contract, reference
+    ck_rule.py:69-117), recorded as bench rows.
 
     Runs the standard 4 fs implicit production protocol: SHAKE/RATTLE
     on every X-H bond (constraints="hbonds") + the default HMR 3 amu
@@ -552,6 +604,8 @@ def bench_protein_remd_production() -> dict:
         )
         from pmarlo_tpu.md.minimize import minimize_energy
         from pmarlo_tpu.md.pallas_pair import build_pair_force_fn
+        from pmarlo_tpu.msm.ck import CKConfig, ck_test, decide_ck
+        from pmarlo_tpu.msm.its import compute_implied_timescales
         from pmarlo_tpu.protein.protein import Protein
         from pmarlo_tpu.remd.ladder import suggest_temperature_ladder
         from pmarlo_tpu.remd.remd import RemdConfig, ReplicaExchange
@@ -572,40 +626,37 @@ def bench_protein_remd_production() -> dict:
         hspec = build_h_constraints(system)
         fn_md = build_pair_force_fn(strip_constrained_bonded(system),
                                     tile=256)
-        # design target 0.45 to MEASURE ~0.25-0.35: short probes
-        # under-sample the energy fluctuations (autocorrelation), so the
-        # Gaussian model predicts wider-than-real spacing — the first
-        # production run (target 0.30, 8 rungs/75 K) measured 0.15
         ladder, predicted = suggest_temperature_ladder(
             system, xmin, t_min=300.0, t_max=375.0,
-            target_acceptance=0.45, probe_steps=600, n_probe=6,
+            target_acceptance=0.30, probe_steps=600, n_probe=6,
             force_fn=fn_md, constraints=hspec, max_rungs=48, dt_ps=dt,
         )
         R = len(ladder)
+        n_attempts = 500
         cfg = RemdConfig(
             n_replicas=R,
             temperatures=tuple(float(t) for t in ladder),
-            exchange_frequency=100, report_interval=100, dt_ps=dt,
-            seed=0, attempts_per_block=10,
+            exchange_frequency=100, report_interval=50, dt_ps=dt,
+            seed=0, attempts_per_block=25,
         )
         remd = ReplicaExchange(system, xmin, cfg, force_fn=fn_md,
                                constraints=hspec, minimize=False)
-        # warm-up block: compiles the 10-attempt executable AND serves as
+        # warm-up block: compiles the 25-attempt executable AND serves as
         # the equilibration phase (the timed run reuses the executable)
-        remd.run(n_steps=1000)
-        n_steps = 4000
+        remd.run(n_steps=2500)
+        n_steps = n_attempts * 100
         t0 = time.perf_counter()
         res = remd.run(n_steps=n_steps)
         wall = time.perf_counter() - t0
         acc = res.acceptance_matrix
         finite = acc[np.isfinite(acc)]
 
-        # flagship pipeline on the two coldest rungs: demux (rung-major
-        # by construction) -> phi/psi -> shards -> MSM
+        # flagship pipeline on the FOUR coldest rungs: demux (rung-major
+        # by construction) -> phi/psi -> shards -> MSM + quality gates
         info = TopologyInfo.from_topology(p.topology)
         t_pipe = time.perf_counter()
         with tempfile.TemporaryDirectory() as td:
-            for rung in (0, 1):
+            for rung in (0, 1, 2, 3):
                 X, _ = featurize_trajectory(
                     res.demuxed_trajectory(rung), "phi_psi", info,
                     cos_sin_expand=True,
@@ -613,21 +664,31 @@ def bench_protein_remd_production() -> dict:
                 emit_shards_from_trajectory(
                     td, np.asarray(X),
                     temperature_K=float(res.temperatures[rung]),
-                    run_id="bench", frames_per_shard=10, dt_ps=dt,
+                    run_id="bench", frames_per_shard=250, dt_ps=dt,
                     feature_spec=["phi_psi"],
                 )
             shards = [read_shard(q) for q in select_shard_paths(td)]
             msm = discretize_dataset(shards, n_states=8, lag=2, seed=0)
         pipe_wall = time.perf_counter() - t_pipe
 
+        # quality gates on the flagship's own data (VERDICT r4 item 1)
+        its = compute_implied_timescales(
+            msm.dtrajs, lags=[1, 2, 3, 5, 8, 12, 20], n_samples=32,
+            seed=0,
+        )
+        ck = ck_test(msm.dtrajs, lag=2, factors=(2, 3))
+        decision = decide_ck(ck, CKConfig(mode="ess_adjusted"))
+
         agg = n_steps * dt * 1e-3 * R * 86_400.0 / wall
         mean_acc = float(finite.mean()) if finite.size else 0.0
+        pred_mean = float(np.mean(predicted))
         return {
             "protein_remd_rungs": R,
             "protein_remd_dt_fs": dt * 1e3,
             "protein_remd_t_span": [float(ladder[0]), float(ladder[-1])],
-            "protein_remd_predicted_acceptance": float(np.mean(predicted)),
+            "protein_remd_predicted_acceptance": pred_mean,
             "protein_remd_measured_acceptance": mean_acc,
+            "protein_remd_acceptance_abs_err": abs(pred_mean - mean_acc),
             "protein_remd_min_pair_acceptance": (
                 float(finite.min()) if finite.size else 0.0
             ),
@@ -638,8 +699,16 @@ def bench_protein_remd_production() -> dict:
             "protein_remd_wall_s": wall,
             "protein_remd_exchange_attempts": int(res.exchange_attempts),
             "protein_remd_msm_states": int(msm.transition_matrix.shape[0]),
-            "protein_remd_msm_counted_pairs": int(msm.counted_pairs),
+            "protein_remd_counted_pairs": int(msm.counted_pairs),
             "protein_remd_pipeline_wall_s": pipe_wall,
+            "protein_remd_its_plateau_lag": (
+                -1 if its.plateau_lag is None else int(its.plateau_lag)
+            ),
+            "protein_remd_ck_pass": bool(decision["passed"]),
+            "protein_remd_ck_detail": {
+                k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in decision.get("per_factor", {}).items()
+            },
         }
     except Exception as exc:  # pragma: no cover - bench resilience
         return {"protein_remd_error": str(exc)[:300]}

@@ -10,6 +10,7 @@ under a JAX PRNG key for exact reproducibility.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -97,6 +98,29 @@ def _lloyd(x: jax.Array, centers: jax.Array, n_iter: int) -> Tuple[jax.Array, ja
     return centers, labels, inertia
 
 
+@partial(jax.jit, static_argnames=("k", "n_iter", "n_trials"))
+def _kmeans_fused(x, key, k: int, n_iter: int, n_trials: int):
+    """k-means++ init + Lloyd + best-of-n-trials as ONE jitted program.
+
+    The eager per-stage version cost 10+ dispatches per trial; on a
+    tunneled TPU (~100 ms per dispatch) that dwarfed the math and was
+    the dominant share of the 35-shard MSM build wall-clock (measured
+    14 s warm; fused: one dispatch + one transfer). Trials vmap."""
+
+    def one(trial_key):
+        init = _kmeans_pp_init(trial_key, x, k)
+        centers, _, inertia = _lloyd(x, init, n_iter)
+        return centers, inertia
+
+    keys = jax.random.split(key, n_trials)
+    centers_all, inertia_all = jax.vmap(one)(keys)
+    best = jnp.argmin(inertia_all)
+    centers = centers_all[best]
+    d2 = _pairwise_sq_dists(x, centers)
+    labels = jnp.argmin(d2, axis=1)
+    return centers, labels, inertia_all[best]
+
+
 def kmeans(
     x,
     n_states: int,
@@ -116,16 +140,10 @@ def kmeans(
         raise ValueError(f"{x.shape[0]} samples < {n_states} clusters")
     if key is None:
         key = jax.random.PRNGKey(seed)
-
-    best = None
-    for trial in range(max(int(n_init), 1)):
-        trial_key = jax.random.fold_in(key, trial)
-        init = _kmeans_pp_init(trial_key, x, n_states)
-        centers, labels, inertia = _lloyd(x, init, n_iter)
-        inertia_f = float(inertia)
-        if best is None or inertia_f < best[2]:
-            best = (np.asarray(centers), np.asarray(labels), inertia_f)
-    return best
+    centers, labels, inertia = _kmeans_fused(
+        x, key, int(n_states), int(n_iter), max(int(n_init), 1)
+    )
+    return np.asarray(centers), np.asarray(labels), float(inertia)
 
 
 def silhouette_score(x, labels, n_states: int, max_samples: int = 2048, seed: int = 0) -> float:
