@@ -182,12 +182,27 @@ def volume(box: Sequence[float],
     return float(np.prod([float(v) for v in box]))
 
 
+#: lattice transforms run at HIGHEST matmul precision: TPU matmul units
+#: take bf16 inputs by default (8 mantissa bits), and a ~0.01 nm error
+#: in a fractional coordinate flips floor/round near cell boundaries —
+#: atoms land in wrong cells / wrong images and the triclinic energy
+#: breaks by O(100) kJ/mol (measured on chip, round 5; the same failure
+#: mode as the PME spreading noise). These are (N, 3) @ (3, 3) products:
+#: the precision pin costs nothing measurable.
+_LAT_PREC = jax.lax.Precision.HIGHEST
+
+
+def latmul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Lattice-transform matmul pinned to HIGHEST precision."""
+    return jnp.matmul(a, b, precision=_LAT_PREC)
+
+
 def wrap_frac(x: jax.Array, H: jax.Array, Hinv: jax.Array) -> jax.Array:
     """Wrap positions into the primary cell via fractional coordinates.
     ``H``/``Hinv`` are (3, 3) arrays (static constants under jit)."""
-    f = x @ Hinv
+    f = latmul(x, Hinv)
     f = f - jnp.floor(f)
-    return f @ H
+    return latmul(f, H)
 
 
 def min_image_round(d: jax.Array, H: jax.Array,
@@ -197,7 +212,7 @@ def min_image_round(d: jax.Array, H: jax.Array,
     smallest perpendicular width — every cutoff-bounded use qualifies
     (the engine enforces perp widths >= 2*cutoff). For orthorhombic H
     this is literally ``d - box * round(d / box)``."""
-    return d - jnp.round(d @ Hinv) @ H
+    return d - latmul(jnp.round(latmul(d, Hinv)), H)
 
 
 def min_image_exact(d: jax.Array, H: jax.Array) -> jax.Array:
@@ -206,13 +221,13 @@ def min_image_exact(d: jax.Array, H: jax.Array) -> jax.Array:
     minimum image lies within one cell of the rounded one — always true
     in reduced form)."""
     Hj = jnp.asarray(H, d.dtype)
-    base = d - jnp.round(d @ jnp.asarray(
-        np.linalg.inv(np.asarray(H, np.float64)), d.dtype)) @ Hj
-    shifts = jnp.asarray(
+    base = d - latmul(jnp.round(latmul(d, jnp.asarray(
+        np.linalg.inv(np.asarray(H, np.float64)), d.dtype))), Hj)
+    shifts = latmul(jnp.asarray(
         np.array(np.meshgrid(*([[-1.0, 0.0, 1.0]] * 3),
                              indexing="ij")).reshape(3, -1).T,
         d.dtype,
-    ) @ Hj                                               # (27, 3)
+    ), Hj)                                               # (27, 3)
     cand = base[..., None, :] + shifts                   # (..., 27, 3)
     r2 = jnp.sum(cand * cand, axis=-1)
     pick = jnp.argmin(r2, axis=-1)

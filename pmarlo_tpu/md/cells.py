@@ -191,9 +191,11 @@ def bin_atoms(grid: CellGrid, x: jax.Array, box: jax.Array | None = None):
             Hj, Hinvj = traced_matrices(
                 box.astype(x.dtype), tilt_ratios(grid.box, grid.tilt)
             )
-        f = x @ Hinvj
+        from .box import latmul
+
+        f = latmul(x, Hinvj)
         f = f - jnp.floor(f)
-        xw = f @ Hj
+        xw = latmul(f, Hj)
     c = (f * ncell).astype(jnp.int32)
     cx = jnp.clip(c[:, 0], 0, grid.nx - 1)
     cy = jnp.clip(c[:, 1], 0, grid.ny - 1)

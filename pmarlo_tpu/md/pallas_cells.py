@@ -593,7 +593,9 @@ def build_cell_force_fn(
 
         def _min_image(d, b):
             Hj, Hinvj = _traced_matrices(b, _ratios)
-            return d - jnp.round(d @ Hinvj) @ Hj
+            from .box import latmul
+
+            return d - latmul(jnp.round(latmul(d, Hinvj)), Hj)
     eps_rf = float(system.solvent_dielectric)
     k_rf = (eps_rf - 1.0) / ((2.0 * eps_rf + 1.0) * rc**3)
     c_rf = 1.0 / rc + k_rf * rc * rc

@@ -138,8 +138,10 @@ def test_pair_kernel_vmaps_over_replicas(ala_gb):
     xs = jnp.stack([x, x + 0.01, x - 0.01])
     es, fs = jax.vmap(fn)(xs)
     e0, f0 = fn(xs[1])
-    assert abs(float(es[1]) - float(e0)) < 1e-3
-    np.testing.assert_allclose(np.asarray(fs[1]), np.asarray(f0), atol=1e-3)
+    # vmapped reductions reassociate: agreement to f32 noise, not bits
+    assert abs(float(es[1]) - float(e0)) < 5e-3
+    np.testing.assert_allclose(np.asarray(fs[1]), np.asarray(f0),
+                               atol=5e-3, rtol=2e-4)
 
 
 def test_culled_huge_cutoff_matches_base(ala_gb):

@@ -144,7 +144,7 @@ def test_overflow_probe_is_host_visible(spread_line):
     assert not bool(fn.check_overflow(x0))
     # collapse the assembly: every tile AABB lands within the cutoff of
     # every other -> per-row neighbor count = GRID > K
-    assert bool(fn.check_overflow(x0 * 0.01))
+    assert bool(fn.check_overflow(x0 * 0.001))
 
 
 @pytest.mark.slow
@@ -154,7 +154,7 @@ def test_run_md_raises_on_tile_list_overflow(spread_line):
     system, x0 = spread_line
     fn = build_pair_force_fn(system, tile=128, interpret=True,
                              gb_cutoff=1.5, order_from=np.asarray(x0))
-    state = thermalize(system, x0 * 0.01, jax.random.PRNGKey(0), 300.0)
+    state = thermalize(system, x0 * 0.001, jax.random.PRNGKey(0), 300.0)
     with pytest.raises(RuntimeError, match="tile neighbor list overflow"):
         run_md(system, state, n_steps=1, dt=0.001, friction=1.0,
                temperature_K=300.0, report_interval=1, force_fn=fn)
