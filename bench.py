@@ -756,6 +756,37 @@ def bench_gb_culled() -> dict:
                 e, f = fn(x)
             jax.block_until_ready(f)
             ms = (time.perf_counter() - t0) / 10 * 1e3
+            if label == "60k":
+                # MD-STEP row at 60k (VERDICT r4 item 7): the 4 fs
+                # implicit production protocol through the culled kernel
+                from pmarlo_tpu.md.constraints import (
+                    build_h_constraints,
+                    strip_constrained_bonded,
+                )
+                from pmarlo_tpu.md.integrate import run_md, thermalize
+
+                hspec = build_h_constraints(system)
+                fn_md = build_pair_force_fn(
+                    strip_constrained_bonded(system), tile=128,
+                    gb_cutoff=1.5, order_from=np.asarray(x0),
+                )
+                st = thermalize(system, x, jax.random.PRNGKey(0), 300.0)
+                st, _ = run_md(system, st, n_steps=50, dt=0.004,
+                               friction=1.0, temperature_K=300.0,
+                               report_interval=50, force_fn=fn_md,
+                               constraints=hspec)
+                jax.block_until_ready(st.positions)
+                t0 = time.perf_counter()
+                st, _ = run_md(system, st, n_steps=50, dt=0.004,
+                               friction=1.0, temperature_K=300.0,
+                               report_interval=50, force_fn=fn_md,
+                               constraints=hspec)
+                jax.block_until_ready(st.positions)
+                step_ms = (time.perf_counter() - t0) / 50 * 1e3
+                out["gb_60k_ms_per_step"] = step_ms
+                out["gb_60k_ns_per_day"] = (
+                    0.004 * 1e-3 / (step_ms * 1e-3) * 86_400.0
+                )
             dense_ms = DENSE_ANCHOR_MS * (system.n_atoms
                                           / DENSE_ANCHOR_N) ** 2
             out[f"gb_{label}_n_atoms"] = system.n_atoms

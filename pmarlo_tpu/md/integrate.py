@@ -174,7 +174,7 @@ def langevin_step(
     elif force_fn is not None:
         energy, f = force_fn(state.positions)
     else:
-        if system.vsite_idx is not None:
+        if getattr(system, "vsite_idx", None) is not None:
             # compose the site expansion into the energy: jax.grad
             # through the linear map IS the exact force spread
             from .vsites import vsite_positions as _vp
@@ -222,7 +222,7 @@ def langevin_step(
         v = v + (x_c - x) / (0.5 * dt)
         x = x_c
         v = rattle(constraints, v, x)
-    if system.vsite_idx is not None:
+    if getattr(system, "vsite_idx", None) is not None:
         from .vsites import vsite_positions
 
         x = vsite_positions(x, system.vsite_idx, system.vsite_weights)

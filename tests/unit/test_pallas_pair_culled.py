@@ -122,11 +122,11 @@ def test_replicate_structure_counts():
 
 @pytest.fixture(scope="module")
 def spread_line():
-    """84 alanine copies on a 6 nm-spaced line: GRID=15 tiles at tile=128
+    """120 alanine copies on a 6 nm-spaced line: GRID=21 tiles at tile=128
     with sparse build-time tile lists (K < GRID), so a collapse of the
     assembly can overflow the list width."""
     big = replicate_structure(
-        alanine_dipeptide_structure(), n=(84, 1, 1), spacing=(6.0, 0.0, 0.0)
+        alanine_dipeptide_structure(), n=(120, 1, 1), spacing=(6.0, 0.0, 0.0)
     )
     system, x0 = build_system(big, gb_model="gbn2")
     return system, jnp.asarray(x0, jnp.float32)
