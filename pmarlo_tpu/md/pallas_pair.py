@@ -99,6 +99,7 @@ def build_pair_force_fn(
     interpret: bool = False,
     gb_cutoff: "float | None" = None,
     order_from=None,
+    newton: "bool | None" = None,
 ) -> Callable:
     """Jitted ``fn(x (N,3)) -> (energy, forces (N,3))`` for the FULL
     potential: tiled-kernel pair stage + XLA bonded terms.
@@ -132,6 +133,21 @@ def build_pair_force_fn(
     O(1/80-screened) kick, but microcanonical (NVE) runs would show
     spurious energy drift. For NVE conservation work use the dense path
     (gb_cutoff=None), whose potential is everywhere smooth.
+
+    ``newton`` selects the SYMMETRIC-DEDUP block-list kernels (round 5):
+    every unordered (row-tile, col-tile) block is computed ONCE — the
+    kernel evaluates both interaction directions in one pass (Newton's
+    third law for the force; both Born/dEdB attributions) and scatters
+    to row atoms (revisited row-block outputs, streaks detected from
+    the scalar-prefetched block list) and to column atoms (a full-width
+    revisited accumulator updated at dynamic lane offsets). The grid
+    runs over a flat row-major block list, so Mosaic pipelines the
+    block DMAs via index maps — no in-kernel dynamic-slice loop at all.
+    This roughly halves pair-sweep work vs the ordered kernels (hct is
+    evaluated per direction either way; everything else is shared).
+    Default: True for the culled path, False for dense (the fully
+    static dense kernels measure faster at small N where the whole row
+    fits one grid step).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -140,6 +156,8 @@ def build_pair_force_fn(
         raise ValueError("tile must be a multiple of 128 (lane blocking)")
     if order_from is not None and gb_cutoff is None:
         raise ValueError("order_from only affects the gb_cutoff path")
+    if newton is None:
+        newton = gb_cutoff is not None
 
     n_real = system.n_atoms
     N = ((n_real + tile - 1) // tile) * tile
@@ -666,12 +684,26 @@ def build_pair_force_fn(
             x.astype(jnp.float32))
         return xp, None
 
-    if gb_cutoff is None:
+    if gb_cutoff is None and not newton:
         return _make_force_fn(
             lambda xp, xf, _m: sweep1(xp, xf),
             lambda xp, xf, B, _m: sweep2(xp, xf, B),
             lambda xp, xf, B, c, _m: sweep3(xp, xf, B, c),
             prepare_base, lambda F: F,
+        )
+
+    if newton:
+        return _build_newton_path(
+            system=system, tile=tile, interpret=interpret,
+            gb_cutoff=gb_cutoff, order_from=order_from,
+            n_real=n_real, N=N, GRID=GRID, pad=pad, perm=perm,
+            row_arrays=row_arrays, col_arrays=col_arrays,
+            oh_rows=oh_rows, oh_cols=oh_cols, D0c=D0c, M0c=M0c, C=C,
+            idx_chan=idx_chan, band_D=band_D, ke=ke, gb_pref=gb_pref,
+            use_gb=use_gb, use_neck=use_neck, params=params,
+            make_force_fn=_make_force_fn, pl=pl, pltpu=pltpu,
+            pair_geometry=pair_geometry, hct_terms=hct_terms,
+            neck_tile=neck_tile,
         )
 
     # ----- bounding-box tile culling via a TILE-level neighbor list --------
@@ -1087,6 +1119,442 @@ def build_pair_force_fn(
 
     fn.check_overflow = _check_overflow
     fn.tile_list_width = K
+    return fn
+
+
+def _build_newton_path(
+    *, system, tile, interpret, gb_cutoff, order_from,
+    n_real, N, GRID, pad, perm,
+    row_arrays, col_arrays, oh_rows, oh_cols, D0c, M0c, C,
+    idx_chan, band_D, ke, gb_pref, use_gb, use_neck, params,
+    make_force_fn, pl, pltpu, pair_geometry, hct_terms, neck_tile,
+):
+    """Symmetric-dedup (Newton) block-list sweeps: see the ``newton``
+    paragraph in :func:`build_pair_force_fn`.
+
+    Layout contract: the grid iterates a flat ROW-MAJOR list of
+    upper-triangular (row_tile, col_tile) block ids (culled by AABB gap
+    when ``gb_cutoff`` is set; the full static triangle otherwise).
+    Row-side results use revisited row-block outputs — a block whose
+    row id differs from its predecessor's starts the row's streak and
+    OVERWRITES; later blocks of the streak accumulate; Pallas flushes
+    when the row id changes. Column-side results accumulate into one
+    full-width (8, N) revisited output at dynamic lane offsets (rows
+    used: sweep1 -> [I], sweep2 -> [dEdB], sweep3 -> [Fx, Fy, Fz]).
+    Padding entries repeat the LAST REAL block's ids so streaks stay
+    contiguous; their weight (k < n_blocks) zeroes the physics."""
+    import jax
+    import jax.numpy as jnp
+
+    has_cut = gb_cutoff is not None
+    cutf = float(gb_cutoff) if has_cut else 0.0
+    vmem = pltpu.VMEM
+    iu_np, ju_np = np.triu_indices(GRID)
+    M = int(iu_np.shape[0])
+
+    # --- block-list width (static) ------------------------------------
+    if has_cut and order_from is not None:
+        x0p = np.asarray(order_from, np.float32)
+        if perm is not None:
+            x0p = x0p[perm]
+        if pad:
+            x0p = np.concatenate([x0p, np.repeat(x0p[-1:], pad, 0)])
+        xr0 = x0p.reshape(GRID, tile, 3)
+        lo = xr0.min(1)
+        hi = xr0.max(1)
+        g1 = lo[:, None, :] - hi[None, :, :]
+        g2 = lo[None, :, :] - hi[:, None, :]
+        gap0 = np.maximum(0.0, np.maximum(g1, g2))
+        close0 = (gap0 ** 2).sum(-1) <= cutf * cutf
+        total0 = int(np.triu(close0).sum())
+        # a GLOBAL total fluctuates less than per-row maxima (it
+        # averages over rows), so the sizing margin can be tighter
+        # than the ordered path's per-row 1.35x
+        KT = min(M, int(np.ceil(1.25 * total0)) + 16)
+    else:
+        KT = M
+
+    # --- kernels --------------------------------------------------------
+    def _sym_mask(k, r_id, c_id, nblk, r, not_self, mask_i, mask_j):
+        """Once-per-unordered-pair validity: both atoms real, strict
+        upper triangle in storage order (kills self pairs AND the
+        double count on diagonal blocks; off-diagonal listed blocks
+        have c > r so every lane passes), in-list weight, cutoff."""
+        rg = r_id * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+        cg = c_id * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        one = (mask_i * mask_j * not_self
+               * (cg > rg).astype(r.dtype)
+               * (k < nblk).astype(r.dtype))
+        if has_cut:
+            one = one * (r <= cutf).astype(r.dtype)
+        return one
+
+    def _streak(ids_r_ref, k, r_id):
+        return jnp.logical_or(k == 0,
+                              r_id != ids_r_ref[jnp.maximum(k - 1, 0)])
+
+    def _row_accum(ref, first, part):
+        @pl.when(first)
+        def _():
+            ref[...] = part
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ref[...] = ref[...] + part
+
+    def _col_accum(ref, sub, off, part):
+        ref[sub, pl.ds(off, tile)] = ref[sub, pl.ds(off, tile)] + part
+
+    def born_sym(ids_r_ref, ids_c_ref, nblk_ref,
+                 xi_ref, xf_ref, rho_i_ref, sr_i_ref, mask_i_ref,
+                 rho_j_ref, sr_j_ref, mask_j_ref, oh_i_ref, oh_j_ref,
+                 d0c_ref, m0c_ref, I_row_ref, I_col_ref):
+        k = pl.program_id(0)
+        r_id = ids_r_ref[k]
+        c_id = ids_c_ref[k]
+        first = _streak(ids_r_ref, k, r_id)
+
+        @pl.when(k == 0)
+        def _():
+            I_col_ref[...] = jnp.zeros_like(I_col_ref)
+
+        _, _, _, r, not_self = pair_geometry(xi_ref[...], xf_ref[...])
+        one = _sym_mask(k, r_id, c_id, nblk_ref[0], r, not_self,
+                        mask_i_ref[...], mask_j_ref[...])
+        inv_r = 1.0 / r
+        H_ij, _ = hct_terms(r, inv_r, rho_i_ref[...], sr_j_ref[...])
+        H_ji, _ = hct_terms(r, inv_r, rho_j_ref[...], sr_i_ref[...])
+        Hw_ij = H_ij
+        Hw_ji = H_ji
+        if use_neck:
+            nv, _ = neck_tile(oh_i_ref[...], oh_j_ref[...],
+                              d0c_ref[...], m0c_ref[...], r)
+            # I = 0.5 sum H + sum nv: fold nv at 2x so the shared 0.5
+            # below restores it (neck is symmetric in i, j)
+            nv2 = 2.0 * nv
+            Hw_ij = Hw_ij + nv2
+            Hw_ji = Hw_ji + nv2
+        row_part = 0.5 * jnp.sum(Hw_ij * one, axis=1, keepdims=True)
+        col_part = 0.5 * jnp.sum(Hw_ji * one, axis=0, keepdims=True)
+        _row_accum(I_row_ref, first, row_part)
+        off = pl.multiple_of(c_id * tile, 128)
+        _col_accum(I_col_ref, slice(0, 1), off, col_part)
+
+    def energy_sym(ids_r_ref, ids_c_ref, nblk_ref,
+                   xi_ref, xf_ref, q_i_ref, sig_i_ref, eps_i_ref,
+                   ib_i_ref, B_i_ref, mask_i_ref,
+                   q_j_ref, sig_j_ref, eps_j_ref, ib_j_ref, B_j_ref,
+                   mask_j_ref, e_ref, dEdB_row_ref, dEdB_col_ref):
+        k = pl.program_id(0)
+        r_id = ids_r_ref[k]
+        c_id = ids_c_ref[k]
+        first = _streak(ids_r_ref, k, r_id)
+
+        @pl.when(k == 0)
+        def _():
+            dEdB_col_ref[...] = jnp.zeros_like(dEdB_col_ref)
+
+        _, _, _, r, not_self = pair_geometry(xi_ref[...], xf_ref[...])
+        one = _sym_mask(k, r_id, c_id, nblk_ref[0], r, not_self,
+                        mask_i_ref[...], mask_j_ref[...])
+        inv_r = 1.0 / r
+        sig_ij = 0.5 * (sig_i_ref[...] + sig_j_ref[...])
+        eps_ij = eps_i_ref[...] * eps_j_ref[...]   # rows carry sqrt(eps)
+        sr6 = (sig_ij * inv_r) ** 6
+        ob = (jnp.abs(ib_i_ref[...] - ib_j_ref[...]) > band_D).astype(r.dtype)
+        qq = q_i_ref[...] * q_j_ref[...]
+        # counted ONCE per unordered pair: no 0.5 (vs the ordered sweeps)
+        e_blk = (4.0 * eps_ij * (sr6 * sr6 - sr6)
+                 + ke * qq * inv_r) * ob * one
+        if use_gb:
+            B_i = B_i_ref[...]
+            B_j = B_j_ref[...]
+            BB = B_i * B_j
+            expu = jnp.exp(-(r * r) / (4.0 * BB))
+            f = jnp.sqrt(r * r + BB * expu)
+            inv_f = 1.0 / f
+            qq_gb = gb_pref * qq
+            # unordered GB cross energy = 2x the ordered-pair value
+            e_blk = e_blk + 2.0 * qq_gb * inv_f * one
+            # accumulate the ORDERED-direction quantity on each side;
+            # the glue multiplies by 2 (same contract as the ordered
+            # kernels' row-only dEdB)
+            dEdf = -qq_gb * inv_f * inv_f * one
+            dfdBi = expu * (B_j + r * r / (4.0 * B_i)) * (0.5 * inv_f)
+            dfdBj = expu * (B_i + r * r / (4.0 * B_j)) * (0.5 * inv_f)
+            drow = jnp.sum(dEdf * dfdBi, axis=1, keepdims=True)
+            dcol = jnp.sum(dEdf * dfdBj, axis=0, keepdims=True)
+        else:
+            drow = jnp.zeros((tile, 1), jnp.float32)
+            dcol = jnp.zeros((1, tile), jnp.float32)
+        _row_accum(e_ref, first, jnp.sum(e_blk, axis=1, keepdims=True))
+        _row_accum(dEdB_row_ref, first, drow)
+        off = pl.multiple_of(c_id * tile, 128)
+        _col_accum(dEdB_col_ref, slice(0, 1), off, dcol)
+
+    def force_sym(ids_r_ref, ids_c_ref, nblk_ref,
+                  xi_ref, xf_ref, q_i_ref, sig_i_ref, eps_i_ref,
+                  ib_i_ref, B_i_ref, c_i_ref, rho_i_ref, sr_i_ref,
+                  mask_i_ref, q_j_ref, sig_j_ref, eps_j_ref, ib_j_ref,
+                  B_j_ref, c_j_ref, rho_j_ref, sr_j_ref, mask_j_ref,
+                  oh_i_ref, oh_j_ref, d0c_ref, m0c_ref,
+                  F_row_ref, F_col_ref):
+        k = pl.program_id(0)
+        r_id = ids_r_ref[k]
+        c_id = ids_c_ref[k]
+        first = _streak(ids_r_ref, k, r_id)
+
+        @pl.when(k == 0)
+        def _():
+            F_col_ref[...] = jnp.zeros_like(F_col_ref)
+
+        dd0, dd1, dd2, r, not_self = pair_geometry(xi_ref[...], xf_ref[...])
+        one = _sym_mask(k, r_id, c_id, nblk_ref[0], r, not_self,
+                        mask_i_ref[...], mask_j_ref[...])
+        inv_r = 1.0 / r
+        inv_r2 = inv_r * inv_r
+        sig_ij = 0.5 * (sig_i_ref[...] + sig_j_ref[...])
+        eps_ij = eps_i_ref[...] * eps_j_ref[...]
+        sr6 = (sig_ij * inv_r) ** 6
+        ob = (jnp.abs(ib_i_ref[...] - ib_j_ref[...]) > band_D).astype(r.dtype)
+        qq = q_i_ref[...] * q_j_ref[...]
+        # W = dE/dr of the UNORDERED pair — identical to the ordered
+        # kernels' W (which is symmetric under i<->j); computed once
+        W = (4.0 * eps_ij * (-12.0 * sr6 * sr6 + 6.0 * sr6) * inv_r
+             - ke * qq * inv_r2) * ob
+        if use_gb:
+            B_i = B_i_ref[...]
+            B_j = B_j_ref[...]
+            BB = B_i * B_j
+            expu = jnp.exp(-(r * r) / (4.0 * BB))
+            f = jnp.sqrt(r * r + BB * expu)
+            inv_f = 1.0 / f
+            qq_gb = gb_pref * 2.0 * qq
+            dEdf = -qq_gb * inv_f * inv_f
+            dfdr = r * (1.0 - 0.25 * expu) * inv_f
+            W = W + dEdf * dfdr
+            _, dH_ij = hct_terms(r, inv_r, rho_i_ref[...], sr_j_ref[...])
+            _, dH_ji = hct_terms(r, inv_r, rho_j_ref[...], sr_i_ref[...])
+            dIdr_ij = 0.5 * dH_ij
+            dIdr_ji = 0.5 * dH_ji
+            if use_neck:
+                nv, dnv = neck_tile(oh_i_ref[...], oh_j_ref[...],
+                                    d0c_ref[...], m0c_ref[...], r)
+                dIdr_ij = dIdr_ij + dnv
+                dIdr_ji = dIdr_ji + dnv
+            W = W + c_i_ref[...] * dIdr_ij + c_j_ref[...] * dIdr_ji
+        W = W * one * inv_r
+        Wd0 = W * dd0
+        Wd1 = W * dd1
+        Wd2 = W * dd2
+        # Newton: force on the row atom is -W dd; on the column atom +W dd
+        row_part = jnp.concatenate(
+            [-jnp.sum(Wd0, axis=1, keepdims=True),
+             -jnp.sum(Wd1, axis=1, keepdims=True),
+             -jnp.sum(Wd2, axis=1, keepdims=True)], axis=1)
+        _row_accum(F_row_ref, first, row_part)
+        off = pl.multiple_of(c_id * tile, 128)
+        _col_accum(F_col_ref, slice(0, 1), off,
+                   jnp.sum(Wd0, axis=0, keepdims=True))
+        _col_accum(F_col_ref, slice(1, 2), off,
+                   jnp.sum(Wd1, axis=0, keepdims=True))
+        _col_accum(F_col_ref, slice(2, 3), off,
+                   jnp.sum(Wd2, axis=0, keepdims=True))
+
+    # --- pallas_call plumbing -------------------------------------------
+    def rspec(w):
+        return pl.BlockSpec((tile, w), (lambda k, r, c, n: (r[k], 0)),
+                            memory_space=vmem)
+
+    def cspec(s):
+        return pl.BlockSpec((s, tile), (lambda k, r, c, n: (0, c[k])),
+                            memory_space=vmem)
+
+    def kspec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, (lambda k, r, c, n, _n=nd: (0,) * _n),
+                            memory_space=vmem)
+
+    acc_spec = pl.BlockSpec((8, N), (lambda k, r, c, n: (0, 0)),
+                            memory_space=pltpu.VMEM)
+
+    def _call(kernel, ins, specs, out_shape, out_specs, scal):
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3, grid=(KT,), in_specs=specs,
+            out_specs=out_specs,
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=gs, compiler_params=params,
+            out_shape=out_shape, interpret=interpret,
+        )(*scal, *ins)
+
+    rho_row = np.ascontiguousarray(row_arrays["rho"])
+    sr_row = np.ascontiguousarray(row_arrays["sr"])
+    mask_row = np.ascontiguousarray(row_arrays["mask"])
+    q_row = np.ascontiguousarray(row_arrays["q"])
+    sig_row = np.ascontiguousarray(row_arrays["sig"])
+    eps_row = np.ascontiguousarray(row_arrays["eps"])
+    ib_row = np.ascontiguousarray(idx_chan[:, None])
+    ib_col = np.ascontiguousarray(idx_chan[None, :])
+
+    def sweep1_s(ids_r, ids_c, nblk, xT, xf):
+        ins = [
+            jnp.asarray(xT), jnp.asarray(xf),
+            jnp.asarray(rho_row), jnp.asarray(sr_row),
+            jnp.asarray(mask_row),
+            jnp.asarray(col_arrays["rho"]), jnp.asarray(col_arrays["sr"]),
+            jnp.asarray(col_arrays["mask"]),
+            jnp.asarray(oh_rows), jnp.asarray(oh_cols),
+            jnp.asarray(D0c, jnp.float32), jnp.asarray(M0c, jnp.float32),
+        ]
+        specs = [
+            rspec(3), cspec(3),
+            rspec(1), rspec(1), rspec(1),
+            cspec(1), cspec(1), cspec(1),
+            rspec(C), cspec(C),
+            kspec(D0c.shape), kspec(M0c.shape),
+        ]
+        I_row, I_col = _call(
+            born_sym, ins, specs,
+            (jax.ShapeDtypeStruct((N, 1), jnp.float32),
+             jax.ShapeDtypeStruct((8, N), jnp.float32)),
+            (rspec(1), acc_spec), (ids_r, ids_c, nblk),
+        )
+        return I_row + I_col[0:1, :].T
+
+    def sweep2_s(ids_r, ids_c, nblk, xT, xf, B):
+        ins = [
+            jnp.asarray(xT), jnp.asarray(xf),
+            jnp.asarray(q_row), jnp.asarray(sig_row), jnp.asarray(eps_row),
+            jnp.asarray(ib_row), B[:, None], jnp.asarray(mask_row),
+            jnp.asarray(col_arrays["q"]), jnp.asarray(col_arrays["sig"]),
+            jnp.asarray(col_arrays["eps"]), jnp.asarray(ib_col),
+            B[None, :], jnp.asarray(col_arrays["mask"]),
+        ]
+        specs = [
+            rspec(3), cspec(3),
+            rspec(1), rspec(1), rspec(1), rspec(1), rspec(1), rspec(1),
+            cspec(1), cspec(1), cspec(1), cspec(1), cspec(1), cspec(1),
+        ]
+        e_row, dEdB_row, dEdB_col = _call(
+            energy_sym, ins, specs,
+            (jax.ShapeDtypeStruct((N, 1), jnp.float32),
+             jax.ShapeDtypeStruct((N, 1), jnp.float32),
+             jax.ShapeDtypeStruct((8, N), jnp.float32)),
+            (rspec(1), rspec(1), acc_spec), (ids_r, ids_c, nblk),
+        )
+        return e_row, dEdB_row + dEdB_col[0:1, :].T
+
+    def sweep3_s(ids_r, ids_c, nblk, xT, xf, B, c_chain):
+        ins = [
+            jnp.asarray(xT), jnp.asarray(xf),
+            jnp.asarray(q_row), jnp.asarray(sig_row), jnp.asarray(eps_row),
+            jnp.asarray(ib_row), B[:, None], c_chain[:, None],
+            jnp.asarray(rho_row), jnp.asarray(sr_row),
+            jnp.asarray(mask_row),
+            jnp.asarray(col_arrays["q"]), jnp.asarray(col_arrays["sig"]),
+            jnp.asarray(col_arrays["eps"]), jnp.asarray(ib_col),
+            B[None, :], c_chain[None, :],
+            jnp.asarray(col_arrays["rho"]), jnp.asarray(col_arrays["sr"]),
+            jnp.asarray(col_arrays["mask"]),
+            jnp.asarray(oh_rows), jnp.asarray(oh_cols),
+            jnp.asarray(D0c, jnp.float32), jnp.asarray(M0c, jnp.float32),
+        ]
+        specs = [
+            rspec(3), cspec(3),
+            rspec(1), rspec(1), rspec(1), rspec(1), rspec(1), rspec(1),
+            rspec(1), rspec(1), rspec(1),
+            cspec(1), cspec(1), cspec(1), cspec(1), cspec(1), cspec(1),
+            cspec(1), cspec(1), cspec(1),
+            rspec(C), cspec(C),
+            kspec(D0c.shape), kspec(M0c.shape),
+        ]
+        F_row, F_col = _call(
+            force_sym, ins, specs,
+            (jax.ShapeDtypeStruct((N, 3), jnp.float32),
+             jax.ShapeDtypeStruct((8, N), jnp.float32)),
+            (rspec(3), acc_spec), (ids_r, ids_c, nblk),
+        )
+        return F_row + F_col[0:3, :].T
+
+    # --- block-list construction ------------------------------------------
+    iu_j = jnp.asarray(iu_np.astype(np.int32))
+    ju_j = jnp.asarray(ju_np.astype(np.int32))
+    perm_j = jnp.asarray(perm, jnp.int32) if perm is not None else None
+
+    def _pad_positions(x):
+        xg = x.astype(jnp.float32)
+        if perm_j is not None:
+            xg = xg[perm_j]
+        if pad:
+            xg = jnp.concatenate(
+                [xg, jnp.broadcast_to(xg[-1:], (pad, 3))], axis=0)
+        return xg
+
+    if has_cut:
+        def prepare(x):
+            xg = _pad_positions(x)
+            xr = xg.reshape(GRID, tile, 3)
+            lo = jnp.min(xr, axis=1)
+            hi = jnp.max(xr, axis=1)
+            g1_ = lo[:, None, :] - hi[None, :, :]
+            g2_ = lo[None, :, :] - hi[:, None, :]
+            gap = jnp.maximum(0.0, jnp.maximum(g1_, g2_))
+            close = jnp.sum(gap * gap, axis=-1) <= cutf * cutf
+            cu = close[iu_j, ju_j]                       # (M,) upper blocks
+            total = jnp.sum(cu.astype(jnp.int32))
+            order = jnp.argsort(jnp.logical_not(cu), stable=True)[:KT]
+            r_sel = jnp.take(iu_j, order)
+            c_sel = jnp.take(ju_j, order)
+            # padding entries REPEAT the last real block so row streaks
+            # stay contiguous (a fresh row id would restart that row's
+            # revisited output and overwrite it with zero-weight work)
+            last = jnp.clip(total - 1, 0, KT - 1)
+            last_r = jnp.take(r_sel, last)
+            last_c = jnp.take(c_sel, last)
+            inlist = jnp.arange(KT, dtype=jnp.int32) < total
+            ids_r = jnp.where(inlist, r_sel, last_r).astype(jnp.int32)
+            ids_c = jnp.where(inlist, c_sel, last_c).astype(jnp.int32)
+            overflow = total > KT
+            nblk = jnp.minimum(total, KT).astype(jnp.int32)[None]
+            return xg, (ids_r, ids_c, nblk, overflow)
+    else:
+        ids_r_const = jnp.asarray(iu_np.astype(np.int32))
+        ids_c_const = jnp.asarray(ju_np.astype(np.int32))
+        nblk_const = jnp.asarray([M], jnp.int32)
+
+        def prepare(x):
+            return _pad_positions(x), (ids_r_const, ids_c_const,
+                                       nblk_const, jnp.asarray(False))
+
+    def finish(F):
+        if perm_j is None:
+            return F
+        return jnp.zeros((n_real, 3), jnp.float32).at[perm_j].set(F)
+
+    def poison(extra):
+        if not has_cut:
+            return jnp.zeros((), jnp.float32)
+        return jnp.where(extra[3], jnp.nan, 0.0).astype(jnp.float32)
+
+    jitted = make_force_fn(
+        lambda xp, xf, ex: sweep1_s(ex[0], ex[1], ex[2], xp, xf),
+        lambda xp, xf, B, ex: sweep2_s(ex[0], ex[1], ex[2], xp, xf, B),
+        lambda xp, xf, B, c, ex: sweep3_s(ex[0], ex[1], ex[2], xp, xf, B, c),
+        prepare, finish, poison=poison if has_cut else None,
+    )
+
+    def fn(x, _j=jitted):
+        return _j(x)
+
+    if has_cut:
+        @jax.jit
+        def _check_overflow(x):
+            _, extra = prepare(x)
+            return extra[3]
+
+        fn.check_overflow = _check_overflow
+        fn.tile_list_width = KT
     return fn
 
 

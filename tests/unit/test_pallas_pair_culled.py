@@ -44,23 +44,26 @@ def two_clusters():
 
 
 @pytest.mark.slow
-def test_huge_cutoff_matches_base(alanine_gbn2):
+@pytest.mark.parametrize("newton", [False, True])
+def test_huge_cutoff_matches_base(alanine_gbn2, newton):
     system, x = alanine_gbn2
     fn0 = build_pair_force_fn(system, tile=128, interpret=True)
     fn1 = build_pair_force_fn(system, tile=128, interpret=True,
-                              gb_cutoff=50.0)
+                              gb_cutoff=50.0, newton=newton)
     e0, f0 = fn0(x)
     e1, f1 = fn1(x)
     assert abs(float(e1 - e0)) < 1e-3
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=2e-3)
 
 
-def test_morton_order_is_layout_only(two_clusters):
+@pytest.mark.parametrize("newton", [False, True])
+def test_morton_order_is_layout_only(two_clusters, newton):
     system, x = two_clusters
     fn_id = build_pair_force_fn(system, tile=128, interpret=True,
-                                gb_cutoff=2.0)
+                                gb_cutoff=2.0, newton=newton)
     fn_mo = build_pair_force_fn(system, tile=128, interpret=True,
-                                gb_cutoff=2.0, order_from=np.asarray(x))
+                                gb_cutoff=2.0, order_from=np.asarray(x),
+                                newton=newton)
     e1, f1 = fn_id(x)
     e2, f2 = fn_mo(x)
     assert abs(float(e2 - e1)) < 1e-3
@@ -88,7 +91,8 @@ def test_two_cluster_energy_decomposes(alanine_gbn2, two_clusters):
 
 
 @pytest.mark.slow
-def test_culled_equals_masked_on_same_system(two_clusters):
+@pytest.mark.parametrize("newton", [False, True])
+def test_culled_equals_masked_on_same_system(two_clusters, newton):
     """Culling is a pure skip: the culled kernel must equal the SAME
     cutoff physics evaluated without any profitable culling (identity
     order on a system where both clusters share every tile)."""
@@ -98,11 +102,48 @@ def test_culled_equals_masked_on_same_system(two_clusters):
                                  gb_cutoff=2.0)
     # tile 128 + Morton order separates the clusters into tiles
     fn_cul = build_pair_force_fn(system, tile=128, interpret=True,
-                                 gb_cutoff=2.0, order_from=np.asarray(x))
+                                 gb_cutoff=2.0, order_from=np.asarray(x),
+                                 newton=newton)
     e1, f1 = fn_one(x)
     e2, f2 = fn_cul(x)
     assert abs(float(e2 - e1)) < 1e-2
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=2e-3)
+
+
+def test_dense_newton_matches_dense(two_clusters):
+    """The symmetric block-list kernels with the FULL static upper
+    triangle (gb_cutoff=None, newton=True) are the dense NoCutoff
+    physics — each unordered pair counted exactly once and scattered
+    to both atoms."""
+    system, x = two_clusters
+    fn0 = build_pair_force_fn(system, tile=128, interpret=True,
+                              newton=False)
+    fn1 = build_pair_force_fn(system, tile=128, interpret=True,
+                              newton=True)
+    e0, f0 = fn0(x)
+    e1, f1 = fn1(x)
+    assert abs(float(e1 - e0)) < 1e-3
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=2e-3)
+
+
+def test_newton_padding_blocks_do_not_corrupt_rows(spread_line):
+    """Regression: list-padding entries repeat the LAST real block's
+    ids. If they restarted a row streak (e.g. pointed at block (0, 0)),
+    the padded zero-weight work would OVERWRITE that row's already-
+    accumulated output. The sparse line has heavy list padding (KT is
+    sized 1.25x the build total), so any corruption shows up against
+    the ordered-kernel oracle."""
+    system, x0 = spread_line
+    fn_o = build_pair_force_fn(system, tile=128, interpret=True,
+                               gb_cutoff=1.5, order_from=np.asarray(x0),
+                               newton=False)
+    fn_n = build_pair_force_fn(system, tile=128, interpret=True,
+                               gb_cutoff=1.5, order_from=np.asarray(x0),
+                               newton=True)
+    e0, f0 = fn_o(x0)
+    e1, f1 = fn_n(x0)
+    assert abs(float(e1 - e0)) < 2e-2
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=5e-3)
 
 
 def test_order_from_requires_cutoff(alanine_gbn2):
@@ -132,18 +173,25 @@ def spread_line():
     return system, jnp.asarray(x0, jnp.float32)
 
 
-def test_overflow_probe_is_host_visible(spread_line):
+@pytest.mark.parametrize("newton", [False, True])
+def test_overflow_probe_is_host_visible(spread_line, newton):
     """advisor r4: the NaN-poison flag must be checkable from the host so
     long runs can fail loudly instead of writing NaN trajectories."""
     system, x0 = spread_line
     fn = build_pair_force_fn(system, tile=128, interpret=True,
-                             gb_cutoff=1.5, order_from=np.asarray(x0))
+                             gb_cutoff=1.5, order_from=np.asarray(x0),
+                             newton=newton)
     assert hasattr(fn, "check_overflow") and hasattr(fn, "tile_list_width")
     grid = -(-system.n_atoms // 128)
-    assert fn.tile_list_width < grid  # K < GRID, else overflow cannot occur
+    if newton:
+        # block-list width KT must be below the full upper triangle,
+        # else overflow cannot occur
+        assert fn.tile_list_width < grid * (grid + 1) // 2
+    else:
+        assert fn.tile_list_width < grid  # per-row width K < GRID
     assert not bool(fn.check_overflow(x0))
     # collapse the assembly: every tile AABB lands within the cutoff of
-    # every other -> per-row neighbor count = GRID > K
+    # every other -> the build-sized list width overflows
     assert bool(fn.check_overflow(x0 * 0.001))
 
 
