@@ -1175,16 +1175,22 @@ def _build_newton_path(
         KT = M
 
     # --- kernels --------------------------------------------------------
-    def _sym_mask(k, r_id, c_id, nblk, r, not_self, mask_i, mask_j):
+    # per-atom parameter PLANES: seven (scalar) per-atom channels packed
+    # into ONE (N, 8) row array and ONE (8, N) column array so each grid
+    # step issues one row DMA + one column DMA instead of seven of each
+    # (measured r5: per-step DMA descriptor overhead at ~5.6k grid steps
+    # cost ~0.4 us/block before packing)
+    _Q, _SIG, _EPS, _IB, _MASK, _RHO, _SR = range(7)
+
+    def _sym_mask(r_id, c_id, r, not_self, mask_i, mask_j):
         """Once-per-unordered-pair validity: both atoms real, strict
         upper triangle in storage order (kills self pairs AND the
         double count on diagonal blocks; off-diagonal listed blocks
-        have c > r so every lane passes), in-list weight, cutoff."""
+        have c > r so every lane passes), cutoff. List padding needs no
+        weight here: padded blocks skip the whole predicated body."""
         rg = r_id * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
         cg = c_id * tile + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-        one = (mask_i * mask_j * not_self
-               * (cg > rg).astype(r.dtype)
-               * (k < nblk).astype(r.dtype))
+        one = mask_i * mask_j * not_self * (cg > rg).astype(r.dtype)
         if has_cut:
             one = one * (r <= cutf).astype(r.dtype)
         return one
@@ -1206,8 +1212,7 @@ def _build_newton_path(
         ref[sub, pl.ds(off, tile)] = ref[sub, pl.ds(off, tile)] + part
 
     def born_sym(ids_r_ref, ids_c_ref, nblk_ref,
-                 xi_ref, xf_ref, rho_i_ref, sr_i_ref, mask_i_ref,
-                 rho_j_ref, sr_j_ref, mask_j_ref, oh_i_ref, oh_j_ref,
+                 xi_ref, xf_ref, rp_ref, cp_ref, oh_i_ref, oh_j_ref,
                  d0c_ref, m0c_ref, I_row_ref, I_col_ref):
         k = pl.program_id(0)
         r_id = ids_r_ref[k]
@@ -1218,33 +1223,37 @@ def _build_newton_path(
         def _():
             I_col_ref[...] = jnp.zeros_like(I_col_ref)
 
-        _, _, _, r, not_self = pair_geometry(xi_ref[...], xf_ref[...])
-        one = _sym_mask(k, r_id, c_id, nblk_ref[0], r, not_self,
-                        mask_i_ref[...], mask_j_ref[...])
-        inv_r = 1.0 / r
-        H_ij, _ = hct_terms(r, inv_r, rho_i_ref[...], sr_j_ref[...])
-        H_ji, _ = hct_terms(r, inv_r, rho_j_ref[...], sr_i_ref[...])
-        Hw_ij = H_ij
-        Hw_ji = H_ji
-        if use_neck:
-            nv, _ = neck_tile(oh_i_ref[...], oh_j_ref[...],
-                              d0c_ref[...], m0c_ref[...], r)
-            # I = 0.5 sum H + sum nv: fold nv at 2x so the shared 0.5
-            # below restores it (neck is symmetric in i, j)
-            nv2 = 2.0 * nv
-            Hw_ij = Hw_ij + nv2
-            Hw_ji = Hw_ji + nv2
-        row_part = 0.5 * jnp.sum(Hw_ij * one, axis=1, keepdims=True)
-        col_part = 0.5 * jnp.sum(Hw_ji * one, axis=0, keepdims=True)
-        _row_accum(I_row_ref, first, row_part)
-        off = pl.multiple_of(c_id * tile, 128)
-        _col_accum(I_col_ref, slice(0, 1), off, col_part)
+        @pl.when(k < nblk_ref[0])   # padding blocks skip ALL vector work
+        def _():
+            rp = rp_ref[...]
+            cp = cp_ref[...]
+            _, _, _, r, not_self = pair_geometry(xi_ref[...], xf_ref[...])
+            one = _sym_mask(r_id, c_id, r, not_self,
+                            rp[:, _MASK:_MASK + 1], cp[_MASK:_MASK + 1, :])
+            inv_r = 1.0 / r
+            H_ij, _ = hct_terms(r, inv_r, rp[:, _RHO:_RHO + 1],
+                                cp[_SR:_SR + 1, :])
+            H_ji, _ = hct_terms(r, inv_r, cp[_RHO:_RHO + 1, :],
+                                rp[:, _SR:_SR + 1])
+            Hw_ij = H_ij
+            Hw_ji = H_ji
+            if use_neck:
+                nv, _ = neck_tile(oh_i_ref[...], oh_j_ref[...],
+                                  d0c_ref[...], m0c_ref[...], r)
+                # I = 0.5 sum H + sum nv: fold nv at 2x so the shared
+                # 0.5 below restores it (neck is symmetric in i, j)
+                nv2 = 2.0 * nv
+                Hw_ij = Hw_ij + nv2
+                Hw_ji = Hw_ji + nv2
+            row_part = 0.5 * jnp.sum(Hw_ij * one, axis=1, keepdims=True)
+            col_part = 0.5 * jnp.sum(Hw_ji * one, axis=0, keepdims=True)
+            _row_accum(I_row_ref, first, row_part)
+            off = pl.multiple_of(c_id * tile, 128)
+            _col_accum(I_col_ref, slice(0, 1), off, col_part)
 
     def energy_sym(ids_r_ref, ids_c_ref, nblk_ref,
-                   xi_ref, xf_ref, q_i_ref, sig_i_ref, eps_i_ref,
-                   ib_i_ref, B_i_ref, mask_i_ref,
-                   q_j_ref, sig_j_ref, eps_j_ref, ib_j_ref, B_j_ref,
-                   mask_j_ref, e_ref, dEdB_row_ref, dEdB_col_ref):
+                   xi_ref, xf_ref, rp_ref, cp_ref, B_i_ref, B_j_ref,
+                   e_ref, dEdB_row_ref, dEdB_col_ref):
         k = pl.program_id(0)
         r_id = ids_r_ref[k]
         c_id = ids_c_ref[k]
@@ -1254,51 +1263,55 @@ def _build_newton_path(
         def _():
             dEdB_col_ref[...] = jnp.zeros_like(dEdB_col_ref)
 
-        _, _, _, r, not_self = pair_geometry(xi_ref[...], xf_ref[...])
-        one = _sym_mask(k, r_id, c_id, nblk_ref[0], r, not_self,
-                        mask_i_ref[...], mask_j_ref[...])
-        inv_r = 1.0 / r
-        sig_ij = 0.5 * (sig_i_ref[...] + sig_j_ref[...])
-        eps_ij = eps_i_ref[...] * eps_j_ref[...]   # rows carry sqrt(eps)
-        sr6 = (sig_ij * inv_r) ** 6
-        ob = (jnp.abs(ib_i_ref[...] - ib_j_ref[...]) > band_D).astype(r.dtype)
-        qq = q_i_ref[...] * q_j_ref[...]
-        # counted ONCE per unordered pair: no 0.5 (vs the ordered sweeps)
-        e_blk = (4.0 * eps_ij * (sr6 * sr6 - sr6)
-                 + ke * qq * inv_r) * ob * one
-        if use_gb:
-            B_i = B_i_ref[...]
-            B_j = B_j_ref[...]
-            BB = B_i * B_j
-            expu = jnp.exp(-(r * r) / (4.0 * BB))
-            f = jnp.sqrt(r * r + BB * expu)
-            inv_f = 1.0 / f
-            qq_gb = gb_pref * qq
-            # unordered GB cross energy = 2x the ordered-pair value
-            e_blk = e_blk + 2.0 * qq_gb * inv_f * one
-            # accumulate the ORDERED-direction quantity on each side;
-            # the glue multiplies by 2 (same contract as the ordered
-            # kernels' row-only dEdB)
-            dEdf = -qq_gb * inv_f * inv_f * one
-            dfdBi = expu * (B_j + r * r / (4.0 * B_i)) * (0.5 * inv_f)
-            dfdBj = expu * (B_i + r * r / (4.0 * B_j)) * (0.5 * inv_f)
-            drow = jnp.sum(dEdf * dfdBi, axis=1, keepdims=True)
-            dcol = jnp.sum(dEdf * dfdBj, axis=0, keepdims=True)
-        else:
-            drow = jnp.zeros((tile, 1), jnp.float32)
-            dcol = jnp.zeros((1, tile), jnp.float32)
-        _row_accum(e_ref, first, jnp.sum(e_blk, axis=1, keepdims=True))
-        _row_accum(dEdB_row_ref, first, drow)
-        off = pl.multiple_of(c_id * tile, 128)
-        _col_accum(dEdB_col_ref, slice(0, 1), off, dcol)
+        @pl.when(k < nblk_ref[0])
+        def _():
+            rp = rp_ref[...]
+            cp = cp_ref[...]
+            _, _, _, r, not_self = pair_geometry(xi_ref[...], xf_ref[...])
+            one = _sym_mask(r_id, c_id, r, not_self,
+                            rp[:, _MASK:_MASK + 1], cp[_MASK:_MASK + 1, :])
+            inv_r = 1.0 / r
+            sig_ij = 0.5 * (rp[:, _SIG:_SIG + 1] + cp[_SIG:_SIG + 1, :])
+            # rows carry sqrt(eps)
+            eps_ij = rp[:, _EPS:_EPS + 1] * cp[_EPS:_EPS + 1, :]
+            sr6 = (sig_ij * inv_r) ** 6
+            ob = (jnp.abs(rp[:, _IB:_IB + 1] - cp[_IB:_IB + 1, :])
+                  > band_D).astype(r.dtype)
+            qq = rp[:, _Q:_Q + 1] * cp[_Q:_Q + 1, :]
+            # counted ONCE per unordered pair: no 0.5 (vs ordered sweeps)
+            e_blk = (4.0 * eps_ij * (sr6 * sr6 - sr6)
+                     + ke * qq * inv_r) * ob * one
+            if use_gb:
+                B_i = B_i_ref[...]
+                B_j = B_j_ref[...]
+                BB = B_i * B_j
+                expu = jnp.exp(-(r * r) / (4.0 * BB))
+                f = jnp.sqrt(r * r + BB * expu)
+                inv_f = 1.0 / f
+                qq_gb = gb_pref * qq
+                # unordered GB cross energy = 2x the ordered-pair value
+                e_blk = e_blk + 2.0 * qq_gb * inv_f * one
+                # accumulate the ORDERED-direction quantity on each
+                # side; the glue multiplies by 2 (same contract as the
+                # ordered kernels' row-only dEdB)
+                dEdf = -qq_gb * inv_f * inv_f * one
+                dfdBi = expu * (B_j + r * r / (4.0 * B_i)) * (0.5 * inv_f)
+                dfdBj = expu * (B_i + r * r / (4.0 * B_j)) * (0.5 * inv_f)
+                drow = jnp.sum(dEdf * dfdBi, axis=1, keepdims=True)
+                dcol = jnp.sum(dEdf * dfdBj, axis=0, keepdims=True)
+            else:
+                drow = jnp.zeros((tile, 1), jnp.float32)
+                dcol = jnp.zeros((1, tile), jnp.float32)
+            _row_accum(e_ref, first,
+                       jnp.sum(e_blk, axis=1, keepdims=True))
+            _row_accum(dEdB_row_ref, first, drow)
+            off = pl.multiple_of(c_id * tile, 128)
+            _col_accum(dEdB_col_ref, slice(0, 1), off, dcol)
 
     def force_sym(ids_r_ref, ids_c_ref, nblk_ref,
-                  xi_ref, xf_ref, q_i_ref, sig_i_ref, eps_i_ref,
-                  ib_i_ref, B_i_ref, c_i_ref, rho_i_ref, sr_i_ref,
-                  mask_i_ref, q_j_ref, sig_j_ref, eps_j_ref, ib_j_ref,
-                  B_j_ref, c_j_ref, rho_j_ref, sr_j_ref, mask_j_ref,
-                  oh_i_ref, oh_j_ref, d0c_ref, m0c_ref,
-                  F_row_ref, F_col_ref):
+                  xi_ref, xf_ref, rp_ref, cp_ref, B_i_ref, B_j_ref,
+                  c_i_ref, c_j_ref, oh_i_ref, oh_j_ref,
+                  d0c_ref, m0c_ref, F_row_ref, F_col_ref):
         k = pl.program_id(0)
         r_id = ids_r_ref[k]
         c_id = ids_c_ref[k]
@@ -1308,58 +1321,66 @@ def _build_newton_path(
         def _():
             F_col_ref[...] = jnp.zeros_like(F_col_ref)
 
-        dd0, dd1, dd2, r, not_self = pair_geometry(xi_ref[...], xf_ref[...])
-        one = _sym_mask(k, r_id, c_id, nblk_ref[0], r, not_self,
-                        mask_i_ref[...], mask_j_ref[...])
-        inv_r = 1.0 / r
-        inv_r2 = inv_r * inv_r
-        sig_ij = 0.5 * (sig_i_ref[...] + sig_j_ref[...])
-        eps_ij = eps_i_ref[...] * eps_j_ref[...]
-        sr6 = (sig_ij * inv_r) ** 6
-        ob = (jnp.abs(ib_i_ref[...] - ib_j_ref[...]) > band_D).astype(r.dtype)
-        qq = q_i_ref[...] * q_j_ref[...]
-        # W = dE/dr of the UNORDERED pair — identical to the ordered
-        # kernels' W (which is symmetric under i<->j); computed once
-        W = (4.0 * eps_ij * (-12.0 * sr6 * sr6 + 6.0 * sr6) * inv_r
-             - ke * qq * inv_r2) * ob
-        if use_gb:
-            B_i = B_i_ref[...]
-            B_j = B_j_ref[...]
-            BB = B_i * B_j
-            expu = jnp.exp(-(r * r) / (4.0 * BB))
-            f = jnp.sqrt(r * r + BB * expu)
-            inv_f = 1.0 / f
-            qq_gb = gb_pref * 2.0 * qq
-            dEdf = -qq_gb * inv_f * inv_f
-            dfdr = r * (1.0 - 0.25 * expu) * inv_f
-            W = W + dEdf * dfdr
-            _, dH_ij = hct_terms(r, inv_r, rho_i_ref[...], sr_j_ref[...])
-            _, dH_ji = hct_terms(r, inv_r, rho_j_ref[...], sr_i_ref[...])
-            dIdr_ij = 0.5 * dH_ij
-            dIdr_ji = 0.5 * dH_ji
-            if use_neck:
-                nv, dnv = neck_tile(oh_i_ref[...], oh_j_ref[...],
-                                    d0c_ref[...], m0c_ref[...], r)
-                dIdr_ij = dIdr_ij + dnv
-                dIdr_ji = dIdr_ji + dnv
-            W = W + c_i_ref[...] * dIdr_ij + c_j_ref[...] * dIdr_ji
-        W = W * one * inv_r
-        Wd0 = W * dd0
-        Wd1 = W * dd1
-        Wd2 = W * dd2
-        # Newton: force on the row atom is -W dd; on the column atom +W dd
-        row_part = jnp.concatenate(
-            [-jnp.sum(Wd0, axis=1, keepdims=True),
-             -jnp.sum(Wd1, axis=1, keepdims=True),
-             -jnp.sum(Wd2, axis=1, keepdims=True)], axis=1)
-        _row_accum(F_row_ref, first, row_part)
-        off = pl.multiple_of(c_id * tile, 128)
-        _col_accum(F_col_ref, slice(0, 1), off,
-                   jnp.sum(Wd0, axis=0, keepdims=True))
-        _col_accum(F_col_ref, slice(1, 2), off,
-                   jnp.sum(Wd1, axis=0, keepdims=True))
-        _col_accum(F_col_ref, slice(2, 3), off,
-                   jnp.sum(Wd2, axis=0, keepdims=True))
+        @pl.when(k < nblk_ref[0])
+        def _():
+            rp = rp_ref[...]
+            cp = cp_ref[...]
+            dd0, dd1, dd2, r, not_self = pair_geometry(
+                xi_ref[...], xf_ref[...])
+            one = _sym_mask(r_id, c_id, r, not_self,
+                            rp[:, _MASK:_MASK + 1], cp[_MASK:_MASK + 1, :])
+            inv_r = 1.0 / r
+            inv_r2 = inv_r * inv_r
+            sig_ij = 0.5 * (rp[:, _SIG:_SIG + 1] + cp[_SIG:_SIG + 1, :])
+            eps_ij = rp[:, _EPS:_EPS + 1] * cp[_EPS:_EPS + 1, :]
+            sr6 = (sig_ij * inv_r) ** 6
+            ob = (jnp.abs(rp[:, _IB:_IB + 1] - cp[_IB:_IB + 1, :])
+                  > band_D).astype(r.dtype)
+            qq = rp[:, _Q:_Q + 1] * cp[_Q:_Q + 1, :]
+            # W = dE/dr of the UNORDERED pair — identical to the ordered
+            # kernels' W (which is symmetric under i<->j); computed once
+            W = (4.0 * eps_ij * (-12.0 * sr6 * sr6 + 6.0 * sr6) * inv_r
+                 - ke * qq * inv_r2) * ob
+            if use_gb:
+                B_i = B_i_ref[...]
+                B_j = B_j_ref[...]
+                BB = B_i * B_j
+                expu = jnp.exp(-(r * r) / (4.0 * BB))
+                f = jnp.sqrt(r * r + BB * expu)
+                inv_f = 1.0 / f
+                qq_gb = gb_pref * 2.0 * qq
+                dEdf = -qq_gb * inv_f * inv_f
+                dfdr = r * (1.0 - 0.25 * expu) * inv_f
+                W = W + dEdf * dfdr
+                _, dH_ij = hct_terms(r, inv_r, rp[:, _RHO:_RHO + 1],
+                                     cp[_SR:_SR + 1, :])
+                _, dH_ji = hct_terms(r, inv_r, cp[_RHO:_RHO + 1, :],
+                                     rp[:, _SR:_SR + 1])
+                dIdr_ij = 0.5 * dH_ij
+                dIdr_ji = 0.5 * dH_ji
+                if use_neck:
+                    nv, dnv = neck_tile(oh_i_ref[...], oh_j_ref[...],
+                                        d0c_ref[...], m0c_ref[...], r)
+                    dIdr_ij = dIdr_ij + dnv
+                    dIdr_ji = dIdr_ji + dnv
+                W = W + c_i_ref[...] * dIdr_ij + c_j_ref[...] * dIdr_ji
+            W = W * one * inv_r
+            Wd0 = W * dd0
+            Wd1 = W * dd1
+            Wd2 = W * dd2
+            # Newton: force on the row atom is -W dd; on the column +W dd
+            row_part = jnp.concatenate(
+                [-jnp.sum(Wd0, axis=1, keepdims=True),
+                 -jnp.sum(Wd1, axis=1, keepdims=True),
+                 -jnp.sum(Wd2, axis=1, keepdims=True)], axis=1)
+            _row_accum(F_row_ref, first, row_part)
+            off = pl.multiple_of(c_id * tile, 128)
+            _col_accum(F_col_ref, slice(0, 1), off,
+                       jnp.sum(Wd0, axis=0, keepdims=True))
+            _col_accum(F_col_ref, slice(1, 2), off,
+                       jnp.sum(Wd1, axis=0, keepdims=True))
+            _col_accum(F_col_ref, slice(2, 3), off,
+                       jnp.sum(Wd2, axis=0, keepdims=True))
 
     # --- pallas_call plumbing -------------------------------------------
     def rspec(w):
@@ -1388,30 +1409,23 @@ def _build_newton_path(
             out_shape=out_shape, interpret=interpret,
         )(*scal, *ins)
 
-    rho_row = np.ascontiguousarray(row_arrays["rho"])
-    sr_row = np.ascontiguousarray(row_arrays["sr"])
-    mask_row = np.ascontiguousarray(row_arrays["mask"])
-    q_row = np.ascontiguousarray(row_arrays["q"])
-    sig_row = np.ascontiguousarray(row_arrays["sig"])
-    eps_row = np.ascontiguousarray(row_arrays["eps"])
-    ib_row = np.ascontiguousarray(idx_chan[:, None])
-    ib_col = np.ascontiguousarray(idx_chan[None, :])
+    # packed parameter planes (see the _Q.._SR note above the kernels)
+    plane_cols = np.concatenate(
+        [col_arrays["q"], col_arrays["sig"], col_arrays["eps"],
+         idx_chan[None, :], col_arrays["mask"], col_arrays["rho"],
+         col_arrays["sr"], np.zeros((1, N), np.float32)], axis=0,
+    ).astype(np.float32)                                   # (8, N)
+    plane_rows = np.ascontiguousarray(plane_cols.T)        # (N, 8)
 
     def sweep1_s(ids_r, ids_c, nblk, xT, xf):
         ins = [
             jnp.asarray(xT), jnp.asarray(xf),
-            jnp.asarray(rho_row), jnp.asarray(sr_row),
-            jnp.asarray(mask_row),
-            jnp.asarray(col_arrays["rho"]), jnp.asarray(col_arrays["sr"]),
-            jnp.asarray(col_arrays["mask"]),
+            jnp.asarray(plane_rows), jnp.asarray(plane_cols),
             jnp.asarray(oh_rows), jnp.asarray(oh_cols),
             jnp.asarray(D0c, jnp.float32), jnp.asarray(M0c, jnp.float32),
         ]
         specs = [
-            rspec(3), cspec(3),
-            rspec(1), rspec(1), rspec(1),
-            cspec(1), cspec(1), cspec(1),
-            rspec(C), cspec(C),
+            rspec(3), cspec(3), rspec(8), cspec(8), rspec(C), cspec(C),
             kspec(D0c.shape), kspec(M0c.shape),
         ]
         I_row, I_col = _call(
@@ -1425,16 +1439,11 @@ def _build_newton_path(
     def sweep2_s(ids_r, ids_c, nblk, xT, xf, B):
         ins = [
             jnp.asarray(xT), jnp.asarray(xf),
-            jnp.asarray(q_row), jnp.asarray(sig_row), jnp.asarray(eps_row),
-            jnp.asarray(ib_row), B[:, None], jnp.asarray(mask_row),
-            jnp.asarray(col_arrays["q"]), jnp.asarray(col_arrays["sig"]),
-            jnp.asarray(col_arrays["eps"]), jnp.asarray(ib_col),
-            B[None, :], jnp.asarray(col_arrays["mask"]),
+            jnp.asarray(plane_rows), jnp.asarray(plane_cols),
+            B[:, None], B[None, :],
         ]
         specs = [
-            rspec(3), cspec(3),
-            rspec(1), rspec(1), rspec(1), rspec(1), rspec(1), rspec(1),
-            cspec(1), cspec(1), cspec(1), cspec(1), cspec(1), cspec(1),
+            rspec(3), cspec(3), rspec(8), cspec(8), rspec(1), cspec(1),
         ]
         e_row, dEdB_row, dEdB_col = _call(
             energy_sym, ins, specs,
@@ -1448,24 +1457,14 @@ def _build_newton_path(
     def sweep3_s(ids_r, ids_c, nblk, xT, xf, B, c_chain):
         ins = [
             jnp.asarray(xT), jnp.asarray(xf),
-            jnp.asarray(q_row), jnp.asarray(sig_row), jnp.asarray(eps_row),
-            jnp.asarray(ib_row), B[:, None], c_chain[:, None],
-            jnp.asarray(rho_row), jnp.asarray(sr_row),
-            jnp.asarray(mask_row),
-            jnp.asarray(col_arrays["q"]), jnp.asarray(col_arrays["sig"]),
-            jnp.asarray(col_arrays["eps"]), jnp.asarray(ib_col),
-            B[None, :], c_chain[None, :],
-            jnp.asarray(col_arrays["rho"]), jnp.asarray(col_arrays["sr"]),
-            jnp.asarray(col_arrays["mask"]),
+            jnp.asarray(plane_rows), jnp.asarray(plane_cols),
+            B[:, None], B[None, :], c_chain[:, None], c_chain[None, :],
             jnp.asarray(oh_rows), jnp.asarray(oh_cols),
             jnp.asarray(D0c, jnp.float32), jnp.asarray(M0c, jnp.float32),
         ]
         specs = [
-            rspec(3), cspec(3),
-            rspec(1), rspec(1), rspec(1), rspec(1), rspec(1), rspec(1),
-            rspec(1), rspec(1), rspec(1),
-            cspec(1), cspec(1), cspec(1), cspec(1), cspec(1), cspec(1),
-            cspec(1), cspec(1), cspec(1),
+            rspec(3), cspec(3), rspec(8), cspec(8),
+            rspec(1), cspec(1), rspec(1), cspec(1),
             rspec(C), cspec(C),
             kspec(D0c.shape), kspec(M0c.shape),
         ]
@@ -1503,9 +1502,12 @@ def _build_newton_path(
             close = jnp.sum(gap * gap, axis=-1) <= cutf * cutf
             cu = close[iu_j, ju_j]                       # (M,) upper blocks
             total = jnp.sum(cu.astype(jnp.int32))
-            order = jnp.argsort(jnp.logical_not(cu), stable=True)[:KT]
-            r_sel = jnp.take(iu_j, order)
-            c_sel = jnp.take(ju_j, order)
+            # static-size compaction keeps the list ROW-MAJOR (nonzero
+            # returns ascending indices) at cumsum+scatter cost — the
+            # argsort formulation measured 4-5 ms at GRID=210 on chip
+            (flat,) = jnp.nonzero(cu, size=KT, fill_value=0)
+            r_sel = jnp.take(iu_j, flat)
+            c_sel = jnp.take(ju_j, flat)
             # padding entries REPEAT the last real block so row streaks
             # stay contiguous (a fresh row id would restart that row's
             # revisited output and overwrite it with zero-weight work)
@@ -1547,6 +1549,10 @@ def _build_newton_path(
     def fn(x, _j=jitted):
         return _j(x)
 
+    # stage-level introspection for the roofline harness
+    # (scripts/roofline.py): NOT part of the public force-fn contract
+    fn.debug_sweeps = (sweep1_s, sweep2_s, sweep3_s, prepare)
+    fn.block_list_width = KT
     if has_cut:
         @jax.jit
         def _check_overflow(x):
