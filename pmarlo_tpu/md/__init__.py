@@ -22,6 +22,16 @@ def build_pair_force_fn(*args, **kwargs):
     return _fn(*args, **kwargs)
 
 
+def load_amber_files(*args, **kwargs):
+    """Lazy re-export of md.amber_params.load_amber_files (register
+    user-supplied frcmod/parm.dat/OFF-.lib parameter files — the
+    lipid17/OL15/OL3 escape hatch while the data files are absent
+    from this image)."""
+    from .amber_params import load_amber_files as _fn
+
+    return _fn(*args, **kwargs)
+
+
 __all__ = [
     "System",
     "build_system",
@@ -33,4 +43,5 @@ __all__ = [
     "thermalize",
     "minimize_energy",
     "build_pair_force_fn",
+    "load_amber_files",
 ]

@@ -82,10 +82,13 @@ def _cross3(a, b):
 def _pack_type(idx, params, S, B, W):
     """Host-side packing of one term type.
 
-    Returns (loc (B*a, T), par (B*p, T), T, far_rows) with T the
+    Returns (loc (B*8, T), par (B*8, T), T, far_rows) with T the
     lane-padded per-block maximum; padding terms have k = 0 (params
-    row 0 is always the force constant). far_rows indexes terms whose
-    atoms do not fit any block window."""
+    row 0 is always the force constant). The row (sublane) dimension is
+    padded from a/p to 8 because Mosaic requires block shapes with the
+    second-to-last dim divisible by 8 — the kernel reads only the first
+    a/p rows. far_rows indexes terms whose atoms do not fit any block
+    window."""
     idx = np.asarray(idx)
     m = idx.shape[0]
     a = idx.shape[1]
@@ -104,17 +107,17 @@ def _pack_type(idx, params, S, B, W):
     if T == 0:
         return None
     T = ((T + 127) // 128) * 128
-    loc = np.zeros((B, a, T), np.float32)
-    par = np.zeros((B, p, T), np.float32)
+    loc = np.zeros((B, 8, T), np.float32)
+    par = np.zeros((B, 8, T), np.float32)
     order = np.argsort(nblk, kind="stable")
     pos = np.concatenate([[0], np.cumsum(counts)])
     for b in range(B):
         rows = order[pos[b]:pos[b + 1]]
         t = rows.shape[0]
-        loc[b, :, :t] = (ni[rows] - b * S).T
+        loc[b, :a, :t] = (ni[rows] - b * S).T
         for j, pr in enumerate(params):
             par[b, j, :t] = np.asarray(pr)[near][rows]
-    return (loc.reshape(B * a, T), par.reshape(B * p, T), T, far_rows)
+    return (loc.reshape(B * 8, T), par.reshape(B * 8, T), T, far_rows)
 
 
 def build_bonded_window(
@@ -193,9 +196,10 @@ def build_bonded_window(
 
     # ---- kernel ----------------------------------------------------------
     def _oh(loc_row):
-        """(W, T) one-hot from one (1, T) local-index row."""
-        sub = jax.lax.broadcasted_iota(jnp.float32, (W, 1), 0)
-        return (sub == loc_row).astype(jnp.float32)
+        """(W, T) one-hot from one (1, T) local-index row. Mosaic only
+        lowers integer iota, so compare in i32 and cast the result."""
+        sub = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        return (sub == loc_row.astype(jnp.int32)).astype(jnp.float32)
 
     def _gather(x3, loc, s):
         return jnp.dot(x3, _oh(_row(loc, s)),
@@ -330,14 +334,14 @@ def build_bonded_window(
         pl.BlockSpec((3, S), (lambda k: (0, k)), memory_space=vmem),
         pl.BlockSpec((3, S), (lambda k: (0, k + 1)), memory_space=vmem),
     ]
-    for packed, a, p in ((bonds, 2, 2), (angles, 3, 2), (tors, 4, 4)):
+    for packed in (bonds, angles, tors):
         if packed is None:
             continue
         loc, par, T, _ = packed
         ins_host += [jnp.asarray(loc), jnp.asarray(par)]
         specs += [
-            pl.BlockSpec((a, T), (lambda k: (k, 0)), memory_space=vmem),
-            pl.BlockSpec((p, T), (lambda k: (k, 0)), memory_space=vmem),
+            pl.BlockSpec((8, T), (lambda k: (k, 0)), memory_space=vmem),
+            pl.BlockSpec((8, T), (lambda k: (k, 0)), memory_space=vmem),
         ]
     acc_spec = pl.BlockSpec((8, NP), (lambda k: (0, 0)), memory_space=vmem)
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)

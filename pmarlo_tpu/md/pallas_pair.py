@@ -100,6 +100,7 @@ def build_pair_force_fn(
     gb_cutoff: "float | None" = None,
     order_from=None,
     newton: "bool | None" = None,
+    bonded: str = "auto",
 ) -> Callable:
     """Jitted ``fn(x (N,3)) -> (energy, forces (N,3))`` for the FULL
     potential: tiled-kernel pair stage + XLA bonded terms.
@@ -148,6 +149,13 @@ def build_pair_force_fn(
     Default: True for the culled path, False for dense (the fully
     static dense kernels measure faster at small N where the whole row
     fits one grid step).
+
+    ``bonded`` selects how the bonded terms compose into the step:
+    ``"gather"`` is the XLA advanced-index formulation (value_and_grad);
+    ``"window"`` routes them through the block-windowed one-hot Pallas
+    kernel (md/bonded_window.py — analytic gradients, no gather/scatter
+    primitives). ``"auto"`` picks window on the culled large-N path
+    where the gather glue dominates, gather otherwise.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -158,6 +166,11 @@ def build_pair_force_fn(
         raise ValueError("order_from only affects the gb_cutoff path")
     if newton is None:
         newton = gb_cutoff is not None
+    if bonded not in ("auto", "gather", "window"):
+        raise ValueError("bonded must be auto|gather|window")
+    if bonded == "auto":
+        bonded = "window" if (gb_cutoff is not None
+                              and system.n_atoms >= 8192) else "gather"
 
     n_real = system.n_atoms
     N = ((n_real + tile - 1) // tile) * tile
@@ -551,6 +564,15 @@ def build_pair_force_fn(
         return (bond_energy(system, x) + angle_energy(system, x)
                 + torsion_energy(system, x))
 
+    bonded_vg = None
+    if bonded == "window":
+        from .bonded_window import build_bonded_window
+
+        bonded_vg = build_bonded_window(system, interpret=interpret)
+    if bonded_vg is None:           # gather path, or no bonded terms
+        def bonded_vg(x):
+            return jax.value_and_grad(bonded_energy)(x)
+
     band_se_j = jnp.asarray(band_se_np)
     band_sl_j = jnp.asarray(band_sl_np)
     fb_i = jnp.asarray(far_idx[:, 0])
@@ -668,7 +690,7 @@ def build_pair_force_fn(
                 c_chain = jnp.zeros((N,), jnp.float32)
             F_pair = finish(s3(xp, xf, B, c_chain, extra)[:n_real])
             e_c, g_c = jax.value_and_grad(correction_energy)(x)
-            e_b, g_b = jax.value_and_grad(bonded_energy)(x)
+            e_b, g_b = bonded_vg(x)
             energy = e_pair + e_c + e_self + e_sa + e_b
             forces = F_pair - g_c - g_b
             if poison is not None:

@@ -183,6 +183,50 @@ def test_culled_overflow_probe_on_chip(two_clusters):
     assert not bool(fn.check_overflow(x))
 
 
+# ------------------------------------------------------------ bonded_window
+
+
+def test_bonded_window_vs_autodiff_on_chip(two_clusters):
+    """The windowed one-hot bonded kernel's HAND-DERIVED gradients
+    (first-party arccos, Chebyshev torsion recurrence) vs the autodiff
+    oracle — on real Mosaic, where inverse-trig primitives are absent
+    and matmul precision defaults differ from the CPU interpreter."""
+    _require_tpu()
+    from pmarlo_tpu.md.bonded_window import build_bonded_window
+    from pmarlo_tpu.md.forces import (
+        angle_energy, bond_energy, torsion_energy,
+    )
+
+    system, x = two_clusters
+    fn = build_bonded_window(system, stride=128)
+    e1, g1 = fn(x)
+
+    def oracle(p):
+        return (bond_energy(system, p) + angle_energy(system, p)
+                + torsion_energy(system, p))
+
+    e0, g0 = jax.value_and_grad(oracle)(x)
+    assert abs(float(e1 - e0)) < 1e-2 * max(1.0, abs(float(e0)))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               atol=2e-2, rtol=1e-3)
+
+
+def test_culled_bonded_window_matches_gather_on_chip(two_clusters):
+    _require_tpu()
+    from pmarlo_tpu.md.pallas_pair import build_pair_force_fn
+
+    system, x = two_clusters
+    f_g = build_pair_force_fn(system, tile=128, gb_cutoff=1.5,
+                              order_from=np.asarray(x), bonded="gather")
+    f_w = build_pair_force_fn(system, tile=128, gb_cutoff=1.5,
+                              order_from=np.asarray(x), bonded="window")
+    e0, g0 = f_g(x)
+    e1, g1 = f_w(x)
+    assert abs(float(e1 - e0)) < 1e-2 * max(1.0, abs(float(e0)))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               atol=2e-2, rtol=1e-3)
+
+
 # -------------------------------------------------------------- pallas_cells
 
 

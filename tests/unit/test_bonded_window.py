@@ -3,7 +3,7 @@
 The kernel's coordinate gradients are HAND-DERIVED (bond radial, angle
 arccos chain, torsion Blondel-Karplus relations) — the oracle here is
 the autodiff gradient of the md/forces.py energies the kernel replaces,
-which makes any sign/формula error a hard failure rather than a drift.
+which makes any sign/formula error a hard failure rather than a drift.
 """
 
 import numpy as np
@@ -97,3 +97,26 @@ def test_no_bonded_terms_returns_none():
         torsion_idx=np.zeros((0, 4), np.int32), torsion_k=np.zeros(0),
         torsion_n=np.zeros(0), torsion_phase=np.zeros(0))
     assert build_bonded_window(empty, interpret=True) is None
+
+
+def test_pair_force_fn_bonded_window_matches_gather():
+    """Integration: build_pair_force_fn(bonded='window') must reproduce
+    the gather-glue force fn exactly (same physics, different bonded
+    execution engine) on the culled Newton path it targets."""
+    from pmarlo_tpu.md.pallas_pair import build_pair_force_fn
+
+    big = replicate_structure(
+        alanine_dipeptide_structure(), n=(3, 2, 1), spacing=(1.1, 1.1, 1.1))
+    system, x0 = build_system(big, gb_model="gbn2")
+    x = jnp.asarray(x0, jnp.float32)
+    f_g = build_pair_force_fn(system, tile=128, interpret=True,
+                              gb_cutoff=1.5, order_from=np.asarray(x0),
+                              bonded="gather")
+    f_w = build_pair_force_fn(system, tile=128, interpret=True,
+                              gb_cutoff=1.5, order_from=np.asarray(x0),
+                              bonded="window")
+    e0, g0 = f_g(x)
+    e1, g1 = f_w(x)
+    assert abs(float(e1 - e0)) < 1e-3 * max(1.0, abs(float(e0)))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               atol=5e-3, rtol=1e-4)
