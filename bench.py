@@ -764,12 +764,18 @@ def bench_gb_culled() -> dict:
                     strip_constrained_bonded,
                 )
                 from pmarlo_tpu.md.integrate import run_md, thermalize
+                from pmarlo_tpu.md.minimize import minimize_energy
 
                 hspec = build_h_constraints(system)
                 fn_md = build_pair_force_fn(
                     strip_constrained_bonded(system), tile=128,
                     gb_cutoff=1.5, order_from=np.asarray(x0),
                 )
+                # minimize before dynamics: raw replicate clashes
+                # explode the step and trip the tile-list overflow
+                # guard (loud by design since advisor r4)
+                x, _ = minimize_energy(system, x, force_fn=fn,
+                                       max_iterations=300)
                 st = thermalize(system, x, jax.random.PRNGKey(0), 300.0)
                 st, _ = run_md(system, st, n_steps=50, dt=0.004,
                                friction=1.0, temperature_K=300.0,

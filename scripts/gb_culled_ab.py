@@ -64,10 +64,18 @@ def main() -> None:
     rows["gb27k_dE_window_vs_gather"] = float(abs(e_w - e_g))
     rows["gb27k_maxdF_window_vs_gather"] = float(
         jnp.max(jnp.abs(f_w - f_g)))
+    print("dE", rows["gb27k_dE_window_vs_gather"],
+          "maxdF", rows["gb27k_maxdF_window_vs_gather"], flush=True)
 
-    # in-scan MD step (the PROFILE ground truth): 100-step run_md
+    # in-scan MD step (the PROFILE ground truth): 100-step run_md on a
+    # MINIMIZED assembly (raw replicate clashes explode the dynamics and
+    # trip the tile-list overflow guard, by design)
+    from pmarlo_tpu.md.minimize import minimize_energy
+
+    xmin, _ = minimize_energy(gsys, gx, force_fn=fns["newton_gather"],
+                              max_iterations=300)
     for name in ("newton_gather", "newton_window"):
-        st = thermalize(gsys, gx, jax.random.PRNGKey(0), 300.0)
+        st = thermalize(gsys, xmin, jax.random.PRNGKey(0), 300.0)
         step100 = lambda s, fn=fns[name]: run_md(
             gsys, s, n_steps=100, dt=0.002, friction=1.0,
             temperature_K=300.0, report_interval=100, force_fn=fn)[0]
