@@ -71,6 +71,16 @@ class RemdConfig:
     #: of a longer one-time compile; runs whose attempt count is a multiple
     #: of the block reuse a single executable regardless of n_steps.
     attempts_per_block: int = 100
+    #: cap on asynchronously queued blocks before ``run`` synchronizes on
+    #: the newest one. Async dispatch pipelines blocks so the tunnel
+    #: round-trip is paid once, but an UNBOUNDED queue makes the final
+    #: gather wait for the whole run in one blocking RPC — long
+    #: production runs (e.g. 500 attempts x 12 protein replicas, ~25 min
+    #: of device work) exceeded the axon tunnel's deadline and took the
+    #: TPU worker down. Syncing every couple of blocks bounds any single
+    #: wait at ~2 block walls while losing only the dispatch latency
+    #: (~100 ms) per sync.
+    max_async_blocks: int = 2
     dt_ps: float = DEFAULT_TIMESTEP_PS
     friction_per_ps: float = DEFAULT_FRICTION_PER_PS
     heating_steps: int = 0          # linear ramp T_min -> ladder (CHANGELOG:291)
@@ -516,9 +526,14 @@ class ReplicaExchange:
             # keep block outputs on device: converting here would force a
             # synchronous transfer per block and serialize dispatch (the
             # axon tunnel round-trip is ~100 ms); async dispatch pipelines
-            # all blocks and one gather at the end pays the latency once
+            # blocks and the gather at the end pays the latency once —
+            # but the queue depth is capped (see RemdConfig
+            # .max_async_blocks) so no single blocking wait spans the
+            # whole run
             outs.append(out)
             done += n_block
+            if len(outs) % max(cfg.max_async_blocks, 1) == 0:
+                jax.block_until_ready(out)
         out = jax.tree_util.tree_map(
             lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
             *outs,
