@@ -188,7 +188,15 @@ def _build_rolled_spec(
     from .bonded_roll import _layered_groups
 
     n = masses.shape[0]
-    inv_m = 1.0 / masses
+    # massless rows are virtual sites: they never carry constraints
+    # (positions are parent-derived), so their 1/m is never consumed —
+    # but a bare divide would emit a RuntimeWarning for every vsite row
+    if np.any(masses[pairs.reshape(-1)] <= 0.0):
+        raise ValueError(
+            "constraint pair references a massless (virtual-site) atom"
+        )
+    safe = np.where(masses > 0.0, masses, 1.0)
+    inv_m = np.where(masses > 0.0, 1.0 / safe, 0.0)
     # layered offset groups; params carried per-constraint
     groups = _layered_groups(
         pairs, [r0, inv_m[pairs[:, 0]], inv_m[pairs[:, 1]],
