@@ -626,9 +626,13 @@ def bench_protein_remd_production() -> dict:
         hspec = build_h_constraints(system)
         fn_md = build_pair_force_fn(strip_constrained_bonded(system),
                                     tile=256)
+        # target 0.32: the min-PAIR acceptance bar is >= 0.2 and the
+        # worst pair of a 0.30-target run measured 0.196 (an order
+        # statistic over 11 pairs x ~250 attempts fluctuates ~0.03);
+        # the slightly hotter target buys margin at negligible rung cost
         ladder, predicted = suggest_temperature_ladder(
             system, xmin, t_min=300.0, t_max=375.0,
-            target_acceptance=0.30, probe_steps=600, n_probe=6,
+            target_acceptance=0.32, probe_steps=600, n_probe=6,
             force_fn=fn_md, constraints=hspec, max_rungs=48, dt_ps=dt,
         )
         R = len(ladder)
@@ -637,18 +641,43 @@ def bench_protein_remd_production() -> dict:
             n_replicas=R,
             temperatures=tuple(float(t) for t in ladder),
             exchange_frequency=100, report_interval=50, dt_ps=dt,
-            seed=0, attempts_per_block=25,
+            # 5-attempt blocks (~15 s device programs at 12 rungs):
+            # 25-attempt blocks (~73 s single programs) repeatedly took
+            # the tunneled TPU worker down mid-run; the 5-attempt
+            # granularity is the one measured stable over 500 attempts
+            # (scripts/remd_flagship_stages.py)
+            seed=0, attempts_per_block=5,
         )
         remd = ReplicaExchange(system, xmin, cfg, force_fn=fn_md,
                                constraints=hspec, minimize=False)
         # warm-up block: compiles the 25-attempt executable AND serves as
         # the equilibration phase (the timed run reuses the executable)
         remd.run(n_steps=2500)
+        # production in host-synced 25-attempt slices: one run() call per
+        # scan block, demux + transfer per slice (~24 MB). A single
+        # run(n_steps=50000) queued ~25 min of device work and gathered
+        # ~0.5 GB in one blocking RPC, which exceeded the axon tunnel's
+        # deadline and took the TPU worker down (twice) — the sliced
+        # pattern is measured stable over the full 500 attempts
+        # (scripts/remd_flagship_stages.py).
         n_steps = n_attempts * 100
+        slice_attempts = 25
+        demux_frames = {r: [] for r in (0, 1, 2, 3)}
+        acc_slices = []
         t0 = time.perf_counter()
-        res = remd.run(n_steps=n_steps)
+        done_attempts = 0
+        while done_attempts < n_attempts:
+            n_a = min(slice_attempts, n_attempts - done_attempts)
+            res = remd.run(n_steps=n_a * 100)
+            for rung in demux_frames:
+                demux_frames[rung].append(res.demuxed_trajectory(rung))
+            acc_slices.append(res.acceptance_matrix)
+            done_attempts += n_a
         wall = time.perf_counter() - t0
-        acc = res.acceptance_matrix
+        # per-pair acceptance averaged over equal-attempt slices
+        acc_mat = np.asarray(acc_slices)
+        with np.errstate(invalid="ignore"):
+            acc = np.nanmean(acc_mat, axis=0)
         finite = acc[np.isfinite(acc)]
 
         # flagship pipeline on the FOUR coldest rungs: demux (rung-major
@@ -656,10 +685,10 @@ def bench_protein_remd_production() -> dict:
         info = TopologyInfo.from_topology(p.topology)
         t_pipe = time.perf_counter()
         with tempfile.TemporaryDirectory() as td:
-            for rung in (0, 1, 2, 3):
+            for rung in demux_frames:
                 X, _ = featurize_trajectory(
-                    res.demuxed_trajectory(rung), "phi_psi", info,
-                    cos_sin_expand=True,
+                    np.concatenate(demux_frames[rung], axis=0),
+                    "phi_psi", info, cos_sin_expand=True,
                 )
                 emit_shards_from_trajectory(
                     td, np.asarray(X),
@@ -697,7 +726,7 @@ def bench_protein_remd_production() -> dict:
             ),
             "protein_remd_aggregate_ns_per_day": agg,
             "protein_remd_wall_s": wall,
-            "protein_remd_exchange_attempts": int(res.exchange_attempts),
+            "protein_remd_exchange_attempts": int(done_attempts),
             "protein_remd_msm_states": int(msm.transition_matrix.shape[0]),
             "protein_remd_counted_pairs": int(msm.counted_pairs),
             "protein_remd_pipeline_wall_s": pipe_wall,
@@ -855,6 +884,35 @@ print(json.dumps({"cpu_ns_per_day": ns * 86400.0 / wall}))
 _PAIR_FLOPS = 48
 
 
+def _run_isolated(name: str, timeout_s: int = 3600) -> dict:
+    """Run one bench function in a fresh subprocess.
+
+    The long protein-REMD and 60k-GB rows have (rarely) taken the
+    tunneled TPU worker down; a worker crash poisons every later chip
+    call in the SAME process ("UNAVAILABLE" on all of them, as in the
+    r4->r5 transition logs) but a fresh process reconnects cleanly. The
+    rows share no compiled state with the main process, so isolation
+    costs nothing beyond process startup."""
+    import os
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "scripts/run_one_bench.py", name],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        lines = r.stdout.splitlines()
+        starts = [i for i, ln in enumerate(lines) if ln.startswith("{")]
+        if not starts:
+            tail = (r.stdout + r.stderr)[-200:]
+            return {f"{name}_error": f"no JSON from subprocess: {tail}"}
+        return json.loads("\n".join(lines[starts[-1]:]))
+    except Exception as exc:  # pragma: no cover - bench resilience
+        return {f"{name}_error": str(exc)[:200]}
+
+
 def main() -> None:
     remd = bench_remd()
     msm = bench_msm()
@@ -865,8 +923,10 @@ def main() -> None:
     cells = bench_cells_25k(shared)
     npt_nve = bench_npt_and_nve(shared)
     dodec = bench_dodecahedron()
-    ladder = bench_protein_remd_production()
-    gb = bench_gb_culled()
+    # subprocess-isolated: a TPU-worker crash in these long rows must not
+    # poison the rest of the harness (see _run_isolated docstring)
+    ladder = _run_isolated("bench_protein_remd_production", timeout_s=3600)
+    gb = _run_isolated("bench_gb_culled", timeout_s=1800)
     cpu = bench_cpu_denominator()
     value = remd["ns_per_day_aggregate"]
 

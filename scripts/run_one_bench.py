@@ -6,7 +6,16 @@ Run:  python scripts/run_one_bench.py bench_protein_remd_production
 
 import importlib.util
 import json
+import os
 import sys
+
+# file scripts put scripts/ (not the repo root) on sys.path; pmarlo_tpu
+# and bench.py live at the root. Do NOT fix this via PYTHONPATH: the
+# axon TPU plugin rides the inherited PYTHONPATH and overriding it kills
+# the backend.
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.chdir(_ROOT)
 
 spec = importlib.util.spec_from_file_location("bench", "bench.py")
 bench = importlib.util.module_from_spec(spec)
