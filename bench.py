@@ -95,6 +95,30 @@ def bench_remd() -> dict:
         "md_path": md_path,
         "gb_model": "gbn2",
     }
+    # XTC-precision (int16 fixed-point, 1e-3 nm) frame transfer: halves
+    # the device->host bytes, which bound the wall on tunneled hosts.
+    # The headline stays the exact-f32 row.
+    try:
+        import dataclasses as _dc
+
+        remd16 = ReplicaExchange(
+            system, positions,
+            _dc.replace(cfg, frame_precision="i16"),
+            use_pallas=(md_path == "pallas"),
+        )
+        remd16.run(n_steps=N_STEPS)  # warm-up compile
+        walls16 = []
+        for _ in range(N_REPEATS):
+            t0 = time.perf_counter()
+            remd16.run(n_steps=N_STEPS)
+            walls16.append(time.perf_counter() - t0)
+        w16, _ = _med_iqr(walls16)
+        out["remd_wall_i16_s"] = w16
+        out["ns_per_day_per_replica_i16"] = (
+            sim_ns_per_replica * 86_400.0 / w16
+        )
+    except Exception:  # pragma: no cover - optional row
+        pass
     # wall decomposition (VERDICT r4 item 2): the r3->r4 "regression"
     # needed attribution. Measured r5: the DEVICE path is 2x faster than
     # the r3 headline while the axon tunnel moves frames at ~10 MB/s —

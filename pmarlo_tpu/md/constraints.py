@@ -94,11 +94,19 @@ def build_h_constraints(
             idx = np.flatnonzero(water_atoms)
             start, stop = int(idx[0]), int(idx[-1]) + 1
             names = list(system.atom_names[start:stop])
-            # 3-site (TIP3P) or 4-site (TIP4P-Ew: trailing massless M
-            # rides along, re-derived by md/vsites.py) layouts
-            stride = 4 if (len(names) >= 4 and names[3] == "M") else 3
+            # 3-site (TIP3P), 4-site (TIP4P-Ew: trailing massless M) or
+            # 5-site (TIP5P: trailing L1/L2 lone pairs) layouts — the
+            # virtual rows ride along unconstrained, re-derived by
+            # md/vsites.py after every solve
+            if len(names) >= 5 and names[3] == "L1":
+                stride = 5
+            elif len(names) >= 4 and names[3] == "M":
+                stride = 4
+            else:
+                stride = 3
             n_w = (stop - start) // stride
-            want = (["O", "H1", "H2"] + (["M"] if stride == 4 else []))
+            want = (["O", "H1", "H2"]
+                    + {3: [], 4: ["M"], 5: ["L1", "L2"]}[stride])
             if (stop - start != stride * n_w
                     or not water_atoms[start:stop].all()
                     or names != want * n_w):
@@ -111,12 +119,13 @@ def build_h_constraints(
             # O-H target length from the first water O's bond term; a
             # topology whose water bonds were already stripped falls back
             # to the TIP3P geometry instead of IndexError-ing. Rows with
-            # r0 < 0.05 nm are the zero-k O-M exclusion bond, not O-H.
+            # r0 < 0.08 nm are the zero-k O-M (0.0125) / O-L (0.070)
+            # virtual-site exclusion bonds, not O-H (0.09572).
             b_idx = np.asarray(system.bond_idx).reshape(-1, 2)
             b_r0 = np.asarray(system.bond_r0)
             oh_rows = np.flatnonzero(
                 ((b_idx[:, 0] == start) | (b_idx[:, 1] == start))
-                & (b_r0 > 0.05)
+                & (b_r0 > 0.08)
             )
             d_oh = (float(b_r0[oh_rows[0]]) if oh_rows.size else 0.09572)
             water_spec = RigidWaterSpec(

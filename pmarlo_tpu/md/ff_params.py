@@ -40,6 +40,8 @@ TYPE_MASSES: Dict[str, float] = {
     "HP": 1.008, "HW": 1.008,
     # TIP4P-Ew: LJ oxygen + massless charge site (md/vsites.py)
     "OW4": 16.00, "MW": 0.0,
+    # TIP5P: LJ oxygen + two massless lone-pair sites
+    "OW5": 16.00, "LW": 0.0,
     "N": 14.01, "NA": 14.01, "NB": 14.01, "N2": 14.01, "N3": 14.01,
     "O": 16.00, "O2": 16.00, "OH": 16.00, "OW": 16.00, "OS": 16.00,
     "S": 32.06, "SH": 32.06,
@@ -87,6 +89,9 @@ TYPE_LJ: Dict[str, Tuple[float, float]] = {
     # TIP4P-Ew (Horn 2004): rmin/2 1.775931 A, eps 0.16275 kcal/mol;
     # the virtual M site has no LJ
     "OW4": (1.775931, 0.16275), "MW": (0.0001, 0.0000),
+    # TIP5P (Mahoney-Jorgensen 2000): sigma 3.12 A -> rmin/2
+    # 3.12*2^(1/6)/2, eps 0.16 kcal/mol; lone pairs have no LJ
+    "OW5": (1.751035, 0.1600), "LW": (0.0001, 0.0000),
     "Na+": (1.369, 0.0874393), "Cl-": (2.513, 0.0355910),
     "K+": (1.705, 0.1936829),
     # divalents: Aqvist (Mg2+/Ca2+, as shipped in Amber's parm) and the
@@ -158,6 +163,10 @@ _BOND_LIST = [
     # virtual site, whose position is parent-defined, md/vsites.py)
     _b("OW4", "HW", 553.0, 0.9572),
     _b("OW4", "MW", 0.0, 0.0125),
+    # TIP5P rigid geometry; zero-k O-L entries only build the exclusion
+    # graph for the out-of-plane lone pairs (md/vsites.py kind=1)
+    _b("OW5", "HW", 553.0, 0.9572),
+    _b("OW5", "LW", 0.0, 0.70),
 ]
 BOND_PARAMS: Dict[frozenset, Tuple[float, float]] = {
     frozenset(k): v for k, v in _BOND_LIST
@@ -280,6 +289,9 @@ _ANGLE_LIST: List[Tuple[Tuple[str, str, str], Tuple[float, float]]] = [
     (("HW", "OW4", "HW"), (100.0, 104.52)),
     # zero-k angles to the virtual site (exclusion graph only)
     (("HW", "OW4", "MW"), (0.0, 52.26)),
+    (("HW", "OW5", "HW"), (100.0, 104.52)),
+    (("HW", "OW5", "LW"), (0.0, 110.69)),
+    (("LW", "OW5", "LW"), (0.0, 109.47)),
 ]
 ANGLE_PARAMS: Dict[Tuple[str, str, str], Tuple[float, float]] = {}
 for (a, b, c), v in _ANGLE_LIST:

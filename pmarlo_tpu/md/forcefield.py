@@ -372,6 +372,10 @@ def build_system(
         vsite_weights=(None if topology.vsites is None
                        else jnp.asarray(topology.vsite_weights,
                                         dtype=dtype)),
+        vsite_kind=(None if getattr(topology, "vsite_kind", None) is None
+                    or not np.any(topology.vsite_kind)
+                    else jnp.asarray(topology.vsite_kind,
+                                     dtype=jnp.int32)),
         atom_names=tuple(topology.atom_names),
         atom_types=tuple(topology.atom_types),
         residue_names=tuple(topology.residue_names),

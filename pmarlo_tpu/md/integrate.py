@@ -181,7 +181,9 @@ def langevin_step(
 
             def _e(x):
                 return potential_energy(
-                    system, _vp(x, system.vsite_idx, system.vsite_weights),
+                    system,
+                    _vp(x, system.vsite_idx, system.vsite_weights,
+                        getattr(system, "vsite_kind", None)),
                     bias_fn,
                 )
         else:
@@ -225,7 +227,8 @@ def langevin_step(
     if getattr(system, "vsite_idx", None) is not None:
         from .vsites import vsite_positions
 
-        x = vsite_positions(x, system.vsite_idx, system.vsite_weights)
+        x = vsite_positions(x, system.vsite_idx, system.vsite_weights,
+                            getattr(system, "vsite_kind", None))
     # trailing B uses the force at the *new* positions in strict BAOAB; we
     # fold it into the next step's leading B (standard leapfrog-style fusion,
     # identical long-run sampling, one force eval per step).

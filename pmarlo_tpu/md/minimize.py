@@ -55,7 +55,9 @@ def minimize_energy(
 
             def energy_fn(x):
                 return potential_energy(
-                    system, _vp(x, system.vsite_idx, system.vsite_weights),
+                    system,
+                    _vp(x, system.vsite_idx, system.vsite_weights,
+                        getattr(system, "vsite_kind", None)),
                     bias_fn,
                 )
         else:
@@ -105,7 +107,8 @@ def minimize_energy(
         # back parent-consistent coordinates
         from .vsites import vsite_positions as _vp_out
 
-        x_final = _vp_out(x_final, system.vsite_idx, system.vsite_weights)
+        x_final = _vp_out(x_final, system.vsite_idx, system.vsite_weights,
+                          getattr(system, "vsite_kind", None))
     return x_final, energy_fn(x_final)
 
 

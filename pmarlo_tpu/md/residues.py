@@ -610,6 +610,8 @@ _NAME_ALIASES = {
     "OW": "O", "HW1": "H1", "HW2": "H2", "OH2": "O",
     # TIP4P family virtual-site atom names -> the HOH4 template's M
     "EPW": "M", "MW": "M", "EP": "M",
+    # TIP5P lone-pair naming variants -> the HOH5 template's L1/L2
+    "EP1": "L1", "EP2": "L2", "LP1": "L1", "LP2": "L2",
 }
 
 
@@ -680,6 +682,50 @@ TEMPLATES["SOL"] = TEMPLATES["HOH"]
 # path); weights below are that file's canonical
 # ThreeParticleAverageSite values. The O-M "bond" is zero-stiffness —
 # it exists to give M the water's exclusion graph (1-2/1-3 walks).
+def _tip5p_oop_weights():
+    """OutOfPlaneSite weights [w12, w13, wcross] for the TIP5P lone
+    pairs, solved from the rigid geometry (O-H 0.09572 nm / HOH 104.52
+    deg; O-L 0.070 nm / LOL 109.47 deg, Mahoney & Jorgensen, J. Chem.
+    Phys. 112, 8910 (2000)). With d12/d13 the O->H bond vectors, the
+    lone pair sits at O + w(d12 + d13) +- wc (d12 x d13): the in-plane
+    part points DOWN the HOH bisector (w < 0), the cross term carries
+    the out-of-plane lobe."""
+    import numpy as _np
+
+    d, theta = 0.09572, _np.deg2rad(104.52)
+    r_ol, phi = 0.070, _np.deg2rad(109.47)
+    h1 = d * _np.array([_np.cos(theta / 2), _np.sin(theta / 2), 0.0])
+    h2 = d * _np.array([_np.cos(theta / 2), -_np.sin(theta / 2), 0.0])
+    target = r_ol * _np.array([-_np.cos(phi / 2), 0.0, _np.sin(phi / 2)])
+    w = target[0] / (h1 + h2)[0]
+    wc = target[2] / _np.cross(h1, h2)[2]
+    return float(w), float(wc)
+
+
+_TIP5P_W, _TIP5P_WC = _tip5p_oop_weights()
+
+# TIP5P 5-site water (Mahoney & Jorgensen 2000): LJ on O, charges on the
+# two H (+0.241) and two massless lone pairs L1/L2 (-0.241) held out of
+# the HOH plane by OutOfPlaneSite constructions (md/vsites.py kind=1).
+# Routed automatically when a water residue carries L1/L2 (EP1/LP1
+# naming normalized below). The reference reaches multi-site waters via
+# OpenMM ForceField XMLs (protein/protein.py:334-373); OpenMM's
+# tip5p.xml uses the same OutOfPlaneSite semantics. Zero-stiffness O-L
+# bonds give the sites the water's exclusion graph.
+TEMPLATES["HOH5"] = {
+    "atoms": {
+        "O": ("OW5", 0.0), "H1": ("HW", 0.241), "H2": ("HW", 0.241),
+        "L1": ("LW", -0.241), "L2": ("LW", -0.241),
+    },
+    "bonds": [("O", "H1"), ("O", "H2"), ("O", "L1"), ("O", "L2")],
+    "head": None,
+    "tail": None,
+    "vsites": {
+        "L1": ("O", "H1", "H2", _TIP5P_W, _TIP5P_W, _TIP5P_WC, "oop"),
+        "L2": ("O", "H1", "H2", _TIP5P_W, _TIP5P_W, -_TIP5P_WC, "oop"),
+    },
+}
+
 TEMPLATES["HOH4"] = {
     "atoms": {
         "O": ("OW4", 0.0), "H1": ("HW", 0.52422), "H2": ("HW", 0.52422),
@@ -720,8 +766,8 @@ TEMPLATES["CA"] = _t(    # calcium ion (the resname namespace is
 )
 
 #: residues that are never part of the polypeptide chain
-NONPOLYMER = {"HOH", "HOH4", "WAT", "TIP3", "SOL", "NA", "CL", "K", "MG",
-              "ZN", "CA"}
+NONPOLYMER = {"HOH", "HOH4", "HOH5", "WAT", "TIP3", "SOL", "NA", "CL",
+              "K", "MG", "ZN", "CA"}
 
 
 def get_template(

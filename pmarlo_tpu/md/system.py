@@ -72,10 +72,13 @@ class System:
     excl12_idx: Optional[jax.Array] = None  # (P1, 2) int32
     pair14_idx: Optional[jax.Array] = None  # (P2, 2) int32
     #: virtual interaction sites (md/vsites.py): massless particles whose
-    #: positions are parent-defined linear combinations (TIP4P-Ew M
-    #: sites). (V, 4) int32 [site, p0, p1, p2] + (V, 3) weights.
+    #: positions are parent-defined combinations (TIP4P-Ew M sites,
+    #: TIP5P lone pairs). (V, 4) int32 [site, p0, p1, p2] + (V, 3)
+    #: weights + optional (V,) kind (0 = three-particle average,
+    #: 1 = out-of-plane; None = all-average, the historical layout).
     vsite_idx: Optional[jax.Array] = None
     vsite_weights: Optional[jax.Array] = None
+    vsite_kind: Optional[jax.Array] = None
     # --- static metadata (aux_data, not traced) ---
     atom_names: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True), default=())
     atom_types: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True), default=())

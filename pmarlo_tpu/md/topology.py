@@ -46,6 +46,8 @@ class Topology:
     #: (V, 3) ThreeParticleAverageSite weights. None -> no sites.
     vsites: Optional[np.ndarray] = None
     vsite_weights: Optional[np.ndarray] = None
+    #: (V,) int: 0 = three-particle average, 1 = out-of-plane (TIP5P)
+    vsite_kind: Optional[np.ndarray] = None
 
     @property
     def n_atoms(self) -> int:
@@ -214,6 +216,7 @@ def build_topology(
     ranges: List[Tuple[int, int]] = []
     vsite_rows: List[Tuple[int, int, int, int]] = []
     vsite_w: List[Tuple[float, float, float]] = []
+    vsite_kind: List[int] = []
     seq: List[str] = []
 
     # map (res index in `residues`, template atom name) -> global index
@@ -252,7 +255,13 @@ def build_topology(
                            and res.name not in ("ACE", "NME")
                            and "OXT" in present)
         try:
-            if res.name in _WATER_NAMES and "M" in present:
+            if res.name in _WATER_NAMES and "L1" in present:
+                # 5-site water: lone-pair atoms (L1/L2, EP1/LP1
+                # normalized) route to the TIP5P template
+                from .residues import TEMPLATES
+
+                template = TEMPLATES["HOH5"]
+            elif res.name in _WATER_NAMES and "M" in present:
                 # 4-site water: a water residue carrying an M/EPW
                 # virtual-site atom routes to the TIP4P-Ew template
                 from .residues import TEMPLATES
@@ -297,11 +306,16 @@ def build_topology(
         seq.append(res.name)
         for a_name, b_name in template["bonds"]:  # type: ignore[union-attr]
             bonds.append((local[a_name], local[b_name]))
-        for site, (p0, p1, p2, w0, w1, w2) in template.get(
-                "vsites", {}).items():
+        for site, entry in template.get("vsites", {}).items():
+            # 6-tuple = ThreeParticleAverageSite weights; a trailing
+            # "oop" marker selects the OutOfPlaneSite construction
+            # (md/vsites.py) with [w12, w13, wcross] semantics
+            p0, p1, p2, w0, w1, w2 = entry[:6]
             vsite_rows.append(
                 (local[site], local[p0], local[p1], local[p2]))
             vsite_w.append((w0, w1, w2))
+            vsite_kind.append(1 if len(entry) > 6 and entry[6] == "oop"
+                              else 0)
         head = local.get(template["head"]) if template["head"] else None  # type: ignore[arg-type]
         tail = local.get(template["tail"]) if template["tail"] else None  # type: ignore[arg-type]
         head_tail.append((head, tail))
@@ -359,6 +373,8 @@ def build_topology(
                 if vsite_rows else None),
         vsite_weights=(np.asarray(vsite_w, dtype=np.float64).reshape(-1, 3)
                        if vsite_rows else None),
+        vsite_kind=(np.asarray(vsite_kind, dtype=np.int64)
+                    if vsite_rows else None),
     )
 
 

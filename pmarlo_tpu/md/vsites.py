@@ -29,23 +29,57 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def vsite_positions(x: jax.Array, idx: jax.Array, w: jax.Array) -> jax.Array:
+def vsite_positions(
+    x: jax.Array, idx: jax.Array, w: jax.Array,
+    kind: jax.Array | None = None,
+) -> jax.Array:
     """Overwrite site rows with their parent-defined positions.
 
-    ``idx`` (V, 4) int32 [site, p0, p1, p2]; ``w`` (V, 3) weights
-    (ThreeParticleAverageSite: r_site = w0 r_p0 + w1 r_p1 + w2 r_p2).
+    ``idx`` (V, 4) int32 [site, p0, p1, p2]; ``w`` (V, 3) weights.
+    ``kind`` (V,) int32 selects the construction per site (``None`` means
+    all-average, the historical layout):
+
+    * 0 — ThreeParticleAverageSite: r = w0 r_p0 + w1 r_p1 + w2 r_p2
+      (TIP4P-Ew M sites; linear, position-independent Jacobian).
+    * 1 — OutOfPlaneSite (OpenMM semantics): with d12 = r_p1 - r_p0 and
+      d13 = r_p2 - r_p0, r = r_p0 + w0 d12 + w1 d13 + w2 (d12 x d13)
+      (TIP5P lone pairs; the cross term leaves the parents' plane, so
+      the Jacobian depends on positions).
+
     Differentiable — ``jax.grad`` through this IS the force spread."""
     site = idx[:, 0]
-    r = (w[:, 0:1] * x[idx[:, 1]]
-         + w[:, 1:2] * x[idx[:, 2]]
-         + w[:, 2:3] * x[idx[:, 3]])
+    p0, p1, p2 = x[idx[:, 1]], x[idx[:, 2]], x[idx[:, 3]]
+    r = w[:, 0:1] * p0 + w[:, 1:2] * p1 + w[:, 2:3] * p2
+    if kind is not None:
+        d12 = p1 - p0
+        d13 = p2 - p0
+        r_oop = (p0 + w[:, 0:1] * d12 + w[:, 1:2] * d13
+                 + w[:, 2:3] * jnp.cross(d12, d13))
+        r = jnp.where((kind == 1)[:, None], r_oop, r)
     return x.at[site].set(r)
 
 
-def vsite_spread(f: jax.Array, idx: jax.Array, w: jax.Array) -> jax.Array:
+def vsite_spread(
+    f: jax.Array, idx: jax.Array, w: jax.Array,
+    kind: jax.Array | None = None, x: jax.Array | None = None,
+) -> jax.Array:
     """Redistribute site forces onto parents (J^T of ``vsite_positions``)
     and zero the site rows — for HAND-WRITTEN force kernels whose output
-    is not produced by autodiff through the expansion."""
+    is not produced by autodiff through the expansion.
+
+    With out-of-plane sites present (``kind`` given) the Jacobian depends
+    on the parents' positions, so ``x`` is required and the spread is the
+    exact VJP of the expansion; the all-average path keeps the cheap
+    constant-weight scatter."""
+    if kind is not None:
+        if x is None:
+            raise ValueError(
+                "vsite_spread with out-of-plane sites needs the positions "
+                "the forces were evaluated at (the Jacobian is "
+                "position-dependent)"
+            )
+        _, vjp = jax.vjp(lambda xx: vsite_positions(xx, idx, w, kind), x)
+        return vjp(f)[0]
     site = idx[:, 0]
     fs = f[site]
     f = f.at[site].set(0.0)
@@ -66,32 +100,35 @@ def wrap_force_fn(fn: Callable, system) -> Callable:
     if idx is None or (hasattr(idx, "shape") and idx.shape[0] == 0):
         return fn
     w = system.vsite_weights
+    kind = getattr(system, "vsite_kind", None)
 
     def wrapped(x):
-        xf = vsite_positions(x, idx, w)
+        xf = vsite_positions(x, idx, w, kind)
         e, f = fn(xf)
-        return e, vsite_spread(f, idx, w)
+        return e, vsite_spread(f, idx, w, kind, xf)
 
     if hasattr(fn, "init_state"):
         def _init(x):
-            return fn.init_state(vsite_positions(x, idx, w))
+            return fn.init_state(vsite_positions(x, idx, w, kind))
 
         def _apply(x, st):
-            e, f, st = fn.apply(vsite_positions(x, idx, w), st)
-            return e, vsite_spread(f, idx, w), st
+            xf = vsite_positions(x, idx, w, kind)
+            e, f, st = fn.apply(xf, st)
+            return e, vsite_spread(f, idx, w, kind, xf), st
 
         wrapped.init_state = _init
         wrapped.apply = _apply
     if hasattr(fn, "init_state_batched"):
-        vexp = jax.vmap(lambda xx: vsite_positions(xx, idx, w))
-        vspr = jax.vmap(lambda ff: vsite_spread(ff, idx, w))
+        vexp = jax.vmap(lambda xx: vsite_positions(xx, idx, w, kind))
+        vspr = jax.vmap(lambda ff, xx: vsite_spread(ff, idx, w, kind, xx))
 
         def _init_b(xs):
             return fn.init_state_batched(vexp(xs))
 
         def _apply_b(xs, st):
-            e_b, f_b, st = fn.apply_batched(vexp(xs), st)
-            return e_b, vspr(f_b), st
+            xf_b = vexp(xs)
+            e_b, f_b, st = fn.apply_batched(xf_b, st)
+            return e_b, vspr(f_b, xf_b), st
 
         wrapped.init_state_batched = _init_b
         wrapped.apply_batched = _apply_b
@@ -102,21 +139,24 @@ def wrap_force_fn(fn: Callable, system) -> Callable:
             setattr(wrapped, attr, getattr(fn, attr))
     if hasattr(fn, "check_overflow"):
         wrapped.check_overflow = (
-            lambda x: fn.check_overflow(vsite_positions(x, idx, w))
+            lambda x: fn.check_overflow(vsite_positions(x, idx, w, kind))
         )
     if hasattr(fn, "dynamic"):
         def _dyn(x, box):
-            e, f = fn.dynamic(vsite_positions(x, idx, w), box)
-            return e, vsite_spread(f, idx, w)
+            xf = vsite_positions(x, idx, w, kind)
+            e, f = fn.dynamic(xf, box)
+            return e, vsite_spread(f, idx, w, kind, xf)
 
         wrapped.dynamic = _dyn
     if hasattr(fn, "init_state_dynamic"):
         def _init_dyn(x, box):
-            return fn.init_state_dynamic(vsite_positions(x, idx, w), box)
+            return fn.init_state_dynamic(
+                vsite_positions(x, idx, w, kind), box)
 
         def _apply_dyn(x, st, box):
-            e, f, st = fn.apply_dynamic(vsite_positions(x, idx, w), st, box)
-            return e, vsite_spread(f, idx, w), st
+            xf = vsite_positions(x, idx, w, kind)
+            e, f, st = fn.apply_dynamic(xf, st, box)
+            return e, vsite_spread(f, idx, w, kind, xf), st
 
         wrapped.init_state_dynamic = _init_dyn
         wrapped.apply_dynamic = _apply_dyn

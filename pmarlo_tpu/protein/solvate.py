@@ -150,9 +150,9 @@ def solvate_structure(
             "box_shape must be rectangular|cubic|dodecahedron, "
             f"got {box_shape!r}"
         )
-    if water_model not in ("tip3p", "tip4pew"):
+    if water_model not in ("tip3p", "tip4pew", "tip5p"):
         raise ValueError(
-            f"water_model must be tip3p|tip4pew, got {water_model!r}"
+            f"water_model must be tip3p|tip4pew|tip5p, got {water_model!r}"
         )
     spacing = _WATER_DENSITY ** (-1.0 / 3.0)
     rng = np.random.default_rng(seed)
@@ -295,6 +295,19 @@ def solvate_structure(
                 xyz=(float(pm[0]), float(pm[1]), float(pm[2])),
                 element="M",
             ))
+        elif water_model == "tip5p":
+            # lone pairs via the HOH5 template's OutOfPlaneSite weights
+            # (md/residues.py): r = O + w(d12+d13) +- wc (d12 x d13)
+            from ..md.residues import _TIP5P_W, _TIP5P_WC
+
+            cr = np.cross(hh[0], hh[1])
+            for nm, sgn in (("L1", 1.0), ("L2", -1.0)):
+                pl = pos + _TIP5P_W * (hh[0] + hh[1]) + sgn * _TIP5P_WC * cr
+                atoms.append(PDBAtom(
+                    name=nm, resname="HOH", resid=next_resid, chain="W",
+                    xyz=(float(pl[0]), float(pl[1]), float(pl[2])),
+                    element="M",
+                ))
         residues.append(PDBResidue(
             name="HOH", resid=next_resid, chain="W", atoms=atoms,
         ))

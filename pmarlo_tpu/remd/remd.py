@@ -86,6 +86,16 @@ class RemdConfig:
     heating_steps: int = 0          # linear ramp T_min -> ladder (CHANGELOG:291)
     equilibration_steps: int = 0    # no-exchange phase at target temperatures
     report_interval: int = 100
+    #: dtype of the transferred frame positions: "f32" (exact) or "i16"
+    #: (XTC-style fixed point, 1e-3 nm resolution — the precision GROMACS
+    #: trajectories ship at). Quantization runs on device, HALVING the
+    #: device->host bytes; the frames are dequantized to float on the
+    #: host. Valid while |coordinate| < 32.7 nm (int16 range at 1e-3 nm);
+    #: the block program poisons out-of-range values to INT16_MIN, which
+    #: dequantizes to -32.768 nm — far outside any such box — rather
+    #: than silently wrapping. Applies to the scan-block path (``run``);
+    #: the fused single-kernel path always ships f32.
+    frame_precision: str = "f32"
     seed: int = 2024
 
     def ladder(self) -> np.ndarray:
@@ -102,6 +112,10 @@ class RemdConfig:
             raise ValueError(
                 "report_interval must divide exchange_frequency "
                 f"(got {self.report_interval} vs {self.exchange_frequency})"
+            )
+        if self.frame_precision not in ("f32", "i16"):
+            raise ValueError(
+                f"frame_precision must be f32|i16, got {self.frame_precision!r}"
             )
 
 
@@ -477,8 +491,18 @@ class ReplicaExchange:
                 st, energies = self._md_chunk(
                     st, ladder, cfg.report_interval
                 )
+                if cfg.frame_precision == "i16":
+                    # XTC-style fixed point at 1e-3 nm; out-of-range
+                    # coordinates poison to INT16_MIN (-32.768 nm after
+                    # dequant) instead of wrapping silently
+                    q = jnp.round(st.positions * 1000.0)
+                    pos_out = jnp.where(
+                        jnp.abs(q) > 32767.0, -32768.0, q
+                    ).astype(jnp.int16)
+                else:
+                    pos_out = st.positions
                 frame = {
-                    "positions": st.positions,
+                    "positions": pos_out,
                     "energy": energies,
                 }
                 return (st, energies), frame
@@ -532,6 +556,18 @@ class ReplicaExchange:
             # whole run
             outs.append(out)
             done += n_block
+            # start the device->host copy of this block's outputs NOW so
+            # the transfer rides alongside the next blocks' compute; the
+            # final gather then finds the data already on the host. On
+            # the tunneled bench host the end-of-run transfer was 56% of
+            # wall (scripts/remd_regression_ab.py) — overlapping it is
+            # nearly free elsewhere and a big win there.
+            if not getattr(self, "_no_async_copy", False):
+                try:
+                    for leaf in jax.tree_util.tree_leaves(out):
+                        leaf.copy_to_host_async()
+                except Exception:  # backend without async D2H: harmless
+                    self._no_async_copy = True
             if len(outs) % max(cfg.max_async_blocks, 1) == 0:
                 jax.block_until_ready(out)
         out = jax.tree_util.tree_map(
@@ -545,6 +581,8 @@ class ReplicaExchange:
 
         # flatten (A, frames_per_chunk, R, ...) -> (F, R, ...)
         pos = np.asarray(out["frames"]["positions"])
+        if pos.dtype == np.int16:
+            pos = pos.astype(np.float32) / 1000.0
         F = pos.shape[0] * pos.shape[1]
         pos = pos.reshape((F,) + pos.shape[2:])
         energy = np.asarray(out["frames"]["energy"]).reshape(F, self.n_replicas)

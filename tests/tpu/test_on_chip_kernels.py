@@ -37,7 +37,7 @@ def _require_tpu():
         pytest.skip("needs a real TPU backend")
 
 
-def _water(resid, origin, chain="W", four_site=False):
+def _water(resid, origin, chain="W", four_site=False, five_site=False):
     ox, oy, oz = origin
     mk = lambda n, x, y, z, e: PDBAtom(
         name=n, resname="HOH", resid=resid, chain=chain,
@@ -52,17 +52,27 @@ def _water(resid, origin, chain="W", four_site=False):
         pts = np.asarray([a.xyz for a in atoms])
         m = w[0] * pts[0] + w[1] * pts[1] + w[2] * pts[2]
         atoms.append(mk("M", float(m[0]), float(m[1]), float(m[2]), "M"))
+    elif five_site:
+        from pmarlo_tpu.md.residues import _TIP5P_W, _TIP5P_WC
+
+        pts = np.asarray([a.xyz for a in atoms])
+        d12, d13 = pts[1] - pts[0], pts[2] - pts[0]
+        cr = np.cross(d12, d13)
+        for nm, sgn in (("L1", 1.0), ("L2", -1.0)):
+            p = pts[0] + _TIP5P_W * (d12 + d13) + sgn * _TIP5P_WC * cr
+            atoms.append(mk(nm, float(p[0]), float(p[1]), float(p[2]), "M"))
     return PDBResidue(name="HOH", resid=resid, chain=chain, atoms=atoms)
 
 
-def _water_box(n_side=5, spacing=0.31, four_site=False):
+def _water_box(n_side=5, spacing=0.31, four_site=False, five_site=False):
     residues, rid = [], 1
     for i in range(n_side):
         for j in range(n_side):
             for k in range(n_side):
                 residues.append(_water(
                     rid, (0.15 + i * spacing, 0.15 + j * spacing,
-                          0.15 + k * spacing), four_site=four_site))
+                          0.15 + k * spacing), four_site=four_site,
+                    five_site=five_site))
                 rid += 1
     L = n_side * spacing + 0.1
     return PDBStructure(residues=residues), (L, L, L)
@@ -484,6 +494,45 @@ def test_tip4pew_cells_on_chip():
     assert np.isfinite(float(e)) and np.isfinite(np.asarray(f)).all()
     m_rows = np.asarray(system.vsite_idx)[:, 0]
     assert (np.asarray(f)[m_rows] == 0.0).all()
+    st = thermalize(system, jnp.asarray(x, jnp.float32),
+                    jax.random.PRNGKey(2), 300.0)
+    out, frames = run_md(system, st, n_steps=200, dt=0.002, friction=1.0,
+                         temperature_K=300.0, report_interval=100,
+                         force_fn=fn, constraints=spec)
+    assert np.isfinite(np.asarray(out.positions)).all()
+    t_last = float(np.asarray(frames["temperature"])[-1])
+    assert 200.0 < t_last < 420.0
+
+
+def test_tip5p_cells_on_chip():
+    """Out-of-plane virtual sites (kind=1, position-dependent VJP
+    spread) on hardware: the cross-product expansion and its adjoint
+    run at default precision — pin that they survive Mosaic/bf16."""
+    _require_tpu()
+    from pmarlo_tpu.md.constraints import (
+        build_h_constraints, strip_constrained_bonded,
+    )
+    from pmarlo_tpu.md.integrate import run_md, thermalize
+    from pmarlo_tpu.md.pallas_cells import build_cell_force_fn
+    from pmarlo_tpu.md.vsites import n_vsites, vsite_positions
+
+    s, box = _water_box(5, spacing=0.31, five_site=True)
+    system, x = build_system(s, box=box, cutoff=0.45, hydrogen_mass=None)
+    assert n_vsites(system) == 250
+    # expanded geometry on chip matches the host-built lone pairs
+    xe = np.asarray(vsite_positions(
+        jnp.asarray(x, jnp.float32), system.vsite_idx,
+        system.vsite_weights, system.vsite_kind))
+    idx = np.asarray(system.vsite_idx)
+    d_ol = np.linalg.norm(xe[idx[:, 0]] - xe[idx[:, 1]], axis=1)
+    np.testing.assert_allclose(d_ol, 0.070, atol=5e-4)
+    spec = build_h_constraints(system)
+    assert spec.water is not None and spec.water.stride == 5
+    fn = build_cell_force_fn(strip_constrained_bonded(system))
+    e, f = fn(jnp.asarray(x, jnp.float32))
+    assert np.isfinite(float(e)) and np.isfinite(np.asarray(f)).all()
+    l_rows = idx[:, 0]
+    assert (np.asarray(f)[l_rows] == 0.0).all()
     st = thermalize(system, jnp.asarray(x, jnp.float32),
                     jax.random.PRNGKey(2), 300.0)
     out, frames = run_md(system, st, n_steps=200, dt=0.002, friction=1.0,

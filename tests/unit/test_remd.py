@@ -438,3 +438,31 @@ def test_suggest_ladder_raises_on_max_rungs_truncation(
             target_acceptance=0.99, max_rungs=4,
             probe_steps=200, seed=1,
         )
+
+
+def test_frame_precision_i16_matches_f32(alanine_system_module):
+    """i16 frame transfer: identical dynamics (state stays f32 — only
+    the SHIPPED frames quantize), positions within the 5e-4 nm
+    rounding bound, half the frame bytes, config validation."""
+    system, positions, _ = alanine_system_module
+    import jax
+
+    runs = {}
+    for prec in ("f32", "i16"):
+        cfg = RemdConfig(
+            n_replicas=4, t_min=300, t_max=600, exchange_frequency=50,
+            report_interval=50, seed=7, frame_precision=prec,
+        )
+        remd = ReplicaExchange(system, positions, cfg, minimize=False,
+                               use_pallas=False)
+        runs[prec] = remd.run(n_steps=200)
+    a, b = runs["f32"], runs["i16"]
+    assert b.positions.dtype == np.float32
+    # same trajectory to quantization resolution
+    np.testing.assert_allclose(a.positions, b.positions, atol=5.1e-4)
+    assert not np.array_equal(a.positions, b.positions)  # really quantized
+    np.testing.assert_array_equal(a.replica_ids, b.replica_ids)
+    np.testing.assert_allclose(a.potential_energy, b.potential_energy,
+                               rtol=1e-6)
+    with pytest.raises(ValueError, match="frame_precision"):
+        RemdConfig(frame_precision="bf16")
