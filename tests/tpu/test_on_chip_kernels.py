@@ -535,8 +535,11 @@ def test_tip5p_cells_on_chip():
     assert (np.asarray(f)[l_rows] == 0.0).all()
     st = thermalize(system, jnp.asarray(x, jnp.float32),
                     jax.random.PRNGKey(2), 300.0)
-    out, frames = run_md(system, st, n_steps=200, dt=0.002, friction=1.0,
-                         temperature_K=300.0, report_interval=100,
+    # lattice starts dump lone-pair contact energy into KE early; the
+    # TIP5P box needs a longer thermostat window than TIP3P/TIP4P to
+    # settle into the band (measured 436 K at 0.4 ps, fine by 1.6 ps)
+    out, frames = run_md(system, st, n_steps=800, dt=0.002, friction=2.0,
+                         temperature_K=300.0, report_interval=200,
                          force_fn=fn, constraints=spec)
     assert np.isfinite(np.asarray(out.positions)).all()
     t_last = float(np.asarray(frames["temperature"])[-1])
